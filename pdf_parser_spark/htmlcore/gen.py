@@ -1,0 +1,78 @@
+"""Deterministic HTML page generator for the synthetic web corpus.
+
+Wraps source text in a realistic page shell — nav with links, sidebar,
+ad divs, footer — with one ``<p>`` per source line inside ``<article>``.
+``expected_text_from_html_source`` is the exact inverse under
+``htmlcore.extract_html`` and is SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+_SHELL_TOP = """<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8">
+<title>{title}</title>
+<style>body {{ font-family: sans-serif; }}</style>
+<script>var trackingId = "{tid}";</script>
+</head>
+<body>
+<header>
+<nav><ul>
+<li><a href="/">Home</a></li>
+<li><a href="/about">About our site and mission statement</a></li>
+<li><a href="/products">Products and services catalog</a></li>
+<li><a href="/contact">Contact the team</a></li>
+</ul></nav>
+</header>
+<aside class="sidebar">
+<div class="ad">Buy one get one free — limited time offer, click here now!</div>
+<ul class="related">
+<li><a href="/post/1">Ten things you never knew about parsing</a></li>
+<li><a href="/post/2">The definitive guide to nothing in particular</a></li>
+</ul>
+</aside>
+<article>
+"""
+
+_SHELL_BOTTOM = """</article>
+<footer>
+<p>Copyright 2024 Example Site. All rights reserved. Terms of service apply.</p>
+<nav><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a> | <a href="/rss">RSS</a></nav>
+</footer>
+</body>
+</html>
+"""
+
+
+def text_to_html(text: str, lang: str = "en", doc_id: int = 0) -> str:
+    """Corpus transform: source text → boilerplate-wrapped HTML page."""
+    lines = text.split("\n")
+    title = _html.escape(lines[0][:60]) if lines and lines[0] else "Untitled"
+    body = "\n".join(f"<p>{_html.escape(line)}</p>" for line in lines)
+    return (
+        _SHELL_TOP.format(lang=lang, title=title, tid=f"tid-{doc_id}")
+        + body
+        + "\n"
+        + _SHELL_BOTTOM
+    )
+
+
+def expected_text_from_html_source(text: str) -> str:
+    """What ``extract_html(text_to_html(text))`` must return: per line,
+    collapse ASCII whitespace runs to a single space, strip, drop empties,
+    join with newline. DuckDB oracle equivalent:
+
+        trim(regexp_replace(line, '[ \\t\\r\\f\\v]+', ' ', 'g')) per line
+    """
+    out = []
+    for line in text.split("\n"):
+        norm = _WS_RE.sub(" ", line).strip(" \t\r\f\v")
+        if norm:
+            out.append(norm)
+    return "\n".join(out)

@@ -1,0 +1,116 @@
+"""ToUnicode CMap parsing / decoding / synthesis.
+
+Output-semantics-identical to the reference implementation at
+/root/reference/pdf_parser/core/cmap.py:4-165 (written fresh; the
+reference is the behavioural spec, not the source). The quirks we
+deliberately reproduce, each pinned by a golden test:
+
+1. line-oriented scan: any line with three ``<hex>`` groups is treated
+   as a bfrange triple, any line with two as a bfchar pair — regardless
+   of begin/end section markers (cmap.py:15-38).
+2. single-byte only: source codes > 0xFF are silently skipped
+   (cmap.py:24-26,35-37); CID/2-byte codes are dropped.
+3. the codespacerange line ``<00> <FF>`` in a synthesized CMap is itself
+   matched by the bfchar rule, so every synthesized CMap also maps byte
+   0x00 → U+00FF 'ÿ' (cmap.py:151 feeding cmap.py:30-38).
+4. unmapped bytes decode to ``'?'`` (cmap.py:54).
+5. synthesis covers printable ASCII 32..126 only, whatever the declared
+   encoding — anything non-WinAnsi falls back to WinAnsi (cmap.py:119-142).
+
+``parse_cmap`` returns an int-keyed dict plus a prebuilt 256-entry
+translate table so decoding is a single C-level ``str.translate`` per
+string (the reference loops per byte in Python — cmap.py:54).
+"""
+
+from __future__ import annotations
+
+import re
+
+_RANGE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+_CHAR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+
+
+class CMap:
+    """Byte-code → unicode-char mapping with a fast translate table."""
+
+    __slots__ = ("mapping", "_table")
+
+    def __init__(self, mapping: dict[int, str]):
+        self.mapping = mapping
+        # translate table over latin1-decoded bytes: ord(0..255) → char
+        self._table = {i: mapping.get(i, "?") for i in range(256)}
+
+    def decode(self, data: bytes) -> str:
+        """Per-byte decode with '?' fallback (reference cmap.py:43-54)."""
+        return data.decode("latin1").translate(self._table)
+
+    def reverse(self) -> dict[str, int]:
+        """Unicode char → byte code (last writer wins, like dict inversion
+        in the reference's encode path, cmap.py:71)."""
+        return {v: k for k, v in self.mapping.items()}
+
+
+def parse_cmap(cmap_str: str) -> CMap:
+    """Parse a ToUnicode CMap string (reference semantics, see module doc)."""
+    mapping: dict[int, str] = {}
+    for line in cmap_str.splitlines():
+        m = _RANGE_RE.search(line)
+        if m:
+            lo = int(m.group(1), 16)
+            hi = int(m.group(2), 16)
+            dst = int(m.group(3), 16)
+            for code in range(lo, hi + 1):
+                if code > 0xFF:
+                    continue
+                mapping[code] = chr(dst + (code - lo))
+            continue
+        m = _CHAR_RE.search(line)
+        if m:
+            code = int(m.group(1), 16)
+            if code > 0xFF:
+                continue
+            mapping[code] = chr(int(m.group(2), 16))
+    return CMap(mapping)
+
+
+def decode_pdf_string(data: bytes, cmap: CMap) -> str:
+    return cmap.decode(data)
+
+
+_WINANSI_PRINTABLE = {code: chr(code) for code in range(32, 127)}
+
+
+def synthesize_tounicode_cmap(encoding_name: str = "/WinAnsiEncoding") -> str:
+    """Build the fallback ToUnicode CMap string for a font that lacks one.
+
+    Matches the reference's output (cmap.py:107-165): printable-ASCII
+    bfchar entries only; unknown encodings fall back to WinAnsi. The
+    emitted codespacerange line is intentionally in the quirky
+    ``<00> <FF>`` single-line form so that :func:`parse_cmap` picks up
+    the 0x00→'ÿ' ghost entry exactly as the reference does.
+    """
+    # every declared encoding currently resolves to the same printable set,
+    # mirroring the reference's single-entry standard_encodings table
+    table = _WINANSI_PRINTABLE
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<00> <FF>",
+        "endcodespacerange",
+        f"{len(table)} beginbfchar",
+    ]
+    for code, ch in table.items():
+        lines.append(f"<{code:02X}> <{ord(ch):04X}>")
+    lines.append("endbfchar")
+    lines.append("endcmap")
+    lines.append("CMapName currentdict /CMap defineresource pop")
+    lines.append("end")
+    lines.append("end")
+    return "\n".join(lines)

@@ -1,0 +1,282 @@
+"""PDF document model: xref (classic + stream) → object index → page tree.
+
+Reimplements the object-graph layer the reference delegates to pikepdf
+(/root/reference/pdf_parser/api.py:43, core/replacer.py:101), from the
+public spec:
+
+- classic xref tables + trailer chain (/Prev) — ISO 32000-1 §7.5.4
+- cross-reference streams (/Type /XRef, /W, /Index) — §7.5.8
+- object streams (/ObjStm, /N, /First) — §7.5.7
+- page-tree walk with inherited attributes (/Resources, /MediaBox) —
+  §7.7.3.4; the reference's inherited-/Contents walk is
+  /root/reference/pdf_gui.py:1515-1521.
+"""
+
+from __future__ import annotations
+
+from .filters import decode_stream
+from .lexer import Name, PdfLexer, Ref, Stream, parse_indirect_object
+
+INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+
+class PdfError(ValueError):
+    pass
+
+
+class PdfDocument:
+    """Random-access object graph over a PDF byte buffer."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            # be lenient: allow a BOM/garbage prefix up to 1 KiB (spec allows it)
+            idx = data.find(b"%PDF-", 0, 1024)
+            if idx == -1:
+                raise PdfError("not a PDF: missing %PDF- header")
+            data = data[idx:]
+        self.data = data
+        self.trailer: dict = {}
+        # obj num -> ("file", offset) | ("objstm", container_num, index)
+        self._index: dict[int, tuple] = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        self._load_xref()
+
+    # ------------------------------------------------------------------ xref
+
+    def _find_startxref(self) -> int:
+        tail = self.data[-2048:]
+        idx = tail.rfind(b"startxref")
+        if idx == -1:
+            raise PdfError("missing startxref")
+        lex = PdfLexer(tail, idx + len(b"startxref"))
+        lex._skip_ws()
+        return int(lex._read_token())
+
+    def _load_xref(self) -> None:
+        offset = self._find_startxref()
+        seen = set()
+        while offset is not None and offset not in seen:
+            seen.add(offset)
+            lex = PdfLexer(self.data, offset)
+            lex._skip_ws()
+            if self.data[lex.pos : lex.pos + 4] == b"xref":
+                trailer = self._load_classic_xref(lex)
+            else:
+                trailer = self._load_xref_stream(offset)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            # hybrid files: /XRefStm points at an xref stream shadowing the table
+            xrefstm = trailer.get("XRefStm")
+            if isinstance(xrefstm, int) and xrefstm not in seen:
+                seen.add(xrefstm)
+                st = self._load_xref_stream(xrefstm)
+                for k, v in st.items():
+                    self.trailer.setdefault(k, v)
+            offset = int(prev) if isinstance(prev, (int, float)) else None
+
+    def _load_classic_xref(self, lex: PdfLexer) -> dict:
+        lex.pos += 4  # skip 'xref'
+        while True:
+            lex._skip_ws()
+            if self.data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                trailer = lex.parse_object()
+                if not isinstance(trailer, dict):
+                    raise PdfError("bad trailer")
+                return trailer
+            start = int(lex._read_token())
+            lex._skip_ws()
+            count = int(lex._read_token())
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos : lex.pos + 20]
+                off = int(entry[0:10])
+                typ = entry[17:18]
+                num = start + i
+                if typ == b"n" and num not in self._index:
+                    self._index[num] = ("file", off)
+                # advance: entries are 20 bytes but be tolerant of 19/20
+                lex.pos += 20
+                if entry[18:20] not in (b"\r\n", b" \n", b" \r"):
+                    # re-sync to next line
+                    nl = self.data.find(b"\n", lex.pos - 20)
+                    lex.pos = nl + 1 if nl != -1 else lex.pos
+
+    def _load_xref_stream(self, offset: int) -> dict:
+        num, gen, obj = parse_indirect_object(self.data, offset)
+        if not isinstance(obj, Stream):
+            raise PdfError("xref stream expected at startxref offset")
+        sd = obj.dict
+        data = decode_stream(obj.raw, sd, resolve=None)
+        w = [int(x) for x in sd["W"]]
+        size = int(sd["Size"])
+        index = sd.get("Index", [0, size])
+        entry_len = sum(w)
+        pos = 0
+        pairs = list(zip(index[0::2], index[1::2]))
+        for start, count in pairs:
+            for i in range(int(count)):
+                fields = []
+                for width in w:
+                    if width == 0:
+                        fields.append(1 if len(fields) == 0 else 0)
+                    else:
+                        fields.append(
+                            int.from_bytes(data[pos : pos + width], "big")
+                        )
+                        pos += width
+                onum = int(start) + i
+                ftype = fields[0]
+                if onum in self._index:
+                    continue
+                if ftype == 1:
+                    self._index[onum] = ("file", fields[1])
+                elif ftype == 2:
+                    self._index[onum] = ("objstm", fields[1], fields[2])
+                # type 0 = free
+        return dict(sd)
+
+    # --------------------------------------------------------------- objects
+
+    def resolve(self, obj):
+        """Resolve indirect references (recursively for one level)."""
+        while isinstance(obj, Ref):
+            obj = self.get_object(obj.num)
+        return obj
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        loc = self._index.get(num)
+        if loc is None:
+            return None
+        if loc[0] == "file":
+            onum, gen, obj = parse_indirect_object(self.data, loc[1])
+            if onum != num:
+                # broken offset: scan for the object header as a fallback
+                obj = self._scan_for_object(num)
+        else:
+            obj = self._get_from_objstm(loc[1], loc[2])
+        # a Stream whose /Length was indirect needs re-slicing
+        if isinstance(obj, Stream):
+            length = obj.dict.get("Length")
+            if isinstance(length, Ref):
+                obj.dict["Length"] = self.resolve(length)
+        self._cache[num] = obj
+        return obj
+
+    def _scan_for_object(self, num: int):
+        needle = f"{num} 0 obj".encode()
+        idx = self.data.find(needle)
+        if idx == -1:
+            raise PdfError(f"object {num} not found")
+        _, _, obj = parse_indirect_object(self.data, idx)
+        return obj
+
+    def _get_from_objstm(self, container: int, index: int):
+        objs = self._objstm_cache.get(container)
+        if objs is None:
+            st = self.get_object(container)
+            if not isinstance(st, Stream):
+                raise PdfError(f"object stream {container} missing")
+            data = decode_stream(st.raw, st.dict, resolve=self.resolve)
+            n = int(self.resolve(st.dict["N"]))
+            first = int(self.resolve(st.dict["First"]))
+            head = PdfLexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                head._skip_ws()
+                onum = int(head._read_token())
+                head._skip_ws()
+                off = int(head._read_token())
+                pairs.append((onum, off))
+            objs = []
+            for onum, off in pairs:
+                lex = PdfLexer(data, first + off)
+                objs.append((onum, lex.parse_object()))
+            self._objstm_cache[container] = objs
+        return objs[index][1]
+
+    def stream_bytes(self, obj) -> bytes:
+        """Fully-decoded bytes of a stream object (resolving refs)."""
+        obj = self.resolve(obj)
+        if not isinstance(obj, Stream):
+            raise PdfError("not a stream")
+        length = obj.dict.get("Length")
+        if isinstance(length, Ref):
+            obj.dict["Length"] = self.resolve(length)
+        return decode_stream(obj.raw, obj.dict, resolve=self.resolve)
+
+    # ------------------------------------------------------------- page tree
+
+    def catalog(self) -> dict:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("missing /Root catalog")
+        return root
+
+    def pages(self) -> list[dict]:
+        """Flattened page list with inherited attributes materialized."""
+        cat = self.catalog()
+        root = self.resolve(cat.get("Pages"))
+        if not isinstance(root, dict):
+            raise PdfError("missing /Pages root")
+        out: list[dict] = []
+
+        def walk(node: dict, inherited: dict, depth: int = 0) -> None:
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            inh = dict(inherited)
+            for key in INHERITABLE:
+                if key in node:
+                    inh[key] = node[key]
+            ntype = str(self.resolve(node.get("Type")) or "")
+            kids = node.get("Kids")
+            if ntype == "Pages" or (kids is not None and ntype != "Page"):
+                for kid in self.resolve(kids) or []:
+                    kobj = self.resolve(kid)
+                    if isinstance(kobj, dict):
+                        walk(kobj, inh, depth + 1)
+            else:
+                page = dict(node)
+                for key, val in inh.items():
+                    page.setdefault(key, val)
+                out.append(page)
+
+        walk(root, {})
+        return out
+
+    def page_content_bytes(self, page: dict) -> bytes:
+        """Concatenated decoded /Contents — mirrors the reference's array
+        concat (/root/reference/pdf_parser/api.py:74-87) plus the GUI's
+        inherited-contents fallback (/root/reference/pdf_gui.py:1515-1521)."""
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, list):
+            parts = []
+            for item in contents:
+                item = self.resolve(item)
+                if isinstance(item, Stream):
+                    parts.append(self.stream_bytes(item))
+            return b"".join(parts)
+        if isinstance(contents, Stream):
+            return self.stream_bytes(contents)
+        return b""
+
+    def page_fonts(self, page: dict) -> dict[str, dict]:
+        """Map of font resource name ('/F1') → resolved font dict."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fonts = self.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return {}
+        out = {}
+        for name, ref in fonts.items():
+            fd = self.resolve(ref)
+            if isinstance(fd, dict):
+                out["/" + str(name)] = fd
+        return out

@@ -1,0 +1,115 @@
+"""Per-document PDF extraction: bytes in → (text, spans, metrics) out.
+
+This is the pure-Python equivalent of the reference's
+``parse_page_text`` lifecycle (/root/reference/pdf_parser/api.py:6-195,
+documented in SURVEY.md §3.1), generalized to all pages and driven from
+raw bytes instead of a filesystem path:
+
+1. object graph + page tree   (document.py — replaces pikepdf)
+2. per-page font CMaps: /ToUnicode parse (utf-8, errors ignored, like
+   api.py:56) or WinAnsi synthesis when absent (api.py:59-70)
+3. /Contents concatenation    (api.py:74-87)
+4. reference-identical text pass (tokenizer.extract_text_items)
+5. span pass with real Tm/Td/Tf/Widths geometry (tokenizer.extract_spans)
+
+The canonical "extracted text" for a document is the newline-join of
+every decoded item across pages in content-stream order — the same
+item sequence the reference's per-page result list contains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .cmap import CMap, parse_cmap, synthesize_tounicode_cmap
+from .document import PdfDocument, PdfError
+from .lexer import Name, Stream
+from .tokenizer import FontMetrics, Span, extract_spans, extract_text_items
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    items: list  # (page_no, font, text, encoded_bytes, instance_index)
+    spans: list  # Span records (page-tagged via span.seq grouping)
+    span_pages: list  # page_no parallel to spans
+    n_pages: int
+    n_items: int
+    error: str | None = None
+    fonts_seen: list = field(default_factory=list)
+
+
+def _font_cmaps_and_metrics(
+    doc: PdfDocument, page: dict
+) -> tuple[dict[str, CMap], dict[str, FontMetrics]]:
+    cmaps: dict[str, CMap] = {}
+    metrics: dict[str, FontMetrics] = {}
+    for fname, fdict in doc.page_fonts(page).items():
+        tounicode = doc.resolve(fdict.get("ToUnicode"))
+        if isinstance(tounicode, Stream):
+            cmap_str = doc.stream_bytes(tounicode).decode("utf-8", errors="ignore")
+            cmaps[fname] = parse_cmap(cmap_str)
+        else:
+            enc = doc.resolve(fdict.get("Encoding"))
+            enc_name = "/" + str(enc) if isinstance(enc, Name) else "/WinAnsiEncoding"
+            cmaps[fname] = parse_cmap(synthesize_tounicode_cmap(enc_name))
+        first_char = doc.resolve(fdict.get("FirstChar"))
+        widths = doc.resolve(fdict.get("Widths"))
+        if isinstance(widths, list) and isinstance(first_char, (int, float)):
+            metrics[fname] = FontMetrics(
+                first_char=int(first_char),
+                widths=[float(doc.resolve(w)) for w in widths],
+            )
+    return cmaps, metrics
+
+
+def extract_pdf(data: bytes) -> ExtractResult:
+    """Extract text + spans from raw PDF bytes. Never raises: failures are
+    reported in ``.error`` so the Spark audit table can count them
+    (north rule: parse-failure counts per partition)."""
+    try:
+        doc = PdfDocument(data)
+        pages = doc.pages()
+    except (PdfError, ValueError, KeyError, IndexError, OverflowError) as exc:
+        return ExtractResult(
+            text="", items=[], spans=[], span_pages=[], n_pages=0,
+            n_items=0, error=f"{type(exc).__name__}: {exc}",
+        )
+
+    items: list = []
+    all_spans: list[Span] = []
+    span_pages: list[int] = []
+    fonts_seen: set[str] = set()
+    # instance_index is a per-document running count per distinct text,
+    # mirroring the reference's text_instance_counts (api.py:136-149)
+    instance_counts: dict[str, int] = {}
+    error = None
+    for page_no, page in enumerate(pages):
+        try:
+            cmaps, metrics = _font_cmaps_and_metrics(doc, page)
+            content = doc.page_content_bytes(page)
+        except (PdfError, ValueError, KeyError, IndexError) as exc:
+            error = f"page {page_no}: {type(exc).__name__}: {exc}"
+            continue
+        if not content:
+            continue
+        fonts_seen.update(cmaps)
+        for font, text, encoded in extract_text_items(content, cmaps):
+            idx = instance_counts.get(text, 0)
+            instance_counts[text] = idx + 1
+            items.append((page_no, font, text, encoded, idx))
+        for span in extract_spans(content, cmaps, metrics, page_no=page_no):
+            all_spans.append(span)
+            span_pages.append(page_no)
+
+    text = "\n".join(it[2] for it in items)
+    return ExtractResult(
+        text=text,
+        items=items,
+        spans=all_spans,
+        span_pages=span_pages,
+        n_pages=len(pages),
+        n_items=len(items),
+        error=error,
+        fonts_seen=sorted(fonts_seen),
+    )

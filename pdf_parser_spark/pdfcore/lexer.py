@@ -1,0 +1,291 @@
+"""PDF object lexer/parser (ISO 32000-1 §7.3) — pure Python, zero deps.
+
+Parses the eight COS object types (null, boolean, numeric, string, name,
+array, dictionary, stream) plus indirect references from raw bytes.
+
+The reference delegates all of this to ``pikepdf.open`` (see
+/root/reference/pdf_parser/api.py:43); we reimplement it from the public
+spec so the whole extraction path runs inside a Python worker with no
+native extensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+
+
+@dataclass(frozen=True)
+class Ref:
+    """Indirect object reference ``num gen R``."""
+
+    num: int
+    gen: int
+
+
+@dataclass
+class Stream:
+    """A stream object: its dictionary plus raw (still-encoded) bytes."""
+
+    dict: dict
+    raw: bytes
+
+
+class Name(str):
+    """A PDF name object (``/Foo``). Subclass of str, value excludes the slash."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"/{str(self)}"
+
+
+class PdfLexer:
+    """Single-pass recursive-descent parser over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    # ------------------------------------------------------------------ utils
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:  # '%' comment runs to EOL
+                while pos < n and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        self.pos = pos
+
+    def _peek(self) -> int:
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+    def _read_token(self) -> bytes:
+        """Read a regular token (keyword / number) up to a delimiter or ws."""
+        data, n = self.data, len(self.data)
+        start = self.pos
+        pos = start
+        while pos < n and data[pos] not in WHITESPACE and data[pos] not in DELIMITERS:
+            pos += 1
+        self.pos = pos
+        return data[start:pos]
+
+    # ---------------------------------------------------------------- objects
+
+    def parse_object(self):
+        self._skip_ws()
+        c = self._peek()
+        if c == -1:
+            raise ValueError("unexpected EOF while parsing object")
+        ch = bytes([c])
+        if ch == b"/":
+            return self._parse_name()
+        if ch == b"(":
+            return self._parse_literal_string()
+        if ch == b"<":
+            if self.data[self.pos : self.pos + 2] == b"<<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if ch == b"[":
+            return self._parse_array()
+        if ch == b"]":
+            raise ValueError("unexpected ']'")
+        # keyword or number (possibly an indirect reference "n g R")
+        tok = self._read_token()
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        return self._parse_numeric_or_ref(tok)
+
+    def _parse_numeric_or_ref(self, tok: bytes):
+        try:
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError as exc:
+            raise ValueError(f"bad token {tok!r} at {self.pos}") from exc
+        # lookahead for "gen R"
+        save = self.pos
+        self._skip_ws()
+        tok2_start = self.pos
+        tok2 = self._read_token()
+        if tok2.isdigit():
+            self._skip_ws()
+            tok3 = self._read_token()
+            if tok3 == b"R":
+                return Ref(num, int(tok2))
+        self.pos = save if not tok2 else tok2_start
+        self.pos = save
+        return num
+
+    def _parse_name(self) -> Name:
+        assert self.data[self.pos] == 0x2F
+        self.pos += 1
+        data, n = self.data, len(self.data)
+        out = bytearray()
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE or c in DELIMITERS:
+                break
+            if c == 0x23 and pos + 2 < n:  # '#' hex escape
+                try:
+                    out.append(int(data[pos + 1 : pos + 3], 16))
+                    pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            pos += 1
+        self.pos = pos
+        return Name(out.decode("latin1"))
+
+    def _parse_literal_string(self) -> bytes:
+        assert self.data[self.pos] == 0x28
+        self.pos += 1
+        data, n = self.data, len(self.data)
+        out = bytearray()
+        depth = 1
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
+            if c == 0x5C:  # backslash
+                pos += 1
+                if pos >= n:
+                    break
+                e = data[pos]
+                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                if e in esc:
+                    out.append(esc[e])
+                    pos += 1
+                elif e in b"01234567":  # up to 3 octal digits
+                    oct_digits = bytearray([e])
+                    pos += 1
+                    while pos < n and len(oct_digits) < 3 and data[pos] in b"01234567":
+                        oct_digits.append(data[pos])
+                        pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    pos += 1
+                    if e == 0x0D and pos < n and data[pos] == 0x0A:
+                        pos += 1
+                else:  # \( \) \\ and unknown escapes: literal char
+                    out.append(e)
+                    pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+                out.append(c)
+                pos += 1
+            else:
+                out.append(c)
+                pos += 1
+        self.pos = pos
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        assert self.data[self.pos] == 0x3C
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end == -1:
+            raise ValueError("unterminated hex string")
+        hexchars = bytes(
+            c for c in self.data[self.pos : end] if c not in WHITESPACE
+        )
+        self.pos = end + 1
+        if len(hexchars) % 2:
+            hexchars += b"0"
+        return bytes.fromhex(hexchars.decode("ascii"))
+
+    def _parse_array(self) -> list:
+        assert self.data[self.pos] == 0x5B
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self._peek() == 0x5D:
+                self.pos += 1
+                return out
+            if self._peek() == -1:
+                raise ValueError("unterminated array")
+            out.append(self.parse_object())
+
+    def _parse_dict_or_stream(self):
+        assert self.data[self.pos : self.pos + 2] == b"<<"
+        self.pos += 2
+        d: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if self._peek() != 0x2F:
+                raise ValueError(f"expected name key at {self.pos}")
+            key = self._parse_name()
+            value = self.parse_object()
+            d[str(key)] = value
+        # stream keyword?
+        save = self.pos
+        self._skip_ws()
+        if self.data[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            # EOL after 'stream': CRLF or LF (spec §7.3.8.1)
+            if self.data[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.pos < len(self.data) and self.data[self.pos] in b"\n\r":
+                self.pos += 1
+            length = d.get("Length")
+            if isinstance(length, int):
+                raw = self.data[self.pos : self.pos + length]
+                endpos = self.pos + length
+            else:
+                # Length is an indirect ref (resolved later) or broken:
+                # fall back to scanning for 'endstream'.
+                endpos = self.data.find(b"endstream", self.pos)
+                if endpos == -1:
+                    raise ValueError("unterminated stream")
+                raw = self.data[self.pos : endpos]
+                # strip one trailing EOL that belongs to the marker
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                    raw = raw[:-1]
+            self.pos = endpos
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 9] == b"endstream":
+                self.pos += 9
+            return Stream(d, bytes(raw))
+        self.pos = save
+        return d
+
+
+def parse_indirect_object(data: bytes, offset: int):
+    """Parse ``num gen obj ... endobj`` at *offset*; returns (num, gen, obj)."""
+    lex = PdfLexer(data, offset)
+    lex._skip_ws()
+    num = int(lex._read_token())
+    lex._skip_ws()
+    gen = int(lex._read_token())
+    lex._skip_ws()
+    kw = lex._read_token()
+    if kw != b"obj":
+        raise ValueError(f"expected 'obj' at offset {offset}, got {kw!r}")
+    obj = lex.parse_object()
+    return num, gen, obj

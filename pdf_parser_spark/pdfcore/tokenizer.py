@@ -1,0 +1,403 @@
+"""Content-stream tokenization: reference-identical text pass + span pass.
+
+Two deliberately separate layers:
+
+**Text pass** (:func:`extract_text_items`) — byte-identical to the
+reference's regex walk (/root/reference/pdf_parser/api.py:90-128). Its
+quirks are the contract (each pinned by a golden test):
+
+- one regex alternation over the latin1-decoded stream matching
+  ``(..)Tj/TJ``, ``[..]TJ`` and ``/Name <int> Tf`` (api.py:94-96);
+  fractional font sizes do NOT match, so ``/F1 12.5 Tf`` never switches
+  the current font;
+- text ops are dropped unless the current font has a CMap (api.py:104);
+- TJ arrays are flattened by ``str.split()`` keeping only whitespace-
+  delimited tokens that start '(' and end ')' — string segments with
+  internal spaces are garbled, and if nothing survives the ORIGINAL raw
+  array text is decoded instead (api.py:109-118);
+- escape handling replaces exactly ``\\(`` ``\\)`` ``\\\\`` in that
+  order (api.py:121), then latin1-encodes;
+- decoded text is ``.strip()``-ed and dropped if empty (api.py:127).
+
+**Span pass** (:func:`extract_spans`) — a real postfix operator
+interpreter (ISO 32000-1 §9.4) recovering the (text, x, y, font, size)
+metadata the reference only approximates with constants
+(/root/reference/pdf_gui.py:845-854: font_size=12, char_width=8). We
+track Tf (with float sizes), Tm, Td/TD, TL, T*, BT/ET and per-glyph
+advances from /Widths, superseding the GUI's estimate while leaving the
+text pass untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .cmap import CMap
+
+# --- text pass (reference-identical) ---------------------------------------
+
+_COMBINED_RE = re.compile(
+    r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]"
+    r"|/[A-Za-z0-9]+\s+\d+\s+Tf"
+)
+_TEXT_RE = re.compile(r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]")
+_FONT_RE = re.compile(r"/([A-Za-z0-9]+)\s+\d+\s+Tf")
+
+
+def flatten_tj_array(inner_text: str) -> str:
+    """Reference TJ-flatten quirk (api.py:109-118): whitespace-split, keep
+    '('..')' tokens, concatenate insides; empty result keeps the raw text."""
+    processed = ""
+    for part in inner_text.split():
+        if part.startswith("(") and part.endswith(")"):
+            processed += part[1:-1]
+    return processed if processed else inner_text
+
+
+def normalize_escapes(inner_text: str) -> bytes:
+    """Reference parse-path escape rule (api.py:121-122). NOTE the replace
+    order is semantic: ``\\(`` and ``\\)`` first, then ``\\\\``."""
+    return (
+        inner_text.replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
+    ).encode("latin1")
+
+
+def extract_text_items(
+    content: bytes, font_cmaps: dict[str, CMap]
+) -> list[tuple[str, str, bytes]]:
+    """Walk a decoded content stream; returns [(font, text, encoded_bytes)].
+
+    Output-identical to the reference's decode loop (api.py:86-128).
+    """
+    content_str = content.decode("latin1", errors="replace")
+    items: list[tuple[str, str, bytes]] = []
+    current_font: str | None = None
+    for m in _COMBINED_RE.finditer(content_str):
+        tok = m.group(0)
+        fm = _FONT_RE.search(tok)
+        if fm:
+            current_font = "/" + fm.group(1)
+            continue
+        tm = _TEXT_RE.search(tok)
+        if not tm or current_font not in font_cmaps:
+            continue
+        is_tj_array = tok.strip().endswith("TJ")
+        inner = tm.group(2) if is_tj_array else tm.group(1)
+        if is_tj_array:
+            inner = flatten_tj_array(inner)
+        try:
+            encoded = normalize_escapes(inner)
+        except (UnicodeEncodeError, AttributeError):
+            continue
+        decoded = font_cmaps[current_font].decode(encoded)
+        stripped = decoded.strip()
+        if stripped:
+            items.append((current_font, stripped, encoded))
+    return items
+
+
+# --- span pass (real operator interpreter) ----------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMS = b"()<>[]{}/%"
+
+
+@dataclass
+class Span:
+    seq: int
+    text: str
+    x: float
+    y: float
+    font: str
+    size: float
+    width: float
+    char_xs: list[float]
+
+
+class _ContentLexer:
+    """Token stream over raw content bytes: numbers, names, strings,
+    hex strings, arrays (as lists of strings/numbers), operators."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def tokens(self):
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in WHITESPACE:
+                self.pos += 1
+                continue
+            if c == 0x25:  # comment
+                nl = data.find(b"\n", self.pos)
+                self.pos = n if nl == -1 else nl + 1
+                continue
+            if c == 0x28:
+                yield ("str", self._string())
+                continue
+            if c == 0x3C:
+                if data[self.pos : self.pos + 2] == b"<<":
+                    self.pos += 2
+                    yield ("op", "<<")
+                    continue
+                yield ("str", self._hex_string())
+                continue
+            if c == 0x3E and data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                yield ("op", ">>")
+                continue
+            if c == 0x2F:
+                yield ("name", self._name())
+                continue
+            if c == 0x5B:
+                self.pos += 1
+                yield ("op", "[")
+                continue
+            if c == 0x5D:
+                self.pos += 1
+                yield ("op", "]")
+                continue
+            if c == 0x7B or c == 0x7D:
+                self.pos += 1
+                continue
+            start = self.pos
+            while (
+                self.pos < n
+                and data[self.pos] not in WHITESPACE
+                and data[self.pos] not in DELIMS
+            ):
+                self.pos += 1
+            tok = data[start : self.pos]
+            if _NUM_RE.fullmatch(tok):
+                yield ("num", float(tok))
+            else:
+                yield ("kw", tok.decode("latin1"))
+
+    def _string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = data[self.pos]
+                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif e in b"01234567":
+                    digits = bytearray([e])
+                    self.pos += 1
+                    while (
+                        self.pos < n
+                        and len(digits) < 3
+                        and data[self.pos] in b"01234567"
+                    ):
+                        digits.append(data[self.pos])
+                        self.pos += 1
+                    out.append(int(digits, 8) & 0xFF)
+                elif e in b"\r\n":
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    break
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        if end == -1:
+            end = len(self.data)
+        raw = bytes(
+            c for c in self.data[self.pos + 1 : end] if c not in WHITESPACE
+        )
+        self.pos = end + 1
+        if len(raw) % 2:
+            raw += b"0"
+        try:
+            return bytes.fromhex(raw.decode("ascii"))
+        except ValueError:
+            return b""
+
+    def _name(self) -> str:
+        data, n = self.data, len(self.data)
+        self.pos += 1
+        start = self.pos
+        while (
+            self.pos < n
+            and data[self.pos] not in WHITESPACE
+            and data[self.pos] not in DELIMS
+        ):
+            self.pos += 1
+        return "/" + data[start : self.pos].decode("latin1")
+
+
+class FontMetrics:
+    """Glyph advance widths (1000-unit glyph space) for one font resource."""
+
+    __slots__ = ("first_char", "widths", "default_width")
+
+    def __init__(self, first_char=0, widths=None, default_width=500.0):
+        self.first_char = int(first_char)
+        self.widths = [float(w) for w in (widths or [])]
+        self.default_width = float(default_width)
+
+    def advance(self, code: int) -> float:
+        idx = code - self.first_char
+        if 0 <= idx < len(self.widths):
+            return self.widths[idx]
+        return self.default_width
+
+
+def extract_spans(
+    content: bytes,
+    font_cmaps: dict[str, CMap],
+    font_metrics: dict[str, FontMetrics] | None = None,
+    page_no: int = 0,
+) -> list[Span]:
+    """Interpret text-positioning operators and emit one Span per text run.
+
+    Implements the ISO 32000-1 §9.4.2 text state machine: BT/ET, Tf, Tm,
+    Td, TD, TL, T*, Tj, ', ", TJ (with kerning-aware advances). The
+    text-space origin (tx, ty) is tracked through the text line matrix;
+    glyph advances come from /Widths via *font_metrics* (default 500
+    units when unknown), replacing the reference's hard-coded 8-pt char
+    width (/root/reference/pdf_gui.py:848-853).
+    """
+    metrics = font_metrics or {}
+    spans: list[Span] = []
+    stack: list = []
+    font: str | None = None
+    size = 0.0
+    leading = 0.0
+    # text line matrix origin + current displacement within the line
+    lx = ly = 0.0  # line start (set by Tm/Td)
+    cx = 0.0  # horizontal displacement within the line
+    seq = 0
+
+    def emit(raw: bytes, kern_groups: list | None = None):
+        nonlocal cx, seq
+        if font is None:
+            return
+        cmap = font_cmaps.get(font)
+        fm = metrics.get(font)
+        scale = size / 1000.0
+        x0 = lx + cx
+        char_xs: list[float] = []
+        text_parts: list[str] = []
+        groups = kern_groups if kern_groups is not None else [raw]
+        for g in groups:
+            if isinstance(g, float):  # TJ kerning number: move left by g/1000 em
+                cx -= g * scale
+                continue
+            for b in g:
+                char_xs.append(lx + cx)
+                adv = (fm.advance(b) if fm else 500.0) * scale
+                cx += adv
+            text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
+        text = "".join(text_parts)
+        if not text.strip():
+            return
+        spans.append(
+            Span(
+                seq=seq,
+                text=text,
+                x=x0,
+                y=ly,
+                font=font or "",
+                size=size,
+                width=(lx + cx) - x0,
+                char_xs=char_xs,
+            )
+        )
+        seq += 1
+
+    for kind, val in _ContentLexer(content).tokens():
+        if kind in ("num", "str", "name"):
+            stack.append((kind, val))
+            continue
+        if kind == "op":
+            stack.append((kind, val))
+            continue
+        op = val  # keyword / operator
+
+        def nums(k: int) -> list[float]:
+            vals = [v for t, v in stack[-k:] if t == "num"] if k else []
+            return vals if len(vals) == k else []
+
+        if op == "Tf":
+            if len(stack) >= 2 and stack[-2][0] == "name" and stack[-1][0] == "num":
+                font = stack[-2][1]
+                size = stack[-1][1]
+        elif op == "Tm":
+            v = nums(6)
+            if v:
+                lx, ly = v[4], v[5]
+                cx = 0.0
+        elif op in ("Td", "TD"):
+            v = nums(2)
+            if v:
+                lx += v[0]
+                ly += v[1]
+                cx = 0.0
+                if op == "TD":
+                    leading = -v[1]
+        elif op == "TL":
+            v = nums(1)
+            if v:
+                leading = v[0]
+        elif op == "T*":
+            ly -= leading
+            cx = 0.0
+        elif op == "BT":
+            lx = ly = cx = 0.0
+        elif op == "Tj":
+            if stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+        elif op == "'":
+            ly -= leading
+            cx = 0.0
+            if stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+        elif op == '"':
+            ly -= leading
+            cx = 0.0
+            if stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+        elif op == "TJ":
+            # collect back to the matching '['
+            groups: list = []
+            i = len(stack) - 1
+            while i >= 0 and not (stack[i][0] == "op" and stack[i][1] == "["):
+                t, v2 = stack[i]
+                if t == "str":
+                    groups.append(v2)
+                elif t == "num":
+                    groups.append(float(v2))
+                i -= 1
+            groups.reverse()
+            emit(b"", kern_groups=groups)
+        stack.clear()
+    return spans

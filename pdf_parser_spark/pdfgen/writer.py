@@ -1,0 +1,361 @@
+"""Minimal deterministic PDF writer (ISO 32000-1 subset).
+
+Supports exactly the features the extraction kernel must handle:
+
+- classic xref tables, cross-reference streams (/W [1 4 2] + PNG
+  predictor optional), and object streams (/ObjStm)
+- FlateDecode'd or raw content streams; /Contents as single stream or
+  array of streams
+- Type1/TrueType-ish font dicts with optional /ToUnicode CMap streams
+  (bfchar and bfrange flavours, including >0xFF CID entries that the
+  reference-compatible parser must skip), /Widths + /FirstChar
+- multi-page documents and two-column layouts
+
+Everything is byte-deterministic for a given input (no timestamps, no
+randomness) so golden files are stable across runs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+
+class Raw(str):
+    """A pre-serialized PDF fragment (names, refs) — emitted verbatim."""
+
+
+def pdf_escape(line: str) -> str:
+    """Escape a text line for embedding in a PDF literal string."""
+    return line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def serialize(obj) -> bytes:
+    if isinstance(obj, Raw):
+        return str(obj).encode("latin1")
+    if obj is None:
+        return b"null"
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if isinstance(obj, int):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        s = f"{obj:.4f}".rstrip("0").rstrip(".")
+        return s.encode()
+    if isinstance(obj, str):  # treat bare str as a literal string object
+        return b"(" + pdf_escape(obj).encode("latin1", "replace") + b")"
+    if isinstance(obj, bytes):
+        return b"(" + obj + b")"
+    if isinstance(obj, list):
+        return b"[" + b" ".join(serialize(x) for x in obj) + b"]"
+    if isinstance(obj, dict):
+        parts = [b"<<"]
+        for k, v in obj.items():
+            parts.append(f"/{k}".encode() + b" " + serialize(v))
+        parts.append(b">>")
+        return b" ".join(parts)
+    raise TypeError(f"cannot serialize {type(obj)}")
+
+
+@dataclass
+class StreamObj:
+    d: dict
+    data: bytes
+    compress: bool = True
+
+    def body(self) -> bytes:
+        payload = zlib.compress(self.data, 6) if self.compress else self.data
+        d = dict(self.d)
+        d["Length"] = len(payload)
+        if self.compress:
+            d["Filter"] = Raw("/FlateDecode")
+        return serialize(d) + b"\nstream\n" + payload + b"\nendstream"
+
+
+@dataclass
+class FontSpec:
+    """Synthetic font resource description."""
+
+    tounicode: str | None = None  # CMap string; None → no /ToUnicode
+    encoding: str | None = "WinAnsiEncoding"
+    first_char: int = 32
+    widths: list[int] = field(default_factory=list)
+    base_font: str = "Helvetica"
+
+    def font_dict(self, tounicode_ref: Raw | None) -> dict:
+        d: dict = {
+            "Type": Raw("/Font"),
+            "Subtype": Raw("/Type1"),
+            "BaseFont": Raw(f"/{self.base_font}"),
+        }
+        if self.encoding:
+            d["Encoding"] = Raw(f"/{self.encoding}")
+        if self.widths:
+            d["FirstChar"] = self.first_char
+            d["LastChar"] = self.first_char + len(self.widths) - 1
+            d["Widths"] = list(self.widths)
+        if tounicode_ref is not None:
+            d["ToUnicode"] = tounicode_ref
+        return d
+
+
+def build_pdf(
+    page_contents: list[list[bytes]],
+    fonts: dict[str, FontSpec] | None = None,
+    variant: str = "classic",
+    compress: bool = True,
+    use_objstm: bool = False,
+) -> bytes:
+    """Assemble a PDF.
+
+    page_contents: one entry per page; each entry is a list of content
+    stream byte strings (len>1 → /Contents array).
+    variant: 'classic' (xref table) or 'xrefstream'.
+    use_objstm: pack non-stream objects into an /ObjStm (requires
+    variant='xrefstream').
+    """
+    fonts = fonts or {"F1": FontSpec()}
+    objects: dict[int, object] = {}
+    next_num = 1
+
+    def alloc() -> int:
+        nonlocal next_num
+        n = next_num
+        next_num += 1
+        return n
+
+    catalog_num = alloc()
+    pages_num = alloc()
+
+    font_refs: dict[str, Raw] = {}
+    for name, spec in fonts.items():
+        tu_ref = None
+        if spec.tounicode is not None:
+            tu_num = alloc()
+            objects[tu_num] = StreamObj(
+                {}, spec.tounicode.encode("latin1"), compress=compress
+            )
+            tu_ref = Raw(f"{tu_num} 0 R")
+        fd_num = alloc()
+        objects[fd_num] = spec.font_dict(tu_ref)
+        font_refs[name] = Raw(f"{fd_num} 0 R")
+
+    resources = {"Font": {name: ref for name, ref in font_refs.items()}}
+
+    page_nums = []
+    for streams in page_contents:
+        content_refs = []
+        for data in streams:
+            cn = alloc()
+            objects[cn] = StreamObj({}, data, compress=compress)
+            content_refs.append(Raw(f"{cn} 0 R"))
+        pn = alloc()
+        objects[pn] = {
+            "Type": Raw("/Page"),
+            "Parent": Raw(f"{pages_num} 0 R"),
+            "MediaBox": [0, 0, 612, 792],
+            "Resources": resources,
+            "Contents": content_refs[0] if len(content_refs) == 1 else content_refs,
+        }
+        page_nums.append(pn)
+
+    objects[pages_num] = {
+        "Type": Raw("/Pages"),
+        "Kids": [Raw(f"{n} 0 R") for n in page_nums],
+        "Count": len(page_nums),
+    }
+    objects[catalog_num] = {"Type": Raw("/Catalog"), "Pages": Raw(f"{pages_num} 0 R")}
+
+    if variant == "classic":
+        return _emit_classic(objects, catalog_num)
+    if variant == "xrefstream":
+        return _emit_xrefstream(objects, catalog_num, use_objstm=use_objstm)
+    raise ValueError(f"unknown variant {variant}")
+
+
+def _obj_bytes(num: int, obj) -> bytes:
+    body = obj.body() if isinstance(obj, StreamObj) else serialize(obj)
+    return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _emit_classic(objects: dict[int, object], root: int) -> bytes:
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += _obj_bytes(num, objects[num])
+    xref_pos = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        off = offsets.get(num, 0)
+        out += f"{off:010d} 00000 n \n".encode()
+    trailer = {"Size": size, "Root": Raw(f"{root} 0 R")}
+    out += b"trailer\n" + serialize(trailer)
+    out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def _emit_xrefstream(
+    objects: dict[int, object], root: int, use_objstm: bool = False
+) -> bytes:
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    entries: dict[int, tuple] = {}  # num -> (type, f2, f3)
+
+    objstm_members = []
+    if use_objstm:
+        objstm_members = [
+            n for n, o in sorted(objects.items()) if not isinstance(o, StreamObj)
+        ]
+    direct = [n for n in sorted(objects) if n not in set(objstm_members)]
+
+    for num in direct:
+        entries[num] = ("file", len(out), 0)
+        out += _obj_bytes(num, objects[num])
+
+    objstm_num = None
+    if objstm_members:
+        objstm_num = max(objects) + 1
+        header_parts = []
+        body = bytearray()
+        for num in objstm_members:
+            header_parts.append(f"{num} {len(body)}")
+            body += serialize(objects[num]) + b"\n"
+        header = (" ".join(header_parts) + "\n").encode()
+        stm = StreamObj(
+            {
+                "Type": Raw("/ObjStm"),
+                "N": len(objstm_members),
+                "First": len(header),
+            },
+            header + bytes(body),
+            compress=True,
+        )
+        entries[objstm_num] = ("file", len(out), 0)
+        out += _obj_bytes(objstm_num, stm)
+        for idx, num in enumerate(objstm_members):
+            entries[num] = ("objstm", objstm_num, idx)
+
+    xref_num = (objstm_num or max(objects)) + 1
+    xref_pos = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    # entry 0: free
+    rows += (0).to_bytes(1, "big") + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+    for num in range(1, size):
+        if num == xref_num:
+            kind = ("file", xref_pos, 0)
+        else:
+            kind = entries.get(num)
+        if kind is None:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif kind[0] == "file":
+            rows += b"\x01" + int(kind[1]).to_bytes(4, "big") + int(kind[2]).to_bytes(2, "big")
+        else:
+            rows += b"\x02" + int(kind[1]).to_bytes(4, "big") + int(kind[2]).to_bytes(2, "big")
+    xref_stream = StreamObj(
+        {
+            "Type": Raw("/XRef"),
+            "Size": size,
+            "W": [1, 4, 2],
+            "Index": [0, size],
+            "Root": Raw(f"{root} 0 R"),
+        },
+        bytes(rows),
+        compress=True,
+    )
+    out += _obj_bytes(xref_num, xref_stream)
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+# --------------------------------------------------------------- corpus API
+
+
+def make_text_pdf(
+    pages_of_lines: list[list[str]],
+    font: FontSpec | None = None,
+    font_size: int = 12,
+    variant: str = "classic",
+    compress: bool = True,
+    use_objstm: bool = False,
+    contents_array: bool = False,
+    two_column: bool = False,
+) -> bytes:
+    """One Tj per line, top-down from y=720, leading 14pt.
+
+    two_column: lay half the lines at x=72 and half at x=320 but emit the
+    right column FIRST in the content stream — pins content-stream-order
+    (not reading-order) extraction, SURVEY.md §7.3.5.
+    """
+    fonts = {"F1": font or FontSpec()}
+    page_contents = []
+    for lines in pages_of_lines:
+        ops = [f"BT\n/F1 {font_size} Tf".encode("latin1")]
+        if two_column:
+            half = (len(lines) + 1) // 2
+            cols = [(320, lines[half:]), (72, lines[:half])]
+        else:
+            cols = [(72, lines)]
+        for x, col_lines in cols:
+            y = 720
+            for line in col_lines:
+                esc = pdf_escape(line).encode("latin1", "replace")
+                ops.append(f"1 0 0 1 {x} {y} Tm".encode() + b"\n(" + esc + b") Tj")
+                y -= 14
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if contents_array:
+            # each part ends with EOL so raw concatenation (the reference's
+            # b''.join of /Contents array parts, api.py:78-80) stays token-safe
+            mid = len(ops) // 2
+            page_contents.append(
+                [b"\n".join(ops[:mid]) + b"\n", b"\n".join(ops[mid:])]
+            )
+        else:
+            page_contents.append([content])
+    return build_pdf(
+        page_contents,
+        fonts=fonts,
+        variant=variant,
+        compress=compress,
+        use_objstm=use_objstm,
+    )
+
+
+def text_to_pdf(
+    text: str,
+    lines_per_page: int = 48,
+    variant: str = "classic",
+    compress: bool = True,
+    use_objstm: bool = False,
+) -> bytes:
+    """Corpus transform: source text → deterministic PDF, one Tj per line."""
+    lines = text.split("\n")
+    pages = [
+        lines[i : i + lines_per_page] for i in range(0, len(lines), lines_per_page)
+    ] or [[""]]
+    return make_text_pdf(
+        pages, variant=variant, compress=compress, use_objstm=use_objstm
+    )
+
+
+def expected_text_from_source(text: str) -> str:
+    """The text the kernel must extract from ``text_to_pdf(text)``.
+
+    Byte-for-byte the reference pipeline's output on the same PDF: each
+    line is latin1-encoded with '?' replacement, decoded through the
+    synthesized WinAnsi CMap (printable ASCII maps to itself, everything
+    else to '?'), stripped, and dropped if empty. SQL-expressible (used
+    as the DuckDB oracle for the flagship query):
+
+        regexp_replace(line, '[^ -~]', '?', 'g') → trim → skip '' → join
+    """
+    out = []
+    for line in text.split("\n"):
+        decoded = "".join(ch if " " <= ch <= "~" else "?" for ch in line)
+        stripped = decoded.strip()
+        if stripped:
+            out.append(stripped)
+    return "\n".join(out)

@@ -1,0 +1,77 @@
+"""Golden tests for HTML boilerplate stripping (north-rule requirement)."""
+
+from pdf_parser_spark.htmlcore import (
+    expected_text_from_html_source,
+    extract_html,
+    text_to_html,
+)
+from pdf_parser_spark.htmlcore.extract import html_blocks
+
+
+def test_corpus_roundtrip_identity():
+    src = 'Line one & <angle> "quotes"\nsecond   spaced\n\n  padded  '
+    assert extract_html(text_to_html(src)) == expected_text_from_html_source(src)
+
+
+def test_semantic_main_wins_over_boilerplate():
+    html = text_to_html("the actual content line")
+    out = extract_html(html)
+    assert out == "the actual content line"
+    assert "Home" not in out
+    assert "Copyright" not in out
+    assert "Buy one get one free" not in out
+
+
+def test_density_fallback_without_article():
+    html = """
+    <html><body>
+    <nav><a href="/">Home</a> <a href="/x">Other page link</a></nav>
+    <div>This paragraph is long enough to be recognized as genuine body content.</div>
+    <div>short</div>
+    <div><a href="/spam">A link-heavy block that should fail the link density test entirely</a></div>
+    <footer>Copyright notice text that lives in a boilerplate container element.</footer>
+    </body></html>
+    """
+    out = extract_html(html)
+    assert out == (
+        "This paragraph is long enough to be recognized as genuine body content."
+    )
+
+
+def test_script_and_style_content_excluded():
+    html = (
+        "<html><body><article><p>keep me in the output stream</p>"
+        "<script>var x = 'drop me';</script>"
+        "<style>.c { color: red }</style></article></body></html>"
+    )
+    assert extract_html(html) == "keep me in the output stream"
+
+
+def test_entities_unescaped():
+    html = "<html><body><article><p>&lt;b&gt; &amp; &quot;q&quot; &#39;s&#39;</p></article></body></html>"
+    assert extract_html(html) == "<b> & \"q\" 's'"
+
+
+def test_comments_and_cdata_ignored():
+    html = "<article><p>a</p><!-- <p>ghost</p> --><p>b</p></article>"
+    assert extract_html(html) == "a\nb"
+
+
+def test_block_features():
+    html = '<div>text with <a href="x">a link</a> inside</div>'
+    blocks = html_blocks(html)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.text == "text with a link inside"
+    assert b.link_chars == len("a link")
+    assert 0 < b.link_density < 0.5
+
+
+def test_nested_main_depth_tracking():
+    html = "<main><div><p>inner</p></div></main><p>outer paragraph that is long enough</p>"
+    assert extract_html(html) == "inner"
+
+
+def test_br_is_a_block_boundary():
+    html = "<article>first part<br>second part</article>"
+    assert extract_html(html) == "first part\nsecond part"

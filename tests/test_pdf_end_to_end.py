@@ -1,0 +1,179 @@
+"""End-to-end golden tests: synthetic PDFs through the full kernel
+(lexer → xref → filters → page tree → tokenizer → cmap), covering the
+north-star axes: embedded-font ToUnicode (bfchar/bfrange), CID-code
+skip, multi-column layout, /Contents arrays, object streams, xref
+streams, FlateDecode."""
+
+import pytest
+
+from pdf_parser_spark.pdfcore import extract_pdf
+from pdf_parser_spark.pdfgen import (
+    FontSpec,
+    build_pdf,
+    expected_text_from_source,
+    make_text_pdf,
+    text_to_pdf,
+)
+
+VARIANTS = [
+    ("classic", True, False),
+    ("classic", False, False),
+    ("xrefstream", True, False),
+    ("xrefstream", True, True),
+]
+
+
+@pytest.mark.parametrize("variant,compress,objstm", VARIANTS)
+def test_roundtrip_all_storage_variants(variant, compress, objstm):
+    src = "Hello World\nsecond line\n\n  trimmed  \nnon-ascii: café\n(x) \\y\\"
+    pdf = text_to_pdf(src, variant=variant, compress=compress, use_objstm=objstm)
+    r = extract_pdf(pdf)
+    assert r.error is None
+    assert r.text == expected_text_from_source(src)
+
+
+def test_multipage_and_instance_index():
+    src = "\n".join(["repeat me"] * 3 + ["unique"])
+    pdf = text_to_pdf(src, lines_per_page=2)
+    r = extract_pdf(pdf)
+    assert r.n_pages == 2
+    assert r.text == expected_text_from_source(src)
+    # instance_index: running count per distinct text across the doc
+    # (reference api.py:136-149 semantics)
+    idx = [(t, i) for (_, _, t, _, i) in r.items]
+    assert idx == [("repeat me", 0), ("repeat me", 1), ("repeat me", 2), ("unique", 0)]
+
+
+def test_contents_array_concatenation():
+    pdf = make_text_pdf([["one", "two", "three", "four"]], contents_array=True)
+    r = extract_pdf(pdf)
+    assert r.text == "one\ntwo\nthree\nfour"
+
+
+def test_two_column_stream_order_not_reading_order():
+    lines = [f"L{i}" for i in range(6)]
+    pdf = make_text_pdf([lines], two_column=True)
+    r = extract_pdf(pdf)
+    # right column (second half) is emitted first in the content stream
+    assert r.text.split("\n") == ["L3", "L4", "L5", "L0", "L1", "L2"]
+
+
+BFCHAR_CMAP = """/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+3 beginbfchar
+<41> <0048>
+<42> <0069>
+<43> <0021>
+endbfchar
+endcmap
+end
+"""
+
+
+def test_embedded_tounicode_bfchar():
+    font = FontSpec(tounicode=BFCHAR_CMAP)
+    pdf = make_text_pdf([["ABC"]], font=font)
+    r = extract_pdf(pdf)
+    assert r.text == "Hi!"
+
+
+BFRANGE_CMAP = """begincmap
+2 beginbfrange
+<61> <7A> <0041>
+<30> <39> <FF10>
+endbfrange
+endcmap
+"""
+
+
+def test_embedded_tounicode_bfrange():
+    font = FontSpec(tounicode=BFRANGE_CMAP)
+    pdf = make_text_pdf([["abc 09"]], font=font)
+    r = extract_pdf(pdf)
+    # a-z → A-Z, digits → fullwidth digits, space unmapped → '?'
+    assert r.text == "ABC?０９"
+
+
+CID_CMAP = """begincmap
+2 beginbfchar
+<0041> <4E2D>
+<41> <0058>
+endbfchar
+1 beginbfrange
+<0100> <0105> <0041>
+endbfrange
+endcmap
+"""
+
+
+def test_cid_keyed_codes_are_skipped():
+    # >0xFF source codes silently dropped (reference cmap.py:24-26,35-37):
+    # only the single-byte <41> entry survives
+    font = FontSpec(tounicode=CID_CMAP)
+    pdf = make_text_pdf([["AB"]], font=font)
+    r = extract_pdf(pdf)
+    assert r.text == "X?"
+
+
+def test_font_without_tounicode_synthesizes_winansi():
+    font = FontSpec(tounicode=None, encoding="WinAnsiEncoding")
+    pdf = make_text_pdf([["plain ascii text!"]], font=font)
+    r = extract_pdf(pdf)
+    assert r.text == "plain ascii text!"
+
+
+def test_not_a_pdf_reports_error():
+    r = extract_pdf(b"<html><body>nope</body></html>")
+    assert r.error is not None
+    assert r.text == ""
+    assert r.n_items == 0
+
+
+def test_truncated_pdf_reports_error_not_raise():
+    good = text_to_pdf("hello world")
+    r = extract_pdf(good[: len(good) // 2])
+    assert r.error is not None
+
+
+def test_spans_geometry_matches_layout():
+    pdf = make_text_pdf([["first", "second"]], font_size=10)
+    r = extract_pdf(pdf)
+    assert [(s.text, s.x, s.y, s.size) for s in r.spans] == [
+        ("first", 72.0, 720.0, 10.0),
+        ("second", 72.0, 706.0, 10.0),
+    ]
+    assert all(p == 0 for p in r.span_pages)
+
+
+def test_inherited_resources_from_pages_node():
+    # fonts declared on the /Pages parent must be inherited by the page
+    # (ISO 32000 §7.7.3.4; reference parent-walk pdf_gui.py:1515-1521)
+    from pdf_parser_spark.pdfgen.writer import Raw, StreamObj, _emit_classic
+
+    content = b"BT /F1 12 Tf (inherited) Tj ET"
+    objects = {
+        1: {"Type": Raw("/Catalog"), "Pages": Raw("2 0 R")},
+        2: {
+            "Type": Raw("/Pages"),
+            "Kids": [Raw("3 0 R")],
+            "Count": 1,
+            "Resources": {
+                "Font": {
+                    "F1": {
+                        "Type": Raw("/Font"),
+                        "Subtype": Raw("/Type1"),
+                        "BaseFont": Raw("/Helvetica"),
+                        "Encoding": Raw("/WinAnsiEncoding"),
+                    }
+                }
+            },
+        },
+        3: {"Type": Raw("/Page"), "Parent": Raw("2 0 R"), "Contents": Raw("4 0 R")},
+        4: StreamObj({}, content, compress=False),
+    }
+    pdf = _emit_classic(objects, root=1)
+    r = extract_pdf(pdf)
+    assert r.text == "inherited"

@@ -1,0 +1,149 @@
+"""Golden tests for the content-stream text pass — pins the reference's
+tokenizer quirks (/root/reference/pdf_parser/api.py:90-128)."""
+
+from pdf_parser_spark.pdfcore.cmap import parse_cmap, synthesize_tounicode_cmap
+from pdf_parser_spark.pdfcore.tokenizer import (
+    extract_spans,
+    extract_text_items,
+    flatten_tj_array,
+    normalize_escapes,
+)
+
+WINANSI = parse_cmap(synthesize_tounicode_cmap())
+CMAPS = {"/F1": WINANSI, "/F2": WINANSI}
+
+
+def texts(content: bytes, cmaps=CMAPS):
+    return [t for _, t, _ in extract_text_items(content, cmaps)]
+
+
+def test_simple_tj():
+    assert texts(b"BT /F1 12 Tf (Hello) Tj ET") == ["Hello"]
+
+
+def test_text_before_any_font_is_dropped():
+    # api.py:104: current_font must be in font_cmaps
+    assert texts(b"BT (orphan) Tj /F1 12 Tf (kept) Tj ET") == ["kept"]
+
+
+def test_unknown_font_drops_text():
+    assert texts(b"BT /F9 12 Tf (lost) Tj ET") == []
+
+
+def test_fractional_font_size_does_not_switch_font():
+    # quirk: the font regex is /Name \d+ Tf — api.py:91,95; '12.5 Tf'
+    # never matches, so the previous font stays current
+    out = extract_text_items(
+        b"BT /F1 12 Tf (a) Tj /F2 12.5 Tf (b) Tj ET", CMAPS
+    )
+    assert [(f, t) for f, t, _ in out] == [("/F1", "a"), ("/F1", "b")]
+
+
+def test_tj_array_with_literal_strings_is_invisible():
+    # quirk: the reference's array branch char class excludes unescaped
+    # parens (api.py:95: [^][\\()]), so a TJ array containing literal
+    # (..) strings never matches AT ALL — the text is silently dropped.
+    # Verified against the reference regex directly.
+    assert texts(b"BT /F1 12 Tf [(Hel) -20 (lo)] TJ ET") == []
+
+
+def test_tj_array_with_escaped_parens_survives():
+    # escaped parens are allowed by the class via \\. — the flatten then
+    # keeps the raw text (no token starts '(' ends ')'), and escape
+    # normalization turns \( \) back into parens (api.py:109-122)
+    assert texts(rb"BT /F1 12 Tf [\(esc\) -9] TJ ET") == ["(esc) -9"]
+
+
+def test_tj_array_hex_strings_decode_as_literal_chars():
+    # hex strings pass the array class but fail the '('..')' token test,
+    # so the raw '<41>' text itself is decoded char-by-char
+    assert texts(b"BT /F1 12 Tf [<41> -5] TJ ET") == ["<41> -5"]
+
+
+def test_tj_array_lossy_space_quirk():
+    # quirk: '(a b)' splits into '(a' and 'b)' — neither both starts '('
+    # AND ends ')', so the space-bearing segment is garbled exactly like
+    # the reference (api.py:112-114)
+    assert flatten_tj_array("(a b) -5 (c)") == "c"
+
+
+def test_tj_array_empty_flatten_keeps_raw():
+    # quirk: when no token survives, the ORIGINAL array text is decoded
+    # (api.py:115-116 only replaces when processed is non-empty)
+    assert flatten_tj_array("-250") == "-250"
+    # '-250' then decodes through the cmap as literal chars
+    assert texts(b"BT /F1 12 Tf [-250] TJ ET") == ["-250"]
+
+
+def test_escape_order():
+    # api.py:121: \( → ( , \) → ) , then \\ → \
+    assert normalize_escapes(r"a\(b\)c\\d") == rb"a(b)c\d"
+
+
+def test_tj_vs_TJ_detection_is_case_based():
+    # api.py:105: .endswith('TJ') decides array handling
+    assert texts(b"BT /F1 12 Tf (x y) Tj ET") == ["x y"]  # Tj: no flatten
+
+
+def test_strip_and_empty_filter():
+    # api.py:127-128
+    assert texts(b"BT /F1 12 Tf (   ) Tj (  pad  ) Tj ET") == ["pad"]
+
+
+def test_unmapped_bytes_decode_to_question():
+    assert texts(b"BT /F1 12 Tf (caf\xe9) Tj ET") == ["caf?"]
+
+
+def test_content_stream_order_preserved():
+    # multi-column: emission order is stream order, not reading order
+    # (SURVEY.md §7.3.5; api.py:94-128 walks linearly)
+    c = b"BT /F1 12 Tf (right col) Tj (left col) Tj ET"
+    assert texts(c) == ["right col", "left col"]
+
+
+# ---------------------------------------------------------------- span pass
+
+
+def test_spans_track_tm_td_and_size():
+    c = (
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (abc) Tj "
+        b"0 -14 Td (def) Tj ET"
+    )
+    spans = extract_spans(c, CMAPS)
+    assert [(s.text, s.x, s.y, s.size) for s in spans] == [
+        ("abc", 100.0, 700.0, 10.0),
+        ("def", 100.0, 686.0, 10.0),
+    ]
+
+
+def test_spans_fractional_size_tracked():
+    # the span pass is a real interpreter — fractional Tf sizes work here
+    # (unlike the reference text pass; this is the T13 upgrade, SURVEY §2.2)
+    spans = extract_spans(b"BT /F1 9.5 Tf (x) Tj ET", CMAPS)
+    assert spans[0].size == 9.5
+
+
+def test_spans_char_advances_from_widths():
+    from pdf_parser_spark.pdfcore.tokenizer import FontMetrics
+
+    fm = {"/F1": FontMetrics(first_char=97, widths=[500, 600])}  # a, b
+    spans = extract_spans(b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (ab) Tj (c) Tj ET", CMAPS, fm)
+    # a: 5.0 wide, b: 6.0 wide, c: default 500 → 5.0
+    assert spans[0].char_xs == [0.0, 5.0]
+    assert spans[0].width == 11.0
+    assert spans[1].x == 11.0
+
+
+def test_spans_tj_kerning_moves_cursor():
+    spans = extract_spans(
+        b"BT /F1 10 Tf 1 0 0 1 0 0 Tm [(a) -100 (b)] TJ ET", CMAPS
+    )
+    # a advances 5.0 (default 500), kern -100 → +1.0, b at 6.0
+    assert spans[0].char_xs == [0.0, 6.0]
+
+
+def test_spans_t_star_uses_leading():
+    spans = extract_spans(
+        b"BT /F1 10 Tf 14 TL 1 0 0 1 50 100 Tm (a) Tj T* (b) Tj ET", CMAPS
+    )
+    assert [(s.x, s.y) for s in spans] == [(50.0, 100.0), (50.0, 86.0)]
