@@ -1,0 +1,120 @@
+"""Deterministic synthetic web corpus (input_hint table shape).
+
+Builds the ``webdocs(url STRING, warc_ts TIMESTAMP, html BINARY,
+text STRING, lang STRING)`` table the north rule mandates, from the
+driver's ``documents`` parquet — distributed (mapInPandas), seedless-
+deterministic (everything derives from doc_id), and skewed on purpose:
+
+- payload type alternates by doc_id parity: even → PDF bytes
+  (pdfgen.text_to_pdf, xref variant cycles by doc_id % 3), odd → HTML
+  page with boilerplate (htmlcore.gen.text_to_html);
+- 40% of documents land on one hot host (``heavy.example.org``) so the
+  host-salting path has real skew to handle; the rest spread over 97
+  hosts.
+
+``expected_extracted`` (and its SQL twin EXPECTED_SQL_EXPR) gives the
+byte-exact text the extraction engine must produce per url — the
+DuckDB oracle for the flagship query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..htmlcore.gen import expected_text_from_html_source, text_to_html
+from ..pdfgen.writer import expected_text_from_source, text_to_pdf
+
+WEBDOCS_SCHEMA = (
+    "doc_id BIGINT, url STRING, host STRING, warc_ts TIMESTAMP, "
+    "html BINARY, text STRING, lang STRING"
+)
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+_PDF_VARIANTS = [("classic", False), ("xrefstream", False), ("xrefstream", True)]
+HOT_HOST = "heavy.example.org"
+
+
+def host_for(doc_id: int) -> str:
+    return HOT_HOST if doc_id % 10 < 4 else f"site-{doc_id % 97}.example.com"
+
+
+def payload_for(doc_id: int, text: str, lang: str) -> bytes:
+    if doc_id % 2 == 0:
+        variant, objstm = _PDF_VARIANTS[(doc_id // 2) % 3]
+        return text_to_pdf(text, variant=variant, use_objstm=objstm)
+    return text_to_html(text, lang=lang, doc_id=doc_id).encode("utf-8")
+
+
+def expected_extracted(doc_id: int, text: str) -> str:
+    """Ground-truth extracted text per document (matches EXPECTED_SQL_EXPR)."""
+    if doc_id % 2 == 0:
+        return expected_text_from_source(text)
+    return expected_text_from_html_source(text)
+
+
+# DuckDB-SQL twin of expected_extracted over a (doc_id, text) relation.
+EXPECTED_SQL_EXPR = r"""
+CASE WHEN doc_id % 2 = 0 THEN
+  array_to_string(list_filter(list_transform(
+    string_split(text, chr(10)),
+    x -> trim(regexp_replace(x, '[^ -~]', '?', 'g'))), x -> x <> ''), chr(10))
+ELSE
+  array_to_string(list_filter(list_transform(
+    string_split(text, chr(10)),
+    x -> trim(regexp_replace(x, '[ \t\r\f\v]+', ' ', 'g'))), x -> x <> ''), chr(10))
+END
+""".strip()
+
+
+def synthesize_webdocs(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """documents.parquet → webdocs DataFrame (distributed synthesis).
+
+    replicate > 1 clones each source doc with distinct urls/doc_ids —
+    used by the bench to scale the corpus without new inputs. Synthesis
+    runs inside mapInPandas so it parallelizes like the real ingest.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n_rep = max(1, int(replicate))
+    if n_rep > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1)))
+        )
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = (pdf["doc_id"] * n_rep + pdf["rep"]).astype("int64")
+            texts = pdf["text"].fillna("")
+            langs = pdf["lang"].fillna("en")
+            hosts = [host_for(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [
+                        f"https://{h}/doc/{int(i)}" for h, i in zip(hosts, ids)
+                    ],
+                    "host": hosts,
+                    "warc_ts": [
+                        _EPOCH + timedelta(seconds=int(i) % 86400) for i in ids
+                    ],
+                    "html": [
+                        payload_for(int(i), t, l)
+                        for i, t, l in zip(ids, texts, langs)
+                    ],
+                    "text": texts.values,
+                    "lang": langs.values,
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=WEBDOCS_SCHEMA)

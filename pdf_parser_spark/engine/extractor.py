@@ -1,0 +1,181 @@
+"""Arrow-batched extraction UDF and the end-to-end pipeline.
+
+``extract_batch`` is the engine's single UDTF-style extractor
+(SURVEY.md §2.9): Arrow record batches of (url, html, host) in, parsed
+rows out. Payload dispatch sniffs ``%PDF-`` magic vs markup
+(SURVEY.md §2.10). One parse produces BOTH the extracted text and the
+span records (spans travel as an array<struct> column so the expensive
+kernel work happens exactly once; downstream views prune or explode).
+
+Per-partition lineage (north rule): every row carries the Spark
+partition id; the ``audit`` view aggregates docs/sec, byte volume and
+parse-failure counts per partition without a second pass over payloads.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..htmlcore.extract import extract_html
+from ..pdfcore.extract import extract_pdf
+from .partitioning import salted_repartition
+
+SPAN_STRUCT = (
+    "page_no INT, seq INT, text STRING, x DOUBLE, y DOUBLE, "
+    "font STRING, size DOUBLE, width DOUBLE"
+)
+PARSED_SCHEMA = (
+    "url STRING, kind STRING, text STRING, n_pages INT, n_items INT, "
+    f"n_spans INT, error STRING, parse_ms DOUBLE, payload_bytes BIGINT, "
+    f"partition_id INT, spans ARRAY<STRUCT<{SPAN_STRUCT}>>"
+)
+
+
+def _sniff(payload: bytes) -> str:
+    head = payload[:1024]
+    if head.lstrip()[:5] == b"%PDF-" or b"%PDF-" in head:
+        return "pdf"
+    return "html"
+
+
+def _extract_one(url: str, payload) -> dict:
+    t0 = time.perf_counter()
+    if payload is None:
+        payload = b""
+    payload = bytes(payload)
+    kind = _sniff(payload)
+    text = ""
+    n_pages = n_items = n_spans = 0
+    error = None
+    spans: list[dict] = []
+    if kind == "pdf":
+        r = extract_pdf(payload)
+        text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
+        spans = [
+            {
+                "page_no": int(pg),
+                "seq": int(s.seq),
+                "text": s.text,
+                "x": float(s.x),
+                "y": float(s.y),
+                "font": s.font,
+                "size": float(s.size),
+                "width": float(s.width),
+            }
+            for s, pg in zip(r.spans, r.span_pages)
+        ]
+        n_spans = len(spans)
+    else:
+        try:
+            text = extract_html(payload.decode("utf-8", errors="replace"))
+            n_items = text.count("\n") + 1 if text else 0
+        except Exception as exc:  # html path must never kill a batch
+            error = f"{type(exc).__name__}: {exc}"
+    return {
+        "url": url,
+        "kind": kind,
+        "text": text,
+        "n_pages": n_pages,
+        "n_items": n_items,
+        "n_spans": n_spans,
+        "error": error,
+        "parse_ms": (time.perf_counter() - t0) * 1000.0,
+        "payload_bytes": len(payload),
+        "spans": spans,
+    }
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html[, ...]) batches → PARSED_SCHEMA batches."""
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        rows = [
+            _extract_one(u, p) for u, p in zip(pdf["url"], pdf["html"])
+        ]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "url", "kind", "text", "n_pages", "n_items", "n_spans",
+                "error", "parse_ms", "payload_bytes", "spans",
+            ],
+        )
+        out.insert(9, "partition_id", pid)
+        yield out
+
+
+def parse_webdocs(
+    webdocs: DataFrame,
+    num_partitions: int | None = None,
+    salt: bool = True,
+) -> DataFrame:
+    """webdocs → parsed DataFrame (the single materialization point).
+
+    Column-prunes to (url, host, html) before the shuffle so only the
+    payload bytes move; salting spreads hot hosts (north rule).
+    """
+    spark = webdocs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = ["url", "html"] + (["host"] if "host" in webdocs.columns else [])
+    slim = webdocs.select(*cols)
+    if salt and "host" in slim.columns:
+        slim = salted_repartition(slim, num_partitions)
+    else:
+        slim = slim.repartition(num_partitions, F.col("url"))
+    return slim.mapInPandas(extract_batch, schema=PARSED_SCHEMA)
+
+
+def extracted_view(parsed: DataFrame) -> DataFrame:
+    """extracted(url, text, ...) — prunes the spans array away."""
+    return parsed.select(
+        "url", "kind", "text", "n_pages", "n_items", "error"
+    )
+
+
+def spans_view(parsed: DataFrame) -> DataFrame:
+    """spans(url, page_no, seq, text, x, y, font, size, width) exploded."""
+    return parsed.select(
+        "url", F.explode("spans").alias("s")
+    ).select("url", "s.*")
+
+
+def audit_view(parsed: DataFrame) -> DataFrame:
+    """Per-partition lineage + metrics (north rule): docs, failures,
+    bytes, wall parse time, docs/sec."""
+    return parsed.groupBy("partition_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failures"),
+        F.sum("payload_bytes").alias("bytes_in"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("parse_ms").alias("parse_ms_total"),
+        (F.count("*") / (F.sum("parse_ms") / 1000.0)).alias("docs_per_sec"),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    webdocs: DataFrame,
+    output_dir: str | None = None,
+    salt: bool = True,
+) -> dict[str, DataFrame]:
+    """Full pipeline. With output_dir, materializes parsed→parquet once
+    and derives the three views from the written table (single parse,
+    columnar pruning on re-read); without, derives views lazily."""
+    parsed = parse_webdocs(webdocs, salt=salt)
+    if output_dir:
+        parsed.write.mode("overwrite").parquet(f"{output_dir}/parsed")
+        parsed = spark.read.parquet(f"{output_dir}/parsed")
+    return {
+        "parsed": parsed,
+        "extracted": extracted_view(parsed),
+        "spans": spans_view(parsed),
+        "audit": audit_view(parsed),
+    }

@@ -1,0 +1,121 @@
+"""End-to-end Spark pipeline tests on the sf0.001 synthetic corpus:
+corpus synthesis → salted repartition → mapInPandas extraction →
+extracted/spans/audit views → snapshot resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.engine.corpus import (
+    HOT_HOST,
+    expected_extracted,
+    synthesize_webdocs,
+)
+from pdf_parser_spark.engine.extractor import (
+    audit_view,
+    extracted_view,
+    parse_webdocs,
+    spans_view,
+)
+from pdf_parser_spark.engine.partitioning import compute_salt_map
+from pdf_parser_spark.engine.resume import resumable_extract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def webdocs(spark):
+    return synthesize_webdocs(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, webdocs):
+    return parse_webdocs(webdocs, num_partitions=8).cache()
+
+
+def test_corpus_shape(webdocs):
+    rows = webdocs.select("doc_id", "url", "host", "lang").collect()
+    assert len(rows) == 500
+    assert len({r.url for r in rows}) == 500
+    hot = sum(1 for r in rows if r.host == HOT_HOST)
+    assert hot == pytest.approx(200, abs=5)  # 40% skew by construction
+
+
+def test_extraction_byte_identical_per_url(spark, webdocs, parsed):
+    # the core north-rule invariant: extracted text matches the oracle
+    # transform byte-for-byte for every document, PDF and HTML alike
+    truth = {
+        r.doc_id: expected_extracted(r.doc_id, r.text or "")
+        for r in webdocs.select("doc_id", "text").collect()
+    }
+    got = {
+        int(r.url.rsplit("/", 1)[1]): r.text
+        for r in extracted_view(parsed).select("url", "text").collect()
+    }
+    assert len(got) == len(truth)
+    mismatches = [k for k in truth if got[k] != truth[k]]
+    assert mismatches == []
+
+
+def test_no_parse_failures_on_clean_corpus(parsed):
+    assert parsed.filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_both_payload_kinds_present(parsed):
+    kinds = dict(
+        parsed.groupBy("kind").count().rdd.map(lambda r: (r["kind"], r["count"])).collect()
+    )
+    assert kinds == {"pdf": 250, "html": 250}
+
+
+def test_spans_view_has_geometry_for_pdfs(parsed):
+    sp = spans_view(parsed)
+    row = sp.filter((F.col("size") > 0) & (F.col("x") > 0)).first()
+    assert row is not None
+    assert row.font == "/F1"
+    n_urls = sp.select("url").distinct().count()
+    assert n_urls == 250  # every PDF produced spans; html produces none
+
+
+def test_audit_covers_all_partitions_and_docs(parsed):
+    audit = audit_view(parsed).collect()
+    assert sum(r.n_docs for r in audit) == 500
+    assert sum(r.n_failures for r in audit) == 0
+    assert all(r.docs_per_sec > 0 for r in audit)
+    assert len(audit) <= 8
+
+
+def test_salt_map_splits_hot_host(webdocs):
+    salt_map = compute_salt_map(webdocs, target_docs_per_bucket=25)
+    assert salt_map[HOT_HOST] >= 4  # ~200 docs / 25 per bucket
+    cold = [v for h, v in salt_map.items() if h != HOT_HOST]
+    assert max(cold) <= 2
+
+
+def test_hot_host_spread_across_partitions(parsed, webdocs, spark):
+    # join parsed back to host and check the hot host did not serialize
+    # onto a single partition
+    hosts = webdocs.select("url", "host")
+    dist = (
+        parsed.join(hosts, "url")
+        .filter(F.col("host") == HOT_HOST)
+        .select("partition_id")
+        .distinct()
+        .count()
+    )
+    assert dist >= 3
+
+
+def test_resume_is_idempotent_and_complete(spark, webdocs, tmp_path):
+    out = str(tmp_path / "snap")
+    first_half = webdocs.filter(F.col("doc_id") % 5 != 0)
+    resumable_extract(spark, first_half, out)
+    n1 = spark.read.parquet(f"{out}/parsed").count()
+    assert n1 == 400
+    # "crash" happened; resume with the FULL input: only the missing 100 run
+    full = resumable_extract(spark, webdocs, out)
+    assert full.count() == 500
+    assert full.select("url").distinct().count() == 500
+    # idempotent re-run: nothing to do, still 500
+    again = resumable_extract(spark, webdocs, out)
+    assert again.count() == 500
