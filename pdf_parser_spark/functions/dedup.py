@@ -1,0 +1,270 @@
+"""Deduplication operators for corpus curation.
+
+Five public-technique dedup families (exact hash, n-gram Jaccard,
+MinHash+LSH banding, SimHash, embedding-cosine), each expressed with
+Spark built-ins so the hot path is JVM-side and shuffle-aware:
+
+- exact:   one groupBy on md5(text) — a single hash shuffle; at 100 TB
+           this is the cheapest possible dedup (map-side partial agg on
+           the digest, not the payload).
+- MinHash: signatures via array_min over md5-hashed shingles (no
+           explode of the shingle set — the per-doc array stays in one
+           row), then an explode only of the B band keys (B≈4 rows per
+           doc) and a self-equi-join on band key. The join is an
+           equi-join ⇒ Catalyst can hash-partition it; candidate pairs
+           ≪ n².
+- SimHash: bit votes folded with `aggregate` over the token array —
+           again no explode, no UDF.
+- cross-engine determinism: md5 (identical in every engine) is the hash
+  primitive, and MinHash minima compare *hex strings* lexicographically,
+  so a DuckDB oracle reproduces signatures bit-for-bit.
+
+At scale: band self-joins shuffle only (band_key, doc_id) pairs —
+payload columns are pruned before the shuffle; skewed band buckets
+(boilerplate-heavy corpora) are handled by AQE skew-join since this is
+a plain equi-join (unlike the UDF input skew in extraction, which needs
+explicit salting — engine/partitioning.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles, tokens
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per content-hash group: copy count + keeper (min id).
+
+    Map-side partial aggregation makes the shuffle O(distinct hashes).
+    """
+    return (
+        df.select(F.md5(text_col).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct text (the min-id row)."""
+    w_keep = exact_dedup_stats(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(w_keep, id_col, "left_semi")
+
+
+def minhash_signature(tok_col: Column, num_hashes: int = 8, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<string> of lexicographic-min md5 hexes.
+
+    One md5 per (seed, shingle) via transform+array_min — all JVM-side,
+    no shuffle, no explode of the shingle set.
+    """
+    sh = F.array_distinct(shingles(tok_col, shingle_k))
+
+    def seed_min(s: int) -> Column:
+        # closure factory: the lambda must take exactly one argument —
+        # a 2-arg lambda is treated as (element, index) by Spark.
+        prefix = F.lit(f"s{s}:")
+        return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(prefix, x))))
+
+    return F.array(*[seed_min(s) for s in range(num_hashes)])
+
+
+def minhash_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """array<string> of band keys: band index + its signature slice."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[
+                    F.element_at(sig_col, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates as distinct (a_id, b_id), a<b.
+
+    Pipeline: explode distinct shingles → md5 per (seed, shingle) →
+    map-side-combined min-agg signature → explode B band keys → self
+    equi-join on band_key (hash-partitioned; AQE splits skewed bands) →
+    distinct pairs. Only (id, signature) and (band_key, id) ever
+    shuffle; documents shorter than the shingle width drop out
+    naturally (no shingles → no bands).
+    """
+    rows_per_band = num_hashes // bands
+    # Explode the (distinct) shingle set ONCE, hash per row, then fold
+    # the per-seed minima with a map-side-combined groupBy — one
+    # tokenization per document. The pure-expression form
+    # (minhash_signature) re-inlines the tokenizer per seed when
+    # Catalyst collapses projections, which is quadratic-ish work; the
+    # explode+agg shape is also the right 100 TB plan: the shuffle
+    # carries only (id, 8 × 32-byte hex) after partial aggregation.
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(text_col), shingle_k))
+        ).alias("shingle"),
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"s{s}") for s in range(num_hashes)]
+    )
+    band = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"b{b}"),
+                        *[
+                            F.col(f"s{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    join_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard on candidate pairs → (a_id, b_id, inter_n, union_n).
+
+    Counts are exact integers in any engine; thresholding is the
+    caller's integer cross-multiplication (inter*5 >= union*4 ⇔ J ≥ 0.8).
+    `join_cond` receives the aliased frames ("a", "b") — pass an
+    equi-condition (e.g. LSH band or direct id pairing) so the join
+    hash-partitions; a theta-cond degrades to a broadcast NLJ.
+    """
+    a = left.select(
+        F.col(id_col).alias("a_id"),
+        F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh_a"),
+    ).alias("a")
+    b = right.select(
+        F.col(id_col).alias("b_id"),
+        F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh_b"),
+    ).alias("b")
+    return a.join(b, join_cond).select(
+        "a_id",
+        "b_id",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("int").alias("inter_n"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("int").alias("union_n"),
+    )
+
+
+def _hex_digit(hash_col: Column, pos: int) -> Column:
+    """0-based value of hex digit `pos` (0-indexed) of an md5 hex string."""
+    return (
+        F.instr(F.lit(HEX_DIGITS), F.substring(hash_col, pos + 1, 1)) - 1
+    ).cast("int")
+
+
+def simhash16(tok_col: Column) -> Column:
+    """16-bit SimHash over distinct tokens.
+
+    Bit j comes from hex digit j//4 (bit j%4) of each token's md5; the
+    per-bit vote is a single `aggregate` fold over the token array —
+    all built-in expressions, portable bit-for-bit to the SQL oracle.
+    """
+    toks = F.array_distinct(tok_col)
+
+    def bit_vote(dp: int, bp: int) -> Column:
+        # closure factory — defaults in the lambda signature would make
+        # Spark treat it as a different higher-order arity.
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + (
+                2 * F.shiftright(_hex_digit(F.md5(t), dp), bp).bitwiseAND(F.lit(1))
+                - 1
+            ),
+        )
+
+    out = F.lit(0)
+    for j in range(16):
+        vote = bit_vote(j // 4, j % 4)
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def embedding_topk_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_n: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Most-similar (a_id, b_id, cos) pairs by exact cosine, a<b.
+
+    Brute-force O(n²) — the *verification* path. The scale path is
+    LSH/IVF bucketing (similarity.ivf_topk) which prunes candidates
+    before this exact re-rank. Dot products fold in double precision
+    sequentially (zip_with + aggregate) so any engine reproduces the
+    same bits.
+    """
+    from .similarity import cosine_expr
+
+    a = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    ).alias("a")
+    b = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    ).alias("b")
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("_cos")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver — no global sort shuffle.
+    return (
+        scored.orderBy(F.desc("_cos"), "a_id", "b_id")
+        .limit(top_n)
+        .select("a_id", "b_id", F.round("_cos", round_digits).alias("cos"))
+    )

@@ -1,0 +1,788 @@
+"""Driver-contract query registry: Spark DataFrame query + DuckDB oracle
+SQL per implemented operator (SURVEY.md §2 reframings + training-data
+pipeline ops).
+
+Parity rules that make the value-hash comparison exact across engines:
+
+- md5 is the only hash primitive (bit-identical everywhere); MinHash
+  minima compare *hex strings* lexicographically.
+- outputs are ints / strings / rounded doubles — no raw timestamps, no
+  booleans, no arrays.
+- float folds (dot products) run sequentially in double precision on
+  both sides.
+- every computed column is aliased identically in both dialects.
+
+Each Spark callable takes (spark, sf_dir) and reads the driver's
+parquet tables; the oracle runs on DuckDB views of the same files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .engine.corpus import EXPECTED_SQL_EXPR, synthesize_webdocs
+from .engine.extractor import parse_webdocs, spans_view
+from .functions import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (dialect twins of textstats helpers)
+
+CLONE_OFFSET = 1_000_000
+
+
+def duck_toks(col: str = "text") -> str:
+    """DuckDB twin of textstats.tokens()."""
+    return (
+        f"list_filter(string_split(replace(replace({col}, chr(10), ' '), "
+        f"chr(9), ' '), ' '), x -> x <> '')"
+    )
+
+
+def duck_shingles(toks: str, k: int = 3) -> str:
+    """DuckDB twin of textstats.shingles(): k-gram space-joined grams."""
+    parts = " || ' ' || ".join(
+        f"({toks})[i+{j}]" if j else f"({toks})[i]" for j in range(k)
+    )
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k - 2}), i -> {parts}) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def duck_occ(word: str, col: str = "text") -> str:
+    """DuckDB twin of textstats.word_occurrences()."""
+    pad = (
+        f"(' ' || lower(replace(replace({col}, chr(10), ' '), chr(9), ' ')) || ' ')"
+    )
+    pat = f" {word} "
+    return (
+        f"((length({pad}) - length(replace({pad}, '{pat}', ''))) // {len(pat)})"
+    )
+
+
+URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE 'site-' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id"
+)
+
+PDF_TEXT_SQL = (
+    "array_to_string(list_filter(list_transform(string_split(text, chr(10)), "
+    "x -> trim(regexp_replace(x, '[^ -~]', '?', 'g'))), x -> x <> ''), chr(10))"
+)
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline queries (the flagship surface)
+
+
+@q(
+    "flagship_extract",
+    f"SELECT {URL_SQL} AS url, {EXPECTED_SQL_EXPR} AS text FROM documents",
+)
+def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: synthesize webdocs → salted mapInPandas extraction →
+    (url, text). The oracle recomputes the expected byte-exact text in
+    SQL — this entry IS the byte-identical-extraction gate."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    parsed = parse_webdocs(webdocs)
+    return parsed.select("url", "text")
+
+
+@q(
+    "payload_sniff",
+    f"SELECT {URL_SQL} AS url, CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' "
+    "END AS kind FROM documents",
+)
+def payload_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload dispatch as a pure JVM expression over the binary column
+    (no UDF): magic-byte check on the first 5 bytes."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    return webdocs.select(
+        "url",
+        F.when(
+            F.decode(F.substring("html", 1, 5), "UTF-8") == "%PDF-", "pdf"
+        )
+        .otherwise("html")
+        .alias("kind"),
+    )
+
+
+@q(
+    "span_text_roundtrip",
+    f"SELECT {URL_SQL} AS url, {PDF_TEXT_SQL} AS text FROM documents "
+    "WHERE doc_id % 2 = 0",
+)
+def span_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span records stitched back into document text: proves the span
+    stream (page_no, seq, text, x, y, font, size) is lossless wrt the
+    extracted text on the PDF path."""
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    spans = spans_view(parse_webdocs(webdocs))
+    return spans.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("page_no", "seq", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+@q("audit_metrics")  # rows-only: partition ids are runtime-dependent
+def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage rows (north rule): docs, failures, bytes,
+    spans, docs/sec per partition."""
+    from .engine.extractor import audit_view
+
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    return audit_view(parse_webdocs(webdocs))
+
+
+@q(
+    "multimodal_meta",
+    f"SELECT {URL_SQL} AS url, CASE WHEN doc_id % 2 = 0 THEN 'application/pdf' "
+    "ELSE 'application/octet-stream' END AS content_type FROM documents",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniff over binary payloads, JVM-side."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    return multimodal.with_media_meta(webdocs, bin_col="html").select(
+        "url", "content_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational reframings of the reference's dataflow operators
+
+
+@q(
+    "instance_index",
+    "SELECT event_id, (row_number() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) - 1)::BIGINT AS instance_index FROM events",
+)
+def instance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F4: per-(group, value) running ordinal via a rank window —
+    the relational form of the reference's forward-only instance
+    tracking (api.py:139-186)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("instance_index"),
+    )
+
+
+@q(
+    "instance_selector",
+    "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY "
+    "user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 2",
+)
+def instance_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: select only instance #k of each repeated key (replacer.py:367)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _read(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 2)
+        .select("event_id")
+    )
+
+
+@q(
+    "rank_join",
+    "WITH l AS (SELECT user_id, event_id AS view_id, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rank FROM events WHERE "
+    "event_type = 'view'), r AS (SELECT user_id, event_id AS click_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT l.user_id, l.rank::BIGINT AS rank, l.view_id, r.click_id "
+    "FROM l LEFT JOIN r ON l.user_id = r.user_id AND l.rank = r.rank",
+)
+def rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F4: rank-aligned left equi-join — the relational form of the
+    reference's decoded-text⋈geometry forward-only matching."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )
+    r = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.row_number().over(w).cast("bigint").alias("r_rank"),
+        )
+    )
+    return l.join(
+        r,
+        (l["user_id"] == r["r_user_id"]) & (l["rank"] == r["r_rank"]),
+        "left",
+    ).select("user_id", "rank", "view_id", "click_id")
+
+
+_RECTS_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_discount * 100 AS x0, l_tax * 100 AS y0, "
+    "l_discount * 100 + l_quantity AS x1, l_tax * 100 + l_linenumber AS y1, "
+    "l_quantity * l_linenumber AS area FROM lineitem"
+)
+
+
+@q(
+    "containment_anti_join",
+    f"WITH rects AS ({_RECTS_SQL}) "
+    "SELECT a.l_orderkey, a.l_linenumber FROM rects a WHERE NOT EXISTS ("
+    "SELECT 1 FROM rects b WHERE b.l_orderkey = a.l_orderkey "
+    "AND b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1 "
+    "AND b.area > a.area)",
+)
+def containment_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: nested-bbox containment as a self anti-join scoped by a
+    group key (api.py:337-388) — equi on the key so it hash-partitions;
+    the containment predicate rides along as a join residual."""
+    li = _read(spark, sf_dir, "lineitem")
+    rects = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_discount") * 100).alias("x0"),
+        (F.col("l_tax") * 100).alias("y0"),
+        (F.col("l_discount") * 100 + F.col("l_quantity")).alias("x1"),
+        (F.col("l_tax") * 100 + F.col("l_linenumber")).alias("y1"),
+        (F.col("l_quantity") * F.col("l_linenumber")).alias("area"),
+    )
+    a, b = rects.alias("a"), rects.alias("b")
+    cond = (
+        (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("b.x0") <= F.col("a.x0"))
+        & (F.col("b.y0") <= F.col("a.y0"))
+        & (F.col("b.x1") >= F.col("a.x1"))
+        & (F.col("b.y1") >= F.col("a.y1"))
+        & (F.col("b.area") > F.col("a.area"))
+    )
+    return a.join(b, cond, "left_anti").select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "spatial_block_join",
+    "WITH hits AS (SELECT l_orderkey * 10 + l_linenumber AS hit_id, "
+    "l_partkey % 55 AS hx, l_suppkey % 12 AS hy FROM lineitem "
+    "WHERE l_orderkey % 100 = 0), "
+    "blocks AS (SELECT p_partkey AS block_order, p_size AS bx0, "
+    "p_partkey % 7 AS by0, p_size + 10 AS bx1, p_partkey % 7 + 5 AS by1 "
+    "FROM part WHERE p_partkey % 10 = 0) "
+    "SELECT h.hit_id, coalesce(min(b.block_order), -1) AS block_order "
+    "FROM hits h LEFT JOIN blocks b ON b.bx0 <= h.hx AND h.hx <= b.bx1 "
+    "AND b.by0 <= h.hy AND h.hy <= b.by1 GROUP BY h.hit_id",
+)
+def spatial_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: spatial hit→block assignment (api.py:446-473): containment
+    theta-join with the small block side broadcast, first block by
+    order wins, unmatched → -1."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    hits = li.where(F.col("l_orderkey") % 100 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("hit_id"),
+        (F.col("l_partkey") % 55).alias("hx"),
+        (F.col("l_suppkey") % 12).alias("hy"),
+    )
+    blocks = part.where(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("block_order"),
+        F.col("p_size").alias("bx0"),
+        (F.col("p_partkey") % 7).alias("by0"),
+        (F.col("p_size") + 10).alias("bx1"),
+        (F.col("p_partkey") % 7 + 5).alias("by1"),
+    )
+    cond = (
+        (F.col("bx0") <= F.col("hx"))
+        & (F.col("hx") <= F.col("bx1"))
+        & (F.col("by0") <= F.col("hy"))
+        & (F.col("hy") <= F.col("by1"))
+    )
+    return (
+        hits.join(F.broadcast(blocks), cond, "left")
+        .groupBy("hit_id")
+        .agg(F.coalesce(F.min("block_order"), F.lit(-1)).alias("block_order"))
+    )
+
+
+@q(
+    "group_stats",
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    "count(DISTINCT user_id)::BIGINT AS n_users, "
+    "min(event_id) AS first_event_id, "
+    "round(sum(value), 2) AS total_value FROM events GROUP BY event_type",
+)
+def group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A2-style per-group rollup with map-side partial aggregation."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").alias("first_event_id"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "vocab_census",
+    f"WITH toks AS (SELECT lang, unnest({duck_toks('text')}) AS tok "
+    "FROM documents) SELECT lang, count(DISTINCT tok)::BIGINT AS vocab_n, "
+    "count(*)::BIGINT AS token_n FROM toks GROUP BY lang",
+)
+def vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4: charset/vocab census per group — explode + two-level agg."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(textstats.tokens("text")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("bigint").alias("vocab_n"),
+        F.count("*").cast("bigint").alias("token_n"),
+    )
+
+
+@q(
+    "oov_count",
+    f"WITH toks AS (SELECT doc_id, unnest({duck_toks('text')}) AS tok "
+    "FROM documents), vocab AS (SELECT tok FROM toks GROUP BY tok "
+    "ORDER BY count(*) DESC, tok LIMIT 100) "
+    "SELECT doc_id, sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) "
+    "THEN 1 ELSE 0 END)::BIGINT AS oov_n FROM toks GROUP BY doc_id",
+)
+def oov_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: out-of-vocabulary detection — per-doc tokens minus a top-100
+    vocabulary (broadcast), the engine form of array_except validation."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_n")
+        )
+    )
+
+
+@q(
+    "scalar_chain",
+    "SELECT doc_id, upper(to_hex(doc_id)) AS hex_id, "
+    "trim(substr(text, 1, 50)) AS head FROM documents "
+    "WHERE length(trim(substr(text, 1, 50))) > 0",
+)
+def scalar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11/T12: hex projection + trim + empty filter scalar chain."""
+    docs = _read(spark, sf_dir, "documents")
+    head = F.trim(F.substring("text", 1, 50))
+    return docs.select(
+        "doc_id", F.hex("doc_id").alias("hex_id"), head.alias("head")
+    ).where(F.length("head") > 0)
+
+
+@q(
+    "search_context",
+    "SELECT doc_id, strpos(text, 'spark')::INT AS pos, "
+    "substr(text, greatest(strpos(text, 'spark') - 20, 1), 60) AS context "
+    "FROM documents WHERE strpos(text, 'spark') > 0",
+)
+def search_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O4 search surface: substring hit position + truncated context
+    (example.py:249-252)."""
+    docs = _read(spark, sf_dir, "documents")
+    pos = F.instr("text", "spark")
+    return docs.select(
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        F.expr(
+            "substring(text, greatest(instr(text, 'spark') - 20, 1), 60)"
+        ).alias("context"),
+    ).where(pos > 0)
+
+
+@q("distinct_sources", "SELECT DISTINCT lang, source FROM documents")
+def distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: distinct listing."""
+    return _read(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@q(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "count(*)::BIGINT AS count_order FROM lineitem WHERE l_quantity < 30 "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: filter pushdown + partial aggs."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_customers",
+    "SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_price, "
+    "count(*)::BIGINT AS n_orders FROM orders o JOIN customer c "
+    "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey, c.c_name "
+    "ORDER BY round(sum(o.o_totalprice), 2) DESC, c.c_custkey LIMIT 10",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg + deterministic top-k."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_price"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+
+
+_CLONES_SQL = (
+    f"SELECT doc_id + {CLONE_OFFSET} AS doc_id, text FROM documents"
+)
+_TRUNC_CLONES_SQL = (
+    f"SELECT doc_id + {CLONE_OFFSET} AS doc_id, "
+    "substr(text, 1, (length(text) * 4) // 5) AS text FROM documents"
+)
+
+
+def _with_clones(docs: DataFrame, truncate: bool) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    if truncate:
+        clone_text = F.expr(
+            "substring(text, 1, cast(floor(length(text) * 4 / 5) as int))"
+        )
+    else:
+        clone_text = F.col("text")
+    clones = docs.select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+        clone_text.alias("text"),
+    )
+    return base.unionAll(clones)
+
+
+@q(
+    "dedup_exact",
+    f"WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL {_CLONES_SQL}) "
+    "SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_copies, "
+    "min(doc_id) AS keeper_id FROM docs2 GROUP BY md5(text)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-shuffle groupBy on md5(text). Clones are
+    injected (doc_id + 1e6) so every group provably collapses to 2."""
+    docs = _with_clones(_read(spark, sf_dir, "documents"), truncate=False)
+    return dedup.exact_dedup_stats(docs)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"WITH clones AS ({_TRUNC_CLONES_SQL}), "
+    f"a AS (SELECT doc_id AS a_id, list_distinct({duck_shingles(duck_toks('text'))}) "
+    "AS sh_a FROM documents), "
+    f"b AS (SELECT doc_id AS b_id, list_distinct({duck_shingles(duck_toks('text'))}) "
+    "AS sh_b FROM clones) "
+    "SELECT a_id, b_id, len(list_intersect(sh_a, sh_b))::INT AS inter_n, "
+    "len(list_distinct(list_concat(sh_a, sh_b)))::INT AS union_n, "
+    "CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 AND "
+    "len(list_intersect(sh_a, sh_b)) * 5 >= "
+    "len(list_distinct(list_concat(sh_a, sh_b))) * 4 THEN 1 ELSE 0 END AS is_dup "
+    f"FROM a JOIN b ON a.a_id + {CLONE_OFFSET} = b.b_id",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard between each doc and its 80%-truncated clone:
+    integer |∩|/|∪| + threshold J≥0.8 via cross-multiplication."""
+    docs = _read(spark, sf_dir, "documents")
+    clones = _with_clones(docs, truncate=True).where(
+        F.col("doc_id") >= CLONE_OFFSET
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, clones, F.col("a_id") + CLONE_OFFSET == F.col("b_id")
+    )
+    return pairs.withColumn(
+        "is_dup",
+        F.when(
+            (F.col("union_n") > 0)
+            & (F.col("inter_n") * 5 >= F.col("union_n") * 4),
+            1,
+        ).otherwise(0),
+    )
+
+
+def _duck_minhash_sql() -> str:
+    sh = f"list_distinct({duck_shingles('toks')})"
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('s{s}:' || x))) AS s{s}"
+        for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}|' || s{2*b} || '|' || s{2*b+1} AS band_key FROM sig"
+        for b in range(4)
+    )
+    return (
+        f"WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"{_TRUNC_CLONES_SQL}), "
+        f"tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM docs2), "
+        f"shin AS (SELECT doc_id, {sh} AS sh FROM tok WHERE len(toks) >= 3), "
+        f"sig AS (SELECT doc_id, {sigs} FROM shin), "
+        f"bands AS ({bands}) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a "
+        "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    )
+
+
+@q("dedup_minhash_lsh", _duck_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands × 2 rows) candidate pairs over docs +
+    truncated clones — shingle→signature→band→equi-self-join."""
+    docs2 = _with_clones(_read(spark, sf_dir, "documents"), truncate=True)
+    return dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
+
+
+def _duck_simhash_sql() -> str:
+    bit_terms = []
+    for j in range(16):
+        dp, bp = j // 4, j % 4
+        digit = f"(strpos('0123456789abcdef', substr(md5(t), {dp + 1}, 1)) - 1)"
+        bit = f"(({digit} >> {bp}) & 1)"
+        vote = (
+            f"coalesce(list_sum(list_transform(dt, t -> 2 * {bit} - 1)), 0)"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return (
+        f"WITH tok AS (SELECT doc_id, list_distinct({duck_toks('text')}) AS dt "
+        "FROM documents) "
+        f"SELECT doc_id, ({total})::INT AS simhash FROM tok"
+    )
+
+
+@q("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document, md5-bit votes folded JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash16(textstats.tokens("text")).alias("simhash")
+    )
+
+
+_DUCK_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@q(
+    "dedup_embedding",
+    f"SELECT a_id, b_id, round(_cos, 4) AS cos FROM (SELECT a.vec_id AS a_id, "
+    f"b.vec_id AS b_id, {_DUCK_COS} AS _cos FROM embeddings a JOIN embeddings b "
+    "ON a.vec_id < b.vec_id ORDER BY _cos DESC, a_id, b_id LIMIT 20)",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact top-20 most-similar pairs."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.embedding_topk_pairs(emb, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _duck_cos(qv: str, cv: str) -> str:
+    return (
+        f"list_dot_product({qv}::DOUBLE[], {cv}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({qv}::DOUBLE[], {qv}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({cv}::DOUBLE[], {cv}::DOUBLE[])))"
+    )
+
+
+@q(
+    "ann_topk_bruteforce",
+    "WITH scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cos('q.embedding', 'c.embedding')} AS _cos "
+    "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND "
+    "q.vec_id <> c.vec_id), ranked AS (SELECT q_id, neighbor_id, _cos, "
+    "row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, neighbor_id) "
+    "AS rank FROM scored) SELECT q_id, rank::INT AS rank, neighbor_id, "
+    "round(_cos, 4) AS cos FROM ranked WHERE rank <= 5",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10) — broadcast
+    query side, corpus streams, per-query window rank."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+_DUCK_CELL = (
+    "(CASE WHEN {e}[1] > 0 THEN 1 ELSE 0 END) + "
+    "2 * (CASE WHEN {e}[2] > 0 THEN 1 ELSE 0 END)"
+)
+
+
+@q(
+    "ann_ivf_bucketed",
+    "WITH cells AS (SELECT vec_id, embedding, "
+    f"{_DUCK_CELL.format(e='embedding')} AS cell FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cos('q.embedding', 'c.embedding')} AS _cos "
+    "FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < 10 AND "
+    "q.vec_id <> c.vec_id), ranked AS (SELECT q_id, neighbor_id, _cos, "
+    "row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, neighbor_id) "
+    "AS rank FROM scored) SELECT q_id, rank::INT AS rank, neighbor_id, "
+    "round(_cos, 4) AS cos FROM ranked WHERE rank <= 3",
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: equi-join on coarse cell id replaces the cross
+    join — the 100 TB scale path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@q(
+    "lang_id",
+    f"SELECT doc_id, ({duck_occ('the')} + {duck_occ('a')} + {duck_occ('and')})::INT "
+    "AS en_score, "
+    f"({duck_occ('der')} + {duck_occ('und')} + {duck_occ('die')})::INT AS de_score, "
+    f"({duck_occ('le')} + {duck_occ('et')} + {duck_occ('la')})::INT AS fr_score, "
+    "CASE WHEN "
+    f"({duck_occ('the')} + {duck_occ('a')} + {duck_occ('and')}) >= "
+    f"({duck_occ('der')} + {duck_occ('und')} + {duck_occ('die')}) AND "
+    f"({duck_occ('the')} + {duck_occ('a')} + {duck_occ('and')}) >= "
+    f"({duck_occ('le')} + {duck_occ('et')} + {duck_occ('la')}) THEN 'en' "
+    f"WHEN ({duck_occ('der')} + {duck_occ('und')} + {duck_occ('die')}) >= "
+    f"({duck_occ('le')} + {duck_occ('et')} + {duck_occ('la')}) THEN 'de' "
+    "ELSE 'fr' END AS pred_lang FROM documents",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic argmax, en>de>fr ties)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.with_lang_id(docs).select(
+        "doc_id", "en_score", "de_score", "fr_score", "pred_lang"
+    )
+
+
+@q(
+    "quality_score",
+    "SELECT doc_id, length(text)::INT AS n_chars, "
+    f"len({duck_toks('text')})::INT AS n_tokens, "
+    "len(regexp_extract_all(text, '[.,;:!?]'))::INT AS n_punct, "
+    f"({' + '.join(duck_occ(w) for w in textstats.STOPWORDS_EN)})::INT AS n_stop, "
+    "CASE WHEN "
+    f"len({duck_toks('text')}) >= 10 AND len({duck_toks('text')}) <= 100000 AND "
+    f"({' + '.join(duck_occ(w) for w in textstats.STOPWORDS_EN)}) * 100 >= "
+    f"len({duck_toks('text')}) * 2 AND "
+    "len(regexp_extract_all(text, '[.,;:!?]')) * 100 <= length(text) * 10 "
+    "THEN 'good' ELSE 'low' END AS quality FROM documents",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact quality features + bucket (length/stopword/punct)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.with_quality(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stop", "quality"
+    )
+
+
+@q(
+    "token_count",
+    f"SELECT doc_id, len({duck_toks('text')})::INT AS ws_tokens, "
+    f"len(regexp_extract_all(text, '{textstats.BPE_REGEX}'))::INT AS bpe_tokens "
+    "FROM documents",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.ws_token_count("text").alias("ws_tokens"),
+        textstats.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    f"WITH tok AS (SELECT doc_id, text, {duck_toks('text')} AS toks FROM documents), "
+    f"sh AS (SELECT doc_id, text, {duck_shingles('toks', 5)} AS s5 FROM tok) "
+    "SELECT doc_id, CASE WHEN len(s5) > 0 THEN "
+    "list_min(list_transform(s5, x -> md5(x))) ELSE md5(text) END AS fingerprint "
+    "FROM sh",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram min-hash document fingerprint (stable under local edits)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint("text", k=5).alias("fingerprint")
+    )

@@ -1,0 +1,200 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.functions import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- textstats
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc\nd"), (2, ""), (3, "  ")], "id INT, text STRING"
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textstats.ws_token_count("text").alias("ws"),
+            textstats.bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    assert rows[1]["ws"] == 4 and rows[1]["bpe"] == 4
+    assert rows[2]["ws"] == 0 and rows[3]["ws"] == 0
+
+
+def test_word_occurrences_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog and the bird . ! sentence words here ok")],
+        "id INT, text STRING",
+    )
+    occ = df.select(textstats.word_occurrences("text", "the").alias("n")).head()["n"]
+    assert occ == 3
+    q = textstats.with_quality(df).head()
+    assert q["n_punct"] == 2
+    assert q["quality"] in ("good", "low")
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and a dog"), (2, "der hund und die katze")],
+        "id INT, text STRING",
+    )
+    rows = {r["id"]: r["pred_lang"] for r in textstats.with_lang_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "de"
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id INT, text STRING")
+    sh = df.select(
+        "id", textstats.shingles(textstats.tokens("text"), 3).alias("sh")
+    )
+    rows = {r["id"]: r["sh"] for r in sh.collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []
+    fps = {r["id"]: r["fp"] for r in df.select(
+        "id", textstats.fingerprint("text", k=3).alias("fp")).collect()}
+    assert len(fps[1]) == 32 and len(fps[2]) == 32  # md5 hex either path
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "xx"), (2, "xx"), (3, "yy")], "doc_id INT, text STRING"
+    )
+    stats = {r["keeper_id"]: r["n_copies"]
+             for r in dedup.exact_dedup_stats(df).collect()}
+    assert stats == {1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "w%d " * 40
+    texts = [(1, base % tuple(range(40))),
+             (2, base % tuple(range(40)) + "tail extra words"),
+             (3, " ".join(f"z{i}" for i in range(40)))]
+    df = spark.createDataFrame(texts, "doc_id INT, text STRING")
+    pairs = {(r["a_id"], r["b_id"])
+             for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_close_for_similar(spark):
+    t1 = " ".join(f"w{i}" for i in range(60))
+    t2 = t1 + " extra"
+    t3 = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id INT, text STRING"
+    )
+    sh = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.simhash16(textstats.tokens("text")).alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) <= 4
+    assert all(0 <= v < 65536 for v in sh.values())
+
+
+def test_jaccard_pairs_counts(spark):
+    a = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
+    b = spark.createDataFrame([(1000001, "a b c d")], "doc_id INT, text STRING")
+    row = dedup.jaccard_pairs(
+        a, b, F.col("a_id") + 1000000 == F.col("b_id")
+    ).head()
+    # shingles: {abc,bcd,cde} vs {abc,bcd} → inter 2, union 3
+    assert (row["inter_n"], row["union_n"]) == (2, 3)
+
+
+def test_embedding_topk_pairs(emb):
+    top = dedup.embedding_topk_pairs(emb, top_n=5).collect()
+    assert len(top) == 5
+    assert all(r["a_id"] < r["b_id"] for r in top)
+    cs = [r["cos"] for r in top]
+    assert cs == sorted(cs, reverse=True)
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_cosine_expr_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+    )
+    vals = [r["c"] for r in df.select(
+        similarity.cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(vals[0], 1.0) and math.isclose(vals[1], 0.0)
+
+
+def test_topk_and_ivf(emb):
+    q = emb.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(q, emb, k=5).collect()
+    assert len(exact) == 15
+    per_q = {r["q_id"] for r in exact}
+    assert per_q == {0, 1, 2}
+    for r in exact:
+        assert r["neighbor_id"] != r["q_id"]
+    ivf = similarity.ivf_topk(q, emb, k=3).collect()
+    assert 0 < len(ivf) <= 9
+    # IVF results are a subset-cell re-rank: every (q, neighbor) pair it
+    # returns shares the query's coarse cell by construction
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", similarity.ivf_cell_expr(F.col("embedding")).alias("cell")
+    ).collect()}
+    for r in ivf:
+        assert cells[r["q_id"]] == cells[r["neighbor_id"]]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_media_meta_png(spark):
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x00" * 5)
+    rows = multimodal.with_media_meta(
+        spark.createDataFrame(
+            [("u1", bytearray(png)), ("u2", bytearray(b"%PDF-1.4 x"))],
+            "url STRING, payload BINARY",
+        )
+    ).collect()
+    byurl = {r["url"]: r for r in rows}
+    assert byurl["u1"]["content_type"] == "image/png"
+    assert (byurl["u1"]["width"], byurl["u1"]["height"]) == (640, 480)
+    assert byurl["u2"]["content_type"] == "application/pdf"
+    assert byurl["u2"]["width"] is None
+
+
+def test_extract_features_plumbing(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"\x89PNG\r\n\x1a\nabcdef")), ("u2", None)],
+        "url STRING, payload BINARY",
+    )
+    rows = {r["url"]: r for r in multimodal.extract_features(df).collect()}
+    assert len(rows["u1"]["feature"]) == 8
+    assert rows["u1"]["decode_error"] is None
+    assert rows["u2"]["payload_bytes"] == 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
