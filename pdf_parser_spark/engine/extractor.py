@@ -115,11 +115,19 @@ def parse_webdocs(
     webdocs: DataFrame,
     num_partitions: int | None = None,
     salt: bool = True,
+    salt_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """webdocs → parsed DataFrame (the single materialization point).
 
     Column-prunes to (url, host, html) before the shuffle so only the
     payload bytes move; salting spreads hot hosts (north rule).
+
+    The salt-map pre-pass is a groupBy(host).count() — cheap (pruned
+    column scan) when webdocs is a real table, but it re-executes the
+    whole upstream plan when webdocs is itself UDF-generated (column
+    pruning cannot reach through mapInPandas). In that case pass
+    ``salt_map`` computed from a cheap side-channel (e.g. the source
+    table's host column) to keep the pipeline single-pass.
     """
     spark = webdocs.sparkSession
     if num_partitions is None:
@@ -127,7 +135,7 @@ def parse_webdocs(
     cols = ["url", "html"] + (["host"] if "host" in webdocs.columns else [])
     slim = webdocs.select(*cols)
     if salt and "host" in slim.columns:
-        slim = salted_repartition(slim, num_partitions)
+        slim = salted_repartition(slim, num_partitions, salt_map=salt_map)
     else:
         slim = slim.repartition(num_partitions, F.col("url"))
     return slim.mapInPandas(extract_batch, schema=PARSED_SCHEMA)

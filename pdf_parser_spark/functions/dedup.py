@@ -154,6 +154,11 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    # Persist the band table: a self-join otherwise evaluates the whole
+    # shingle→signature subplan twice (once per side). At cluster scale
+    # the same role is played by materializing `band` to a table before
+    # the join; persist is the in-session equivalent.
+    band = band.persist()
     a = band.alias("a")
     b = band.alias("b")
     return (

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .engine.corpus import EXPECTED_SQL_EXPR, synthesize_webdocs
+from .engine.corpus import (
+    EXPECTED_SQL_EXPR,
+    PDF_LINES_SQL,
+    synthesize_webdocs,
+    webdocs_salt_map,
+)
 from .engine.extractor import parse_webdocs, spans_view
 from .functions import dedup, multimodal, similarity, textstats
 
@@ -91,10 +96,7 @@ URL_SQL = (
     "ELSE 'site-' || (doc_id % 97) || '.example.com' END || '/doc/' || doc_id"
 )
 
-PDF_TEXT_SQL = (
-    "array_to_string(list_filter(list_transform(string_split(text, chr(10)), "
-    "x -> trim(regexp_replace(x, '[^ -~]', '?', 'g'))), x -> x <> ''), chr(10))"
-)
+PDF_TEXT_SQL = f"array_to_string({PDF_LINES_SQL}, chr(10))"
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +112,7 @@ def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (url, text). The oracle recomputes the expected byte-exact text in
     SQL — this entry IS the byte-identical-extraction gate."""
     webdocs = synthesize_webdocs(spark, sf_dir)
-    parsed = parse_webdocs(webdocs)
+    parsed = parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
     return parsed.select("url", "text")
 
 
@@ -143,7 +145,9 @@ def span_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (page_no, seq, text, x, y, font, size) is lossless wrt the
     extracted text on the PDF path."""
     webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
-    spans = spans_view(parse_webdocs(webdocs))
+    spans = spans_view(
+        parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    )
     return spans.groupBy("url").agg(
         F.array_join(
             F.transform(
@@ -155,6 +159,29 @@ def span_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "span_search",
+    f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
+    "FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT url, seq::INT AS seq, text FROM (SELECT url, "
+    "unnest(list_transform(range(1, len(flines) + 1), "
+    "i -> {'seq': i - 1, 'text': flines[i]}), recursive := true) FROM exp) "
+    "WHERE text LIKE '%table%'",
+)
+def span_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over span records (the reference's search_text_in_pdf
+    reframed, api.py:395-484): hit spans identified by (url, seq) —
+    seq doubles as the block-order analog. The oracle reconstructs the
+    expected span stream per PDF from the corpus transform."""
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    spans = spans_view(
+        parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    )
+    return spans.where(F.col("text").contains("table")).select(
+        "url", F.col("seq").cast("int").alias("seq"), "text"
+    )
+
+
 @q("audit_metrics")  # rows-only: partition ids are runtime-dependent
 def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage rows (north rule): docs, failures, bytes,
@@ -162,7 +189,9 @@ def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .engine.extractor import audit_view
 
     webdocs = synthesize_webdocs(spark, sf_dir)
-    return audit_view(parse_webdocs(webdocs))
+    return audit_view(
+        parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    )
 
 
 @q(
