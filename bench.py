@@ -29,10 +29,19 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
+    "ann_ivf_bucketed",
     "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "vocab_census",
     "pricing_summary",
+    "top_customers",
     "containment_anti_join",
+    "spatial_block_join",
+    "rank_join",
 ]
 
 

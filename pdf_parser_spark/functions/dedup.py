@@ -30,10 +30,41 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textstats import shingles, tokens
 
 HEX_DIGITS = "0123456789abcdef"
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: k-gram word shingles via posexplode + lead().
+
+    The relational shingle producer: tokenize each document exactly
+    once, explode to (id, pos, token), and assemble k-grams with lead
+    windows partitioned by id. The pure-expression form
+    (textstats.shingles) re-evaluates the tokenizer per element_at once
+    Catalyst collapses projections — quadratic per document — so every
+    bulk consumer (MinHash, fingerprints, Jaccard) goes through this
+    instead. Scale shape: one narrow explode, one hash-partitioned sort
+    by (id, pos), then pure map-side work.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", k - 1).over(w).alias("_tail"),
+        )
+        .where(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
 
 
 def exact_dedup_stats(
@@ -113,19 +144,12 @@ def lsh_candidate_pairs(
     naturally (no shingles → no bands).
     """
     rows_per_band = num_hashes // bands
-    # Explode the (distinct) shingle set ONCE, hash per row, then fold
-    # the per-seed minima with a map-side-combined groupBy — one
-    # tokenization per document. The pure-expression form
-    # (minhash_signature) re-inlines the tokenizer per seed when
-    # Catalyst collapses projections, which is quadratic-ish work; the
-    # explode+agg shape is also the right 100 TB plan: the shuffle
+    # Produce (id, shingle) rows relationally (see exploded_shingles),
+    # hash per row, then fold the per-seed minima with a map-side-
+    # combined groupBy — one tokenization per document, and the shuffle
     # carries only (id, 8 × 32-byte hex) after partial aggregation.
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles(tokens(text_col), shingle_k))
-        ).alias("shingle"),
-    )
+    # min() is duplicate-insensitive, so no distinct pass is needed.
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
     hashed = sh.select(
         id_col,
         *[
@@ -200,6 +224,76 @@ def jaccard_pairs(
         "b_id",
         F.size(F.array_intersect("sh_a", "sh_b")).cast("int").alias("inter_n"),
         F.size(F.array_union("sh_a", "sh_b")).cast("int").alias("union_n"),
+    )
+
+
+def fingerprint_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, fingerprint): min-md5 over k-gram shingles, md5(text) when a
+    document is shorter than k tokens — the relational (bulk) form of
+    textstats.fingerprint."""
+    fp = (
+        exploded_shingles(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.min(F.md5("shingle")).alias("_fp"))
+    )
+    return (
+        df.select(id_col, F.md5(text_col).alias("_fallback"))
+        .join(fp, id_col, "left")
+        .select(
+            id_col, F.coalesce("_fp", "_fallback").alias("fingerprint")
+        )
+    )
+
+
+def jaccard_pair_counts(
+    left: DataFrame,
+    right: DataFrame,
+    pair_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Relational n-gram Jaccard for pre-paired documents.
+
+    *pair_expr* maps a right-side id to its left partner (e.g.
+    ``F.col("doc_id") - CLONE_OFFSET``). Produces
+    (a_id, b_id, inter_n, union_n) for EVERY left row: |∩| via an
+    equi-join on (pair key, shingle), |∪| via countDistinct over the
+    union — all hash-partitioned, no arrays, no per-row set objects.
+    """
+    a_sh = exploded_shingles(left, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("a_id"), "shingle"
+    ).distinct()
+    b_sh = exploded_shingles(right, text_col, id_col, shingle_k).select(
+        pair_expr.alias("a_id"), F.col(id_col).alias("b_id"), "shingle"
+    ).distinct()
+    inter = (
+        a_sh.join(b_sh, ["a_id", "shingle"])
+        .groupBy("a_id")
+        .agg(F.count("*").cast("int").alias("inter_n"))
+    )
+    union = (
+        a_sh.unionByName(b_sh.select("a_id", "shingle"))
+        .groupBy("a_id")
+        .agg(F.countDistinct("shingle").cast("int").alias("union_n"))
+    )
+    pairs = left.select(
+        F.col(id_col).alias("a_id")
+    ).join(
+        right.select(pair_expr.alias("a_id"), F.col(id_col).alias("b_id")),
+        "a_id",
+    )
+    return (
+        pairs.join(inter, "a_id", "left")
+        .join(union, "a_id", "left")
+        .select(
+            "a_id",
+            "b_id",
+            F.coalesce("inter_n", F.lit(0)).alias("inter_n"),
+            F.coalesce("union_n", F.lit(0)).alias("union_n"),
+        )
     )
 
 

@@ -53,7 +53,23 @@ class CMap:
 
 
 def parse_cmap(cmap_str: str) -> CMap:
-    """Parse a ToUnicode CMap string (reference semantics, see module doc)."""
+    """Parse a ToUnicode CMap string (reference semantics, see module doc).
+
+    Memoized on the exact source string: fonts repeat massively across a
+    corpus (every WinAnsi-synthesized CMap is literally identical, and
+    real documents share embedded-font ToUnicode streams), and the
+    returned CMap is read-only by construction, so sharing one instance
+    is safe. Profiling showed re-parsing cost ~30% of per-document
+    kernel time before this cache.
+    """
+    return _parse_cmap_cached(cmap_str)
+
+
+from functools import lru_cache  # noqa: E402  (kept beside its sole user)
+
+
+@lru_cache(maxsize=4096)
+def _parse_cmap_cached(cmap_str: str) -> CMap:
     mapping: dict[int, str] = {}
     for line in cmap_str.splitlines():
         m = _RANGE_RE.search(line)

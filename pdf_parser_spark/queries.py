@@ -585,13 +585,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard between each doc and its 80%-truncated clone:
-    integer |∩|/|∪| + threshold J≥0.8 via cross-multiplication."""
+    integer |∩|/|∪| + threshold J≥0.8 via cross-multiplication, on the
+    relational (exploded-shingle) path."""
     docs = _read(spark, sf_dir, "documents")
     clones = _with_clones(docs, truncate=True).where(
         F.col("doc_id") >= CLONE_OFFSET
     )
-    pairs = dedup.jaccard_pairs(
-        docs, clones, F.col("a_id") + CLONE_OFFSET == F.col("b_id")
+    pairs = dedup.jaccard_pair_counts(
+        docs, clones, F.col("doc_id") - CLONE_OFFSET
     )
     return pairs.withColumn(
         "is_dup",
@@ -810,8 +811,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM sh",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-gram min-hash document fingerprint (stable under local edits)."""
+    """5-gram min-hash document fingerprint (stable under local edits),
+    via the relational exploded-shingle path."""
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", textstats.fingerprint("text", k=5).alias("fingerprint")
-    )
+    return dedup.fingerprint_table(docs, k=5)
