@@ -111,6 +111,131 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def _arrow_schema():
+    import pyarrow as pa
+
+    span = pa.struct(
+        [
+            ("page_no", pa.int32()),
+            ("seq", pa.int32()),
+            ("text", pa.string()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+            ("font", pa.string()),
+            ("size", pa.float64()),
+            ("width", pa.float64()),
+        ]
+    )
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("n_pages", pa.int32()),
+            ("n_items", pa.int32()),
+            ("n_spans", pa.int32()),
+            ("error", pa.string()),
+            ("parse_ms", pa.float64()),
+            ("payload_bytes", pa.int64()),
+            ("partition_id", pa.int32()),
+            ("spans", pa.list_(span)),
+        ]
+    )
+
+
+def extract_batch_arrow(batches) -> "Iterator":
+    """mapInArrow body: columnar twin of extract_batch.
+
+    Builds the output RecordBatch column-by-column (flat span arrays +
+    offsets) instead of per-row dicts through pandas — skips one full
+    row→columnar conversion per batch on the hot path.
+    """
+    import pyarrow as pa
+
+    from ..htmlcore.extract import extract_html as _xhtml
+    from ..pdfcore.extract import extract_pdf as _xpdf
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    schema = _arrow_schema()
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        n = len(urls)
+        kind_c, text_c, npages_c, nitems_c, nspans_c = [], [], [], [], []
+        err_c, ms_c, bytes_c = [], [], []
+        # spans as flat struct columns + list offsets
+        offsets = [0]
+        s_page, s_seq, s_text = [], [], []
+        s_x, s_y, s_font, s_size, s_width = [], [], [], [], []
+        for url, payload in zip(urls, payloads):
+            t0 = time.perf_counter()
+            raw = bytes(payload) if payload is not None else b""
+            kind = _sniff(raw)
+            text, n_pages, n_items, error = "", 0, 0, None
+            n_spans = 0
+            if kind == "pdf":
+                r = _xpdf(raw)
+                text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
+                n_spans = len(r.spans)
+                for s, pg in zip(r.spans, r.span_pages):
+                    s_page.append(pg)
+                    s_seq.append(s.seq)
+                    s_text.append(s.text)
+                    s_x.append(s.x)
+                    s_y.append(s.y)
+                    s_font.append(s.font)
+                    s_size.append(s.size)
+                    s_width.append(s.width)
+            else:
+                try:
+                    text = _xhtml(raw.decode("utf-8", errors="replace"))
+                    n_items = text.count("\n") + 1 if text else 0
+                except Exception as exc:
+                    error = f"{type(exc).__name__}: {exc}"
+            offsets.append(len(s_seq))
+            kind_c.append(kind)
+            text_c.append(text)
+            npages_c.append(n_pages)
+            nitems_c.append(n_items)
+            nspans_c.append(n_spans)
+            err_c.append(error)
+            ms_c.append((time.perf_counter() - t0) * 1000.0)
+            bytes_c.append(len(raw))
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(s_page, pa.int32()),
+                pa.array(s_seq, pa.int32()),
+                pa.array(s_text, pa.string()),
+                pa.array(s_x, pa.float64()),
+                pa.array(s_y, pa.float64()),
+                pa.array(s_font, pa.string()),
+                pa.array(s_size, pa.float64()),
+                pa.array(s_width, pa.float64()),
+            ],
+            names=["page_no", "seq", "text", "x", "y", "font", "size", "width"],
+        )
+        spans_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), span_struct
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(kind_c, pa.string()),
+                pa.array(text_c, pa.string()),
+                pa.array(npages_c, pa.int32()),
+                pa.array(nitems_c, pa.int32()),
+                pa.array(nspans_c, pa.int32()),
+                pa.array(err_c, pa.string()),
+                pa.array(ms_c, pa.float64()),
+                pa.array(bytes_c, pa.int64()),
+                pa.array([pid] * n, pa.int32()),
+                spans_col,
+            ],
+            schema=schema,
+        )
+
+
 def parse_webdocs(
     webdocs: DataFrame,
     num_partitions: int | None = None,
@@ -138,7 +263,13 @@ def parse_webdocs(
         slim = salted_repartition(slim, num_partitions, salt_map=salt_map)
     else:
         slim = slim.repartition(num_partitions, F.col("url"))
-    return slim.mapInPandas(extract_batch, schema=PARSED_SCHEMA)
+    # Columnar Arrow path by default (no pandas row materialization);
+    # the pandas twin (extract_batch) remains the reference
+    # implementation and fallback.
+    try:
+        return slim.mapInArrow(extract_batch_arrow, schema=PARSED_SCHEMA)
+    except AttributeError:  # very old Spark: no mapInArrow
+        return slim.mapInPandas(extract_batch, schema=PARSED_SCHEMA)
 
 
 def extracted_view(parsed: DataFrame) -> DataFrame:
@@ -153,6 +284,32 @@ def spans_view(parsed: DataFrame) -> DataFrame:
     return parsed.select(
         "url", F.explode("spans").alias("s")
     ).select("url", "s.*")
+
+
+def clean_spans_view(parsed: DataFrame) -> DataFrame:
+    """Span records after the reference's geometry hygiene filters:
+
+    - F2 ghost-rect filter (pdf_gui.py:743-745,867-869): drop spans
+      with width < 1 or height < 1, or an origin at (0,0);
+    - F3 rect dedup at 0.1 pt (pdf_gui.py:737-747): one span per
+      rounded (x, y) position per url/page.
+
+    Pure narrow operations — the dedup is a dropDuplicates on rounded
+    keys, which Spark executes as a hash aggregate (map-side combined).
+    """
+    sp = spans_view(parsed)
+    ghost = (
+        (F.col("width") < 1)
+        | (F.col("size") < 1)
+        | ((F.col("x") < 1) & (F.col("y") < 1))
+    )
+    return (
+        sp.where(~ghost)
+        .withColumn("_rx", F.round("x", 1))
+        .withColumn("_ry", F.round("y", 1))
+        .dropDuplicates(["url", "page_no", "_rx", "_ry"])
+        .drop("_rx", "_ry")
+    )
 
 
 def audit_view(parsed: DataFrame) -> DataFrame:

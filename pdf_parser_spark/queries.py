@@ -182,6 +182,25 @@ def span_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "span_geometry_clean",
+    f"SELECT {URL_SQL} AS url, len({PDF_LINES_SQL})::BIGINT AS n_spans "
+    "FROM documents WHERE doc_id % 2 = 0",
+)
+def span_geometry_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3 span hygiene (ghost-rect filter + 0.1pt rect dedup): on
+    the clean synthetic corpus every emitted span survives, so the
+    per-url clean-span count must equal the expected line count — the
+    oracle-checkable invariant for the geometry filters."""
+    from .engine.extractor import clean_spans_view
+
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    parsed = parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    return clean_spans_view(parsed).groupBy("url").agg(
+        F.count("*").cast("bigint").alias("n_spans")
+    )
+
+
 @q("audit_metrics")  # rows-only: partition ids are runtime-dependent
 def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage rows (north rule): docs, failures, bytes,
