@@ -547,6 +547,49 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "volume_by_nation",
+    "SELECT n.n_name, r.r_name, round(sum(o.o_totalprice), 2) AS total_volume, "
+    "count(*)::BIGINT AS n_orders FROM orders o JOIN customer c "
+    "ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY n.n_name, r.r_name",
+)
+def volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact ⋈ customer ⋈ broadcast(nation) ⋈
+    broadcast(region) → rollup. Catalyst broadcast-joins both tiny dims
+    so only the orders⋈customer shuffle remains."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_volume"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "orders_without_lineitems",
+    "SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join existence check (left_anti — the same primitive the
+    resume path uses for committed-url exclusion)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # deduplication family
 
