@@ -333,6 +333,44 @@ def simhash16(tok_col: Column) -> Column:
     return out.cast("int")
 
 
+def simhash16_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): relational 16-bit SimHash — explode distinct
+    tokens, one md5 per token row, 16 bit-vote sums in a single
+    map-side-combined groupBy. Same bits as simhash16() (vote sums are
+    order-insensitive), but no giant nested expression: codegen stays
+    small and the shuffle carries only (id, 16 ints). Documents with no
+    tokens get simhash 0 (all votes empty ⇒ no bit set)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    h = tok.select(id_col, F.md5("tok").alias("h"))
+    aggs = []
+    for j in range(16):
+        dp, bp = j // 4, j % 4
+        digit = (
+            F.instr(F.lit(HEX_DIGITS), F.substring("h", dp + 1, 1)) - 1
+        ).cast("int")
+        bit = F.shiftright(digit, bp).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(2 * bit - 1).alias(f"v{j}"))
+    votes = h.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0)
+    for j in range(16):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    out = votes.select(F.col(id_col), sim.cast("int").alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col, F.coalesce("simhash", F.lit(0)).cast("int").alias("simhash")
+        )
+    )
+
+
 def embedding_topk_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

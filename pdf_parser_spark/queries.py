@@ -716,11 +716,9 @@ def _duck_simhash_sql() -> str:
 
 @q("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document, md5-bit votes folded JVM-side."""
+    """16-bit SimHash per document (relational bit-vote path)."""
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dedup.simhash16(textstats.tokens("text")).alias("simhash")
-    )
+    return dedup.simhash16_table(docs)
 
 
 _DUCK_COS = (

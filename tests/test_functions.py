@@ -115,6 +115,21 @@ def test_simhash_close_for_similar(spark):
     assert all(0 <= v < 65536 for v in sh.values())
 
 
+def test_simhash_table_matches_expression_path(spark, docs):
+    sample = docs.limit(50)
+    expr = {
+        r["doc_id"]: r["s"]
+        for r in sample.select(
+            "doc_id", dedup.simhash16(textstats.tokens("text")).alias("s")
+        ).collect()
+    }
+    table = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash16_table(sample).collect()
+    }
+    assert table == expr
+
+
 def test_jaccard_pairs_counts(spark):
     a = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
     b = spark.createDataFrame([(1000001, "a b c d")], "doc_id INT, text STRING")
