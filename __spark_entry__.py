@@ -11,9 +11,17 @@ the thin stable surface the driver imports.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Robust regardless of the driver's CWD: the package lives next to
+# this file.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

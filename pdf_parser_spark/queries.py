@@ -40,9 +40,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make pdf_parser_spark importable on executor Python workers.
+
+    The driver process may import this package from a sys.path entry
+    the workers never see (e.g. the round driver running with a foreign
+    CWD); cloudpickled UDFs reference the module by name, so workers
+    need a copy. addPyFile distributes a zip once per SparkContext —
+    the programmatic twin of `spark-submit --py-files`.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_pdf_parser_spark_shipped", False):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "pdf_parser_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pdf_parser_spark_ship_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._pdf_parser_spark_shipped = True
+
+
 def q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn
