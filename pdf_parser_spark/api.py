@@ -58,14 +58,65 @@ def _span_rect(span: Span) -> dict:
     }
 
 
+def _containment_filter(results: list[dict]) -> list[dict]:
+    """Reference F1 nested-bbox filter (api.py:337-388), semantics-exact:
+
+    - every result gets area = rect area (0 when rect is None);
+    - stable sort by area DESC — the returned order IS this order, not
+      document order;
+    - rect-less results are always kept;
+    - a result is dropped iff its rect is fully contained (>=/<= on all
+      four edges) in the rect of ANY earlier entry of the sorted list —
+      which includes equal-area duplicates, so exact-duplicate rects
+      collapse to the first.
+    """
+    if not results:
+        return results
+    for result in results:
+        rect = result.get("rect")
+        result["_area"] = (
+            (rect["x1"] - rect["x0"]) * (rect["y1"] - rect["y0"]) if rect else 0
+        )
+    sorted_results = sorted(results, key=lambda x: x["_area"], reverse=True)
+    filtered: list[dict] = []
+    kept_rects: list[dict] = []
+    for result in sorted_results:
+        rect1 = result.get("rect")
+        if not rect1:
+            filtered.append(result)
+            continue
+        # the reference checks against ALL earlier sorted entries (kept
+        # or dropped, api.py:365-377); containment is transitive and
+        # every dropped entry sits inside some kept one, so checking
+        # kept rects only is result-identical and O(kept) not O(n).
+        contained = any(
+            rect1["x0"] >= r2["x0"]
+            and rect1["y0"] >= r2["y0"]
+            and rect1["x1"] <= r2["x1"]
+            and rect1["y1"] <= r2["y1"]
+            for r2 in kept_rects
+        )
+        if not contained:
+            filtered.append(result)
+            kept_rects.append(rect1)
+    for result in filtered:
+        result.pop("_area", None)
+    return filtered
+
+
 def parse_page_text(pdf, page_num: int = 0) -> list[dict]:
     """Parse one page into the reference's result-dict list.
 
     Output shape mirrors api.py:189-195 / README.md:228-245:
-    ``{text, rect, font, encoded_bytes, instance_index}`` per element,
-    in content-stream order. ``rect`` is None when no span aligned with
-    the decoded item (the reference's unmatched-geometry case — its
-    left-outer J1 semantics, api.py:151-169).
+    ``{text, rect, font, encoded_bytes, instance_index}`` per element.
+    ``rect`` is None when no span aligned with the decoded item (the
+    reference's unmatched-geometry case — its left-outer J1 semantics,
+    api.py:151-169). Like the reference, the returned list passes the
+    nested-bbox containment filter and arrives in rect-area-descending
+    order (api.py:337-390), NOT document order. Page elements produced
+    by the degraded fallback sweep carry ``source='literal_sweep'``
+    and no font/encoded_bytes (mirroring the reference's
+    ``source='pymupdf_basic'`` fallback rows, api.py:235-258).
     """
     r = extract_pdf(_as_bytes(pdf))
     if r.error and not r.items:
@@ -85,20 +136,30 @@ def parse_page_text(pdf, page_num: int = 0) -> list[dict]:
                 rect = _span_rect(page_spans[i])
                 cursor = i + 1
                 break
-        results.append(
-            {
-                "text": text,
-                "rect": rect,
-                "font": font,
-                "encoded_bytes": encoded.hex(),
-                "instance_index": instance_index,
-            }
-        )
-    return results
+        if font is None:  # degraded fallback row
+            results.append(
+                {
+                    "text": text,
+                    "rect": rect,
+                    "source": "literal_sweep",
+                    "instance_index": instance_index,
+                }
+            )
+        else:
+            results.append(
+                {
+                    "text": text,
+                    "rect": rect,
+                    "font": font,
+                    "encoded_bytes": encoded.hex(),
+                    "instance_index": instance_index,
+                }
+            )
+    return _containment_filter(results)
 
 
 def search_text_in_pdf(
-    pdf, search_text: str, page_num: int | None = None, case_sensitive: bool = True
+    pdf, search_text: str, page_num: int | None = None, case_sensitive: bool = False
 ) -> list[dict]:
     """Find occurrences of *search_text* across one page or all pages.
 
@@ -166,7 +227,7 @@ class PDFTextReplacer:
 
     def search_text(
         self, search_text: str, page_num: int | None = None,
-        case_sensitive: bool = True,
+        case_sensitive: bool = False,
     ) -> list[dict]:
         return search_text_in_pdf(self._data, search_text, page_num, case_sensitive)
 

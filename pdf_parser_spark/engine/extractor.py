@@ -31,10 +31,15 @@ SPAN_STRUCT = (
     "page_no INT, seq INT, text STRING, x DOUBLE, y DOUBLE, "
     "font STRING, size DOUBLE, width DOUBLE"
 )
+ITEM_STRUCT = (
+    "seq INT, page_no INT, font STRING, text STRING, "
+    "encoded_hex STRING, instance_index INT"
+)
 PARSED_SCHEMA = (
     "url STRING, kind STRING, text STRING, n_pages INT, n_items INT, "
     f"n_spans INT, error STRING, parse_ms DOUBLE, payload_bytes BIGINT, "
-    f"partition_id INT, spans ARRAY<STRUCT<{SPAN_STRUCT}>>"
+    f"partition_id INT, fallback_pages INT, "
+    f"spans ARRAY<STRUCT<{SPAN_STRUCT}>>, items ARRAY<STRUCT<{ITEM_STRUCT}>>"
 )
 
 
@@ -52,12 +57,14 @@ def _extract_one(url: str, payload) -> dict:
     payload = bytes(payload)
     kind = _sniff(payload)
     text = ""
-    n_pages = n_items = n_spans = 0
+    n_pages = n_items = n_spans = fallback_pages = 0
     error = None
     spans: list[dict] = []
+    items: list[dict] = []
     if kind == "pdf":
         r = extract_pdf(payload)
         text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
+        fallback_pages = r.fallback_pages
         spans = [
             {
                 "page_no": int(pg),
@@ -72,6 +79,17 @@ def _extract_one(url: str, payload) -> dict:
             for s, pg in zip(r.spans, r.span_pages)
         ]
         n_spans = len(spans)
+        items = [
+            {
+                "seq": int(i),
+                "page_no": int(pno),
+                "font": font,
+                "text": itext,
+                "encoded_hex": encoded.hex(),
+                "instance_index": int(idx),
+            }
+            for i, (pno, font, itext, encoded, idx) in enumerate(r.items)
+        ]
     else:
         try:
             text = extract_html(payload.decode("utf-8", errors="replace"))
@@ -88,7 +106,9 @@ def _extract_one(url: str, payload) -> dict:
         "error": error,
         "parse_ms": (time.perf_counter() - t0) * 1000.0,
         "payload_bytes": len(payload),
+        "fallback_pages": fallback_pages,
         "spans": spans,
+        "items": items,
     }
 
 
@@ -104,7 +124,8 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows,
             columns=[
                 "url", "kind", "text", "n_pages", "n_items", "n_spans",
-                "error", "parse_ms", "payload_bytes", "spans",
+                "error", "parse_ms", "payload_bytes", "fallback_pages",
+                "spans", "items",
             ],
         )
         out.insert(9, "partition_id", pid)
@@ -126,6 +147,16 @@ def _arrow_schema():
             ("width", pa.float64()),
         ]
     )
+    item = pa.struct(
+        [
+            ("seq", pa.int32()),
+            ("page_no", pa.int32()),
+            ("font", pa.string()),
+            ("text", pa.string()),
+            ("encoded_hex", pa.string()),
+            ("instance_index", pa.int32()),
+        ]
+    )
     return pa.schema(
         [
             ("url", pa.string()),
@@ -138,7 +169,9 @@ def _arrow_schema():
             ("parse_ms", pa.float64()),
             ("payload_bytes", pa.int64()),
             ("partition_id", pa.int32()),
+            ("fallback_pages", pa.int32()),
             ("spans", pa.list_(span)),
+            ("items", pa.list_(item)),
         ]
     )
 
@@ -163,21 +196,24 @@ def extract_batch_arrow(batches) -> "Iterator":
         payloads = batch.column("html").to_pylist()
         n = len(urls)
         kind_c, text_c, npages_c, nitems_c, nspans_c = [], [], [], [], []
-        err_c, ms_c, bytes_c = [], [], []
-        # spans as flat struct columns + list offsets
+        err_c, ms_c, bytes_c, fb_c = [], [], [], []
+        # spans/items as flat struct columns + list offsets
         offsets = [0]
         s_page, s_seq, s_text = [], [], []
         s_x, s_y, s_font, s_size, s_width = [], [], [], [], []
+        i_offsets = [0]
+        i_seq, i_page, i_font, i_text, i_hex, i_idx = [], [], [], [], [], []
         for url, payload in zip(urls, payloads):
             t0 = time.perf_counter()
             raw = bytes(payload) if payload is not None else b""
             kind = _sniff(raw)
             text, n_pages, n_items, error = "", 0, 0, None
-            n_spans = 0
+            n_spans = fallback_pages = 0
             if kind == "pdf":
                 r = _xpdf(raw)
                 text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
                 n_spans = len(r.spans)
+                fallback_pages = r.fallback_pages
                 for s, pg in zip(r.spans, r.span_pages):
                     s_page.append(pg)
                     s_seq.append(s.seq)
@@ -187,6 +223,13 @@ def extract_batch_arrow(batches) -> "Iterator":
                     s_font.append(s.font)
                     s_size.append(s.size)
                     s_width.append(s.width)
+                for i, (pno, font, itext, encoded, idx) in enumerate(r.items):
+                    i_seq.append(i)
+                    i_page.append(pno)
+                    i_font.append(font)
+                    i_text.append(itext)
+                    i_hex.append(encoded.hex())
+                    i_idx.append(idx)
             else:
                 try:
                     text = _xhtml(raw.decode("utf-8", errors="replace"))
@@ -194,6 +237,7 @@ def extract_batch_arrow(batches) -> "Iterator":
                 except Exception as exc:
                     error = f"{type(exc).__name__}: {exc}"
             offsets.append(len(s_seq))
+            i_offsets.append(len(i_seq))
             kind_c.append(kind)
             text_c.append(text)
             npages_c.append(n_pages)
@@ -202,6 +246,7 @@ def extract_batch_arrow(batches) -> "Iterator":
             err_c.append(error)
             ms_c.append((time.perf_counter() - t0) * 1000.0)
             bytes_c.append(len(raw))
+            fb_c.append(fallback_pages)
         span_struct = pa.StructArray.from_arrays(
             [
                 pa.array(s_page, pa.int32()),
@@ -218,6 +263,20 @@ def extract_batch_arrow(batches) -> "Iterator":
         spans_col = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), span_struct
         )
+        item_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(i_seq, pa.int32()),
+                pa.array(i_page, pa.int32()),
+                pa.array(i_font, pa.string()),
+                pa.array(i_text, pa.string()),
+                pa.array(i_hex, pa.string()),
+                pa.array(i_idx, pa.int32()),
+            ],
+            names=["seq", "page_no", "font", "text", "encoded_hex", "instance_index"],
+        )
+        items_col = pa.ListArray.from_arrays(
+            pa.array(i_offsets, pa.int32()), item_struct
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -230,7 +289,9 @@ def extract_batch_arrow(batches) -> "Iterator":
                 pa.array(ms_c, pa.float64()),
                 pa.array(bytes_c, pa.int64()),
                 pa.array([pid] * n, pa.int32()),
+                pa.array(fb_c, pa.int32()),
                 spans_col,
+                items_col,
             ],
             schema=schema,
         )
@@ -273,7 +334,7 @@ def parse_webdocs(
 
 
 def extracted_view(parsed: DataFrame) -> DataFrame:
-    """extracted(url, text, ...) — prunes the spans array away."""
+    """extracted(url, text, ...) — prunes the spans/items arrays away."""
     return parsed.select(
         "url", "kind", "text", "n_pages", "n_items", "error"
     )
@@ -284,6 +345,40 @@ def spans_view(parsed: DataFrame) -> DataFrame:
     return parsed.select(
         "url", F.explode("spans").alias("s")
     ).select("url", "s.*")
+
+
+def items_view(parsed: DataFrame) -> DataFrame:
+    """Decoded text items exploded — the reference's per-element result
+    dicts (api.py:189-195) as a relation: (url, seq, page_no, font,
+    text, encoded_hex, instance_index). ``seq`` is the per-document
+    content-stream ordinal; ``instance_index`` is the kernel's running
+    per-distinct-text count (A1/F4), exposed so SQL can re-derive and
+    verify it."""
+    return parsed.select(
+        "url", F.explode("items").alias("i")
+    ).select("url", "i.*")
+
+
+HOST_FROM_URL = r"^[a-z]+://([^/]+)/"
+
+
+def audit_by_host(parsed: DataFrame) -> DataFrame:
+    """Deterministic audit rollup keyed on host (derived from url) —
+    the oracle-checkable twin of :func:`audit_view` (which keys on the
+    runtime partition id for lineage)."""
+    return (
+        parsed.withColumn("host", F.regexp_extract("url", HOST_FROM_URL, 1))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_failures"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("fallback_pages").cast("bigint").alias("n_fallback_pages"),
+        )
+    )
 
 
 def clean_spans_view(parsed: DataFrame) -> DataFrame:
@@ -320,6 +415,7 @@ def audit_view(parsed: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failures"),
         F.sum("payload_bytes").alias("bytes_in"),
         F.sum("n_spans").alias("n_spans"),
+        F.sum("fallback_pages").alias("n_fallback_pages"),
         F.sum("parse_ms").alias("parse_ms_total"),
         (F.count("*") / (F.sum("parse_ms") / 1000.0)).alias("docs_per_sec"),
     )

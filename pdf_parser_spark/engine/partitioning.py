@@ -23,16 +23,28 @@ from pyspark.sql import functions as F
 def compute_salt_map(
     df: DataFrame, host_col: str = "host", target_docs_per_bucket: int | None = None
 ) -> dict[str, int]:
-    """Host → number of salt buckets. Pre-pass is a pruned groupBy-count."""
-    counts = df.groupBy(host_col).count().collect()
-    total = sum(r["count"] for r in counts)
-    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    """Host → number of salt buckets, for hosts that NEED salting.
+
+    Pre-pass is a pruned groupBy-count, but only hosts whose count
+    exceeds the per-bucket target are collected to the driver — every
+    other host defaults to 1 bucket downstream (salted_repartition
+    coalesces missing hosts to 1). A web corpus has tens of millions of
+    distinct hosts; collecting all of them is an unbounded driver
+    materialization. The skewed head is what matters, and it is small
+    by definition (at most total/target hosts can exceed the target).
+    """
+    counts = df.groupBy(host_col).count()
     if target_docs_per_bucket is None:
+        total = counts.agg(
+            F.sum("count").alias("t")
+        ).collect()[0]["t"] or 0
+        n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         # aim for ~2 buckets per shuffle partition across the whole corpus
         target_docs_per_bucket = max(1, total // (int(n_part) * 2) or 1)
+    hot = counts.where(F.col("count") > target_docs_per_bucket).collect()
     return {
         r[host_col]: max(1, math.ceil(r["count"] / target_docs_per_bucket))
-        for r in counts
+        for r in hot
     }
 
 

@@ -7,6 +7,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _available_mem_gib() -> float:
+    """MemAvailable from /proc/meminfo in GiB (0.0 when unreadable)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
 def build_session(
     app_name: str = "pdf_parser_spark",
     master: str | None = None,
@@ -28,11 +40,15 @@ def build_session(
     # Shuffle/spill scratch: prefer tmpfs on RAM-rich nodes — the
     # sandbox's /tmp sits on a throttled virtual disk, and a multi-GB
     # payload shuffle serializes on it (observed: 8-core extraction
-    # degraded 40% once shuffle volume exceeded ~2 GB). Overridable via
-    # SPARK_GRAFT_LOCAL_DIR; on a real cluster point this at NVMe.
+    # degraded 40% once shuffle volume exceeded ~2 GB). tmpfs spill
+    # competes with executor heap for physical RAM, so only default to
+    # /dev/shm when there is comfortable headroom (≥ 16 GiB available);
+    # otherwise spill to plain disk. SPARK_GRAFT_LOCAL_DIR overrides
+    # either way; on a real cluster point this at NVMe.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        if _available_mem_gib() >= 16.0:
+            local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,6 +65,7 @@ def build_session(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+        print(f"[pdf_parser_spark] spark.local.dir={local_dir}", flush=True)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

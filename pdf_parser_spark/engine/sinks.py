@@ -22,6 +22,13 @@ def hierarchical_json(spans: DataFrame) -> DataFrame:
     ``details`` is the array of per-occurrence structs in document
     order; ``global_index`` ranks texts by first appearance (url, page,
     seq) — the reference's enumeration order (example.py:286-304).
+
+    The global ordinal is assigned zipWithIndex-style: range-partition
+    by the first-appearance key (a global sort that scales out), then
+    per-partition ``row_number`` plus a broadcast map of cumulative
+    partition offsets. No unpartitioned window — an
+    ``Window.orderBy`` with no partitionBy funnels every row through a
+    single task, which is a scale-killer at corpus size.
     """
     agg = spans.groupBy("text").agg(
         F.sort_array(
@@ -31,9 +38,28 @@ def hierarchical_json(spans: DataFrame) -> DataFrame:
         ).alias("details"),
         F.min(F.struct("url", "page_no", "seq")).alias("_first"),
     )
-    w = Window.orderBy("_first")
-    return agg.withColumn("global_index", F.row_number().over(w) - 1).drop(
-        "_first"
+    spark = spans.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = agg.repartitionByRange(n_part, "_first").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # per-partition local ordinal (partitions are small and ordered
+    # among themselves by the range partitioner)
+    w_local = Window.partitionBy("_pid").orderBy("_first")
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    # cumulative offset per partition id: tiny aggregate (one row per
+    # partition), safe to window un-partitioned and broadcast back
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("global_index", (F.col("_off") + F.col("_rn") - 1).cast("int"))
+        .drop("_first", "_pid", "_rn", "_off")
     )
 
 

@@ -178,11 +178,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
-    # Persist the band table: a self-join otherwise evaluates the whole
-    # shingle→signature subplan twice (once per side). At cluster scale
-    # the same role is played by materializing `band` to a table before
-    # the join; persist is the in-session equivalent.
-    band = band.persist()
+    # Materialize the band table: a self-join otherwise evaluates the
+    # whole shingle→signature subplan twice (once per side). At cluster
+    # scale the same role is played by writing `band` to a table before
+    # the join. localCheckpoint (not persist) because its blocks are
+    # released by the ContextCleaner once the result DataFrame is
+    # garbage-collected — a bare persist() leaks storage memory across
+    # repeated calls in a long-lived session (bench loops, notebooks).
+    band = band.localCheckpoint(eager=True)
     a = band.alias("a")
     b = band.alias("b")
     return (

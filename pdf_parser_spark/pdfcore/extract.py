@@ -21,10 +21,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import re
+
 from .cmap import CMap, parse_cmap, synthesize_tounicode_cmap
 from .document import PdfDocument, PdfError
 from .lexer import Name, Stream
-from .tokenizer import FontMetrics, Span, extract_spans, extract_text_items
+from .tokenizer import (
+    FontMetrics,
+    Span,
+    extract_spans,
+    extract_text_items,
+    normalize_escapes,
+)
 
 
 @dataclass
@@ -37,6 +45,34 @@ class ExtractResult:
     n_items: int
     error: str | None = None
     fonts_seen: list = field(default_factory=list)
+    fallback_pages: int = 0  # pages that used the degraded literal sweep
+
+
+_LITERAL_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)")
+
+
+def fallback_sweep(content: bytes) -> list[tuple[str, bytes]]:
+    """Degraded extraction for pages whose content yields no decoded
+    items (fontless / unparseable-font pages): a best-effort sweep of
+    every string literal in the content stream, latin1-decoded.
+
+    The reference's equivalent is its PyMuPDF ``get_text()`` fallback
+    (/root/reference/pdf_parser/api.py:197-264): when the content-stream
+    walk finds nothing it emits stripped non-empty text lines from a
+    second, lossier pass. We have no PyMuPDF, so the degraded pass reads
+    the literals directly — same trigger, same line discipline (strip,
+    drop empty), same bookkeeping (instance dance, ``source`` marker).
+    """
+    out: list[tuple[str, bytes]] = []
+    for m in _LITERAL_RE.finditer(content.decode("latin1", errors="replace")):
+        try:
+            encoded = normalize_escapes(m.group(1))
+        except UnicodeEncodeError:
+            continue
+        stripped = encoded.decode("latin1").strip()
+        if stripped:
+            out.append((stripped, encoded))
+    return out
 
 
 def _font_cmaps_and_metrics(
@@ -84,6 +120,7 @@ def extract_pdf(data: bytes) -> ExtractResult:
     # mirroring the reference's text_instance_counts (api.py:136-149)
     instance_counts: dict[str, int] = {}
     error = None
+    fallback_pages = 0
     for page_no, page in enumerate(pages):
         try:
             cmaps, metrics = _font_cmaps_and_metrics(doc, page)
@@ -94,10 +131,21 @@ def extract_pdf(data: bytes) -> ExtractResult:
         if not content:
             continue
         fonts_seen.update(cmaps)
+        n_before = len(items)
         for font, text, encoded in extract_text_items(content, cmaps):
             idx = instance_counts.get(text, 0)
             instance_counts[text] = idx + 1
             items.append((page_no, font, text, encoded, idx))
+        if len(items) == n_before:
+            # degraded path: same per-page trigger as the reference's
+            # PyMuPDF fallback (api.py:197) — no decoded items on this page
+            swept = fallback_sweep(content)
+            for text, encoded in swept:
+                idx = instance_counts.get(text, 0)
+                instance_counts[text] = idx + 1
+                items.append((page_no, None, text, encoded, idx))
+            if swept:
+                fallback_pages += 1
         for span in extract_spans(content, cmaps, metrics, page_no=page_no):
             all_spans.append(span)
             span_pages.append(page_no)
@@ -112,4 +160,5 @@ def extract_pdf(data: bytes) -> ExtractResult:
         n_items=len(items),
         error=error,
         fonts_seen=sorted(fonts_seen),
+        fallback_pages=fallback_pages,
     )

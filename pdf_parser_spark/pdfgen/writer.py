@@ -113,8 +113,11 @@ def build_pdf(
     variant: 'classic' (xref table) or 'xrefstream'.
     use_objstm: pack non-stream objects into an /ObjStm (requires
     variant='xrefstream').
+    fonts={} (empty dict, not None) emits NO font resources — a
+    "fontless" PDF whose text ops never decode, exercising the
+    degraded fallback-sweep path.
     """
-    fonts = fonts or {"F1": FontSpec()}
+    fonts = {"F1": FontSpec()} if fonts is None else fonts
     objects: dict[int, object] = {}
     next_num = 1
 
@@ -282,14 +285,16 @@ def make_text_pdf(
     use_objstm: bool = False,
     contents_array: bool = False,
     two_column: bool = False,
+    fontless: bool = False,
 ) -> bytes:
     """One Tj per line, top-down from y=720, leading 14pt.
 
     two_column: lay half the lines at x=72 and half at x=320 but emit the
     right column FIRST in the content stream — pins content-stream-order
     (not reading-order) extraction, SURVEY.md §7.3.5.
+    fontless: omit font resources entirely (degraded-path exercise).
     """
-    fonts = {"F1": font or FontSpec()}
+    fonts = {} if fontless else {"F1": font or FontSpec()}
     page_contents = []
     for lines in pages_of_lines:
         ops = [f"BT\n/F1 {font_size} Tf".encode("latin1")]
@@ -356,6 +361,23 @@ def expected_text_from_source(text: str) -> str:
     for line in text.split("\n"):
         decoded = "".join(ch if " " <= ch <= "~" else "?" for ch in line)
         stripped = decoded.strip()
+        if stripped:
+            out.append(stripped)
+    return "\n".join(out)
+
+
+def expected_fallback_text_from_source(text: str) -> str:
+    """The text the degraded literal-sweep path must extract from a
+    *fontless* ``text_to_pdf(text)``-shaped PDF: latin1 round-trip
+    (chars > U+00FF become '?'), strip, drop empty — no WinAnsi CMap
+    filtering, so bytes 0x80-0xFF survive as themselves. SQL twin:
+
+        regexp_replace(line, '[^\\x00-\\x{00ff}]', '?', 'g') → trim → join
+    """
+    out = []
+    for line in text.split("\n"):
+        degraded = "".join(ch if ord(ch) <= 0xFF else "?" for ch in line)
+        stripped = degraded.strip()
         if stripped:
             out.append(stripped)
     return "\n".join(out)
