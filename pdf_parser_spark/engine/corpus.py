@@ -122,6 +122,61 @@ def webdocs_salt_map(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     return compute_salt_map(hosts)
 
 
+def synthesize_pdf_variant(
+    spark: SparkSession,
+    sf_dir: str,
+    lines_per_page: int = 48,
+    fontless: bool = False,
+) -> DataFrame:
+    """PDF-only corpus variant: every source document (even doc_id, the
+    PDF half — keeping doc_id parity identical to synthesize_webdocs)
+    rendered with a controllable page size and optionally without font
+    resources.
+
+    - ``lines_per_page`` < 48 yields multi-page PDFs even for short
+      docs, so cross-page span geometry (same (x, y) on different
+      pages) actually occurs — needed to exercise containment drops on
+      real spans.
+    - ``fontless=True`` omits font resources so the content stream
+      never decodes and the degraded literal-sweep fallback runs.
+    """
+    from ..pdfgen.writer import make_text_pdf
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            texts = pdf["text"].fillna("")
+            hosts = [host_for(int(i)) for i in ids]
+            payloads = []
+            for t in texts:
+                lines = wrap_lines(t) or [""]
+                pages = [
+                    lines[i : i + lines_per_page]
+                    for i in range(0, len(lines), lines_per_page)
+                ]
+                payloads.append(make_text_pdf(pages, fontless=fontless))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [
+                        f"https://{h}/doc/{int(i)}" for h, i in zip(hosts, ids)
+                    ],
+                    "host": hosts,
+                    "html": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id BIGINT, url STRING, host STRING, html BINARY"
+    )
+
+
 def synthesize_webdocs(
     spark: SparkSession, sf_dir: str, replicate: int = 1
 ) -> DataFrame:

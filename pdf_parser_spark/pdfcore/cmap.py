@@ -33,18 +33,42 @@ _CHAR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 
 
 class CMap:
-    """Byte-code → unicode-char mapping with a fast translate table."""
+    """Byte-code → unicode-char mapping with a fast translate table.
 
-    __slots__ = ("mapping", "_table")
+    ``multi`` (CID extension, SURVEY §2.2 T7 north-star promise) holds
+    2-byte code → char entries; it is only populated when the CMap was
+    parsed with ``multibyte=True`` and is empty in reference-compatible
+    mode, keeping the fast single-byte translate path."""
 
-    def __init__(self, mapping: dict[int, str]):
+    __slots__ = ("mapping", "multi", "_table")
+
+    def __init__(self, mapping: dict[int, str], multi: dict[bytes, str] | None = None):
         self.mapping = mapping
+        self.multi = multi or {}
         # translate table over latin1-decoded bytes: ord(0..255) → char
         self._table = {i: mapping.get(i, "?") for i in range(256)}
 
     def decode(self, data: bytes) -> str:
-        """Per-byte decode with '?' fallback (reference cmap.py:43-54)."""
-        return data.decode("latin1").translate(self._table)
+        """Per-byte decode with '?' fallback (reference cmap.py:43-54).
+
+        With 2-byte entries present, a greedy walk consumes a 2-byte
+        code wherever one matches and falls back to the single-byte
+        table otherwise — reference-identical when ``multi`` is empty
+        (always, unless parsed with multibyte=True)."""
+        if not self.multi:
+            return data.decode("latin1").translate(self._table)
+        out: list[str] = []
+        i, n = 0, len(data)
+        while i < n:
+            pair = data[i : i + 2]
+            ch = self.multi.get(pair)
+            if ch is not None:
+                out.append(ch)
+                i += 2
+                continue
+            out.append(self._table[data[i]])
+            i += 1
+        return "".join(out)
 
     def reverse(self) -> dict[str, int]:
         """Unicode char → byte code (last writer wins, like dict inversion
@@ -52,32 +76,61 @@ class CMap:
         return {v: k for k, v in self.mapping.items()}
 
 
-def parse_cmap(cmap_str: str) -> CMap:
+def parse_cmap(cmap_str: str, multibyte: bool = False) -> CMap:
     """Parse a ToUnicode CMap string (reference semantics, see module doc).
 
-    Memoized on the exact source string: fonts repeat massively across a
+    ``multibyte=False`` (default) is reference-identical: codes > 0xFF
+    are silently skipped, the line-oriented quirks apply (including the
+    codespacerange ghost entry). ``multibyte=True`` is the CID
+    extension promised by SURVEY §2.2 T7: the parse becomes
+    codespace-section-aware (codespacerange lines no longer produce
+    ghost bfchar entries) and 2-byte source codes populate
+    ``CMap.multi`` so CJK text decodes instead of '?????'. The flag is
+    OFF for all goldens/oracles.
+
+    Memoized on (source string, flag): fonts repeat massively across a
     corpus (every WinAnsi-synthesized CMap is literally identical, and
     real documents share embedded-font ToUnicode streams), and the
     returned CMap is read-only by construction, so sharing one instance
     is safe. Profiling showed re-parsing cost ~30% of per-document
     kernel time before this cache.
     """
-    return _parse_cmap_cached(cmap_str)
+    return _parse_cmap_cached(cmap_str, multibyte)
 
 
 from functools import lru_cache  # noqa: E402  (kept beside its sole user)
 
 
 @lru_cache(maxsize=4096)
-def _parse_cmap_cached(cmap_str: str) -> CMap:
+def _parse_cmap_cached(cmap_str: str, multibyte: bool = False) -> CMap:
     mapping: dict[int, str] = {}
+    multi: dict[bytes, str] = {}
+    in_codespace = False
     for line in cmap_str.splitlines():
+        if multibyte:
+            # section-aware: codespacerange bounds are not mappings
+            if "begincodespacerange" in line:
+                in_codespace = True
+                continue
+            if "endcodespacerange" in line:
+                in_codespace = False
+                continue
+            if in_codespace:
+                continue
         m = _RANGE_RE.search(line)
         if m:
             lo = int(m.group(1), 16)
             hi = int(m.group(2), 16)
             dst = int(m.group(3), 16)
+            # in multibyte mode the code width is declared by the hex
+            # digit count (<0041> is the 2-byte code 00 41), not the
+            # numeric magnitude; only 2-byte codes are supported
+            wide = multibyte and len(m.group(1)) == 4
             for code in range(lo, hi + 1):
+                if wide:
+                    if code <= 0xFFFF:
+                        multi[code.to_bytes(2, "big")] = chr(dst + (code - lo))
+                    continue
                 if code > 0xFF:
                     continue
                 mapping[code] = chr(dst + (code - lo))
@@ -85,10 +138,14 @@ def _parse_cmap_cached(cmap_str: str) -> CMap:
         m = _CHAR_RE.search(line)
         if m:
             code = int(m.group(1), 16)
+            if multibyte and len(m.group(1)) == 4:
+                if code <= 0xFFFF:
+                    multi[code.to_bytes(2, "big")] = chr(int(m.group(2), 16))
+                continue
             if code > 0xFF:
                 continue
             mapping[code] = chr(int(m.group(2), 16))
-    return CMap(mapping)
+    return CMap(mapping, multi if multibyte else None)
 
 
 def decode_pdf_string(data: bytes, cmap: CMap) -> str:

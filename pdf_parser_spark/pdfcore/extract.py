@@ -76,7 +76,7 @@ def fallback_sweep(content: bytes) -> list[tuple[str, bytes]]:
 
 
 def _font_cmaps_and_metrics(
-    doc: PdfDocument, page: dict
+    doc: PdfDocument, page: dict, multibyte_cmaps: bool = False
 ) -> tuple[dict[str, CMap], dict[str, FontMetrics]]:
     cmaps: dict[str, CMap] = {}
     metrics: dict[str, FontMetrics] = {}
@@ -84,7 +84,7 @@ def _font_cmaps_and_metrics(
         tounicode = doc.resolve(fdict.get("ToUnicode"))
         if isinstance(tounicode, Stream):
             cmap_str = doc.stream_bytes(tounicode).decode("utf-8", errors="ignore")
-            cmaps[fname] = parse_cmap(cmap_str)
+            cmaps[fname] = parse_cmap(cmap_str, multibyte=multibyte_cmaps)
         else:
             enc = doc.resolve(fdict.get("Encoding"))
             enc_name = "/" + str(enc) if isinstance(enc, Name) else "/WinAnsiEncoding"
@@ -99,10 +99,14 @@ def _font_cmaps_and_metrics(
     return cmaps, metrics
 
 
-def extract_pdf(data: bytes) -> ExtractResult:
+def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
     """Extract text + spans from raw PDF bytes. Never raises: failures are
     reported in ``.error`` so the Spark audit table can count them
-    (north rule: parse-failure counts per partition)."""
+    (north rule: parse-failure counts per partition).
+
+    ``multibyte_cmaps=True`` enables the CID 2-byte CMap extension
+    (SURVEY §2.2 T7): CJK-style ToUnicode entries decode instead of
+    falling to '?'. OFF by default — reference-identical output."""
     try:
         doc = PdfDocument(data)
         pages = doc.pages()
@@ -123,7 +127,9 @@ def extract_pdf(data: bytes) -> ExtractResult:
     fallback_pages = 0
     for page_no, page in enumerate(pages):
         try:
-            cmaps, metrics = _font_cmaps_and_metrics(doc, page)
+            cmaps, metrics = _font_cmaps_and_metrics(
+                doc, page, multibyte_cmaps=multibyte_cmaps
+            )
             content = doc.page_content_bytes(page)
         except (PdfError, ValueError, KeyError, IndexError) as exc:
             error = f"page {page_no}: {type(exc).__name__}: {exc}"

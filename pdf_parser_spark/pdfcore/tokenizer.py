@@ -23,9 +23,10 @@ quirks are the contract (each pinned by a golden test):
 interpreter (ISO 32000-1 §9.4) recovering the (text, x, y, font, size)
 metadata the reference only approximates with constants
 (/root/reference/pdf_gui.py:845-854: font_size=12, char_width=8). We
-track Tf (with float sizes), Tm, Td/TD, TL, T*, BT/ET and per-glyph
-advances from /Widths, superseding the GUI's estimate while leaving the
-text pass untouched.
+track Tf (with float sizes), the full Tm matrix (translation + scale),
+Td/TD, TL, T*, BT/ET, Tc/Tw/Tz spacing state and per-glyph advances
+from /Widths, superseding the GUI's estimate while leaving the text
+pass untouched.
 """
 
 from __future__ import annotations
@@ -279,12 +280,19 @@ def extract_spans(
 ) -> list[Span]:
     """Interpret text-positioning operators and emit one Span per text run.
 
-    Implements the ISO 32000-1 §9.4.2 text state machine: BT/ET, Tf, Tm,
-    Td, TD, TL, T*, Tj, ', ", TJ (with kerning-aware advances). The
-    text-space origin (tx, ty) is tracked through the text line matrix;
-    glyph advances come from /Widths via *font_metrics* (default 500
-    units when unknown), replacing the reference's hard-coded 8-pt char
-    width (/root/reference/pdf_gui.py:848-853).
+    Implements the ISO 32000-1 §9.4 text state machine: BT/ET, Tf, Tm
+    (full 6-element matrix — translation AND scale), Td, TD, TL, T*,
+    Tc (char spacing), Tw (word spacing, applied on byte 0x20), Tz
+    (horizontal scaling %), Tj, ', " (incl. its aw/ac operands), TJ
+    (kerning-aware). Glyph advances come from /Widths via
+    *font_metrics* (default 500 units when unknown), replacing the
+    reference's hard-coded 8-pt char width
+    (/root/reference/pdf_gui.py:848-853). Per §9.4.4 the glyph
+    displacement is tx = ((w0/1000)·Tfs + Tc + Tw)·(Tz/100), mapped to
+    device space through the text matrix — so x/width respect Tm scale;
+    rotation (b/c ≠ 0) tracks the x' component only, y stays the line
+    origin. Reported ``size`` is Tfs (the Tf operand), not the
+    device-space effective size.
     """
     metrics = font_metrics or {}
     spans: list[Span] = []
@@ -292,30 +300,54 @@ def extract_spans(
     font: str | None = None
     size = 0.0
     leading = 0.0
-    # text line matrix origin + current displacement within the line
-    lx = ly = 0.0  # line start (set by Tm/Td)
-    cx = 0.0  # horizontal displacement within the line
+    char_sp = 0.0  # Tc
+    word_sp = 0.0  # Tw
+    hscale = 100.0  # Tz
+    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # text matrix [a b c d e f]
+    tlm = list(tm)  # line matrix
     seq = 0
 
+    def translate_line(tx: float, ty: float) -> None:
+        # Tlm = [[1,0,0],[0,1,0],[tx,ty,1]] × Tlm ; Tm = Tlm
+        nonlocal tm, tlm
+        tlm = [
+            tlm[0],
+            tlm[1],
+            tlm[2],
+            tlm[3],
+            tx * tlm[0] + ty * tlm[2] + tlm[4],
+            tx * tlm[1] + ty * tlm[3] + tlm[5],
+        ]
+        tm = list(tlm)
+
     def emit(raw: bytes, kern_groups: list | None = None):
-        nonlocal cx, seq
+        nonlocal seq
         if font is None:
             return
         cmap = font_cmaps.get(font)
         fm = metrics.get(font)
         scale = size / 1000.0
-        x0 = lx + cx
+        zh = hscale / 100.0
+        x0 = tm[4]
+        y0 = tm[5]
         char_xs: list[float] = []
         text_parts: list[str] = []
         groups = kern_groups if kern_groups is not None else [raw]
         for g in groups:
-            if isinstance(g, float):  # TJ kerning number: move left by g/1000 em
-                cx -= g * scale
+            if isinstance(g, float):  # TJ kerning: move by -g/1000 em
+                t = -g * scale * zh
+                tm[4] += t * tm[0]
+                tm[5] += t * tm[1]
                 continue
             for b in g:
-                char_xs.append(lx + cx)
-                adv = (fm.advance(b) if fm else 500.0) * scale
-                cx += adv
+                char_xs.append(tm[4])
+                t = (
+                    (fm.advance(b) if fm else 500.0) * scale
+                    + char_sp
+                    + (word_sp if b == 0x20 else 0.0)
+                ) * zh
+                tm[4] += t * tm[0]
+                tm[5] += t * tm[1]
             text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
         text = "".join(text_parts)
         if not text.strip():
@@ -325,10 +357,10 @@ def extract_spans(
                 seq=seq,
                 text=text,
                 x=x0,
-                y=ly,
+                y=y0,
                 font=font or "",
                 size=size,
-                width=(lx + cx) - x0,
+                width=tm[4] - x0,
                 char_xs=char_xs,
             )
         )
@@ -354,36 +386,53 @@ def extract_spans(
         elif op == "Tm":
             v = nums(6)
             if v:
-                lx, ly = v[4], v[5]
-                cx = 0.0
+                tm = list(v)
+                tlm = list(v)
         elif op in ("Td", "TD"):
             v = nums(2)
             if v:
-                lx += v[0]
-                ly += v[1]
-                cx = 0.0
+                translate_line(v[0], v[1])
                 if op == "TD":
                     leading = -v[1]
         elif op == "TL":
             v = nums(1)
             if v:
                 leading = v[0]
+        elif op == "Tc":
+            v = nums(1)
+            if v:
+                char_sp = v[0]
+        elif op == "Tw":
+            v = nums(1)
+            if v:
+                word_sp = v[0]
+        elif op == "Tz":
+            v = nums(1)
+            if v:
+                hscale = v[0]
         elif op == "T*":
-            ly -= leading
-            cx = 0.0
+            translate_line(0.0, -leading)
         elif op == "BT":
-            lx = ly = cx = 0.0
+            tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+            tlm = list(tm)
         elif op == "Tj":
             if stack and stack[-1][0] == "str":
                 emit(stack[-1][1])
         elif op == "'":
-            ly -= leading
-            cx = 0.0
+            translate_line(0.0, -leading)
             if stack and stack[-1][0] == "str":
                 emit(stack[-1][1])
         elif op == '"':
-            ly -= leading
-            cx = 0.0
+            # "aw ac string": set word/char spacing, next line, show
+            if (
+                len(stack) >= 3
+                and stack[-3][0] == "num"
+                and stack[-2][0] == "num"
+                and stack[-1][0] == "str"
+            ):
+                word_sp = stack[-3][1]
+                char_sp = stack[-2][1]
+            translate_line(0.0, -leading)
             if stack and stack[-1][0] == "str":
                 emit(stack[-1][1])
         elif op == "TJ":

@@ -25,12 +25,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .engine.corpus import (
+    CHUNKS_SQL,
     EXPECTED_SQL_EXPR,
+    HOST_SQL,
     PDF_LINES_SQL,
+    _HTML_LINES_SQL,
+    synthesize_pdf_variant,
     synthesize_webdocs,
     webdocs_salt_map,
 )
-from .engine.extractor import parse_webdocs, spans_view
+from .engine.extractor import items_view, parse_webdocs, spans_view
 from .functions import dedup, multimodal, similarity, textstats
 
 # ---------------------------------------------------------------------------
@@ -238,15 +242,52 @@ def span_geometry_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("audit_metrics")  # rows-only: partition ids are runtime-dependent
+@q(
+    "audit_metrics",
+    f"SELECT {HOST_SQL} AS host, count(*)::BIGINT AS n_docs, "
+    "0::BIGINT AS n_failures, "
+    f"sum(CASE WHEN doc_id % 2 = 0 THEN len({PDF_LINES_SQL}) ELSE 0 END)"
+    "::BIGINT AS n_spans, "
+    f"sum(CASE WHEN doc_id % 2 = 0 THEN len({PDF_LINES_SQL}) "
+    f"ELSE len({_HTML_LINES_SQL}) END)::BIGINT AS n_items, "
+    "0::BIGINT AS n_fallback_pages FROM documents GROUP BY 1",
+)
 def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage rows (north rule): docs, failures, bytes,
-    spans, docs/sec per partition."""
-    from .engine.extractor import audit_view
+    """Audit rollup keyed on host — deterministic, so the whole audit
+    surface (doc/failure/span/item/fallback counts) is oracle-checked.
+    The runtime partition-lineage twin (audit_view, keyed on Spark
+    partition id + wall-clock docs/sec) stays the operational surface
+    and is exercised in tests/test_engine_spark.py."""
+    from .engine.extractor import audit_by_host
 
     webdocs = synthesize_webdocs(spark, sf_dir)
-    return audit_view(
+    return audit_by_host(
         parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    )
+
+
+@q(
+    "fallback_extract",
+    f"WITH exp AS (SELECT {URL_SQL} AS url, {CHUNKS_SQL} AS chunks "
+    "FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT url, array_to_string(list_filter(list_transform(chunks, "
+    r"x -> trim(regexp_replace(x, '[^\x00-\x{00ff}]', '?', 'g'))), "
+    "x -> x <> ''), chr(10)) AS text, "
+    "CASE WHEN len(list_filter(list_transform(chunks, "
+    r"x -> trim(regexp_replace(x, '[^\x00-\x{00ff}]', '?', 'g'))), "
+    "x -> x <> '')) > 0 THEN 1 ELSE 0 END AS fallback_pages FROM exp",
+)
+def fallback_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degraded-path extraction: the corpus re-rendered WITHOUT font
+    resources, so the content-stream walk decodes nothing and the
+    literal-sweep fallback (the reference's PyMuPDF-fallback analog,
+    api.py:197-264) produces the text. Unlike the main path there is no
+    WinAnsi filtering — bytes 0x80-0xFF survive latin1 round-trip; only
+    chars > U+00FF degrade to '?'."""
+    w = synthesize_pdf_variant(spark, sf_dir, fontless=True)
+    parsed = parse_webdocs(w, salt_map=webdocs_salt_map(spark, sf_dir))
+    return parsed.select(
+        "url", "text", F.col("fallback_pages").cast("int").alias("fallback_pages")
     )
 
 
@@ -264,23 +305,54 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# relational reframings of the reference's dataflow operators
+# relational reframings of the reference's dataflow operators, running
+# over REAL extracted output (spans/items from parse_webdocs), with
+# DuckDB oracles that reconstruct the deterministic span geometry:
+# line i (1-based, L lines/page) → page_no=(i-1)//L, seq=(i-1)%L,
+# x=72, y=720-14*seq, size=12, width=6*len (default /Widths advance
+# 500/1000 × 12pt — pdfgen writes no /Widths array).
+
+
+def _span_lines_cte(lines_per_page: int = 48) -> str:
+    """Reconstructed span stream per PDF url: (url, gseq, page_no, seq,
+    text) — the SQL twin of spans_view over the synthetic corpus."""
+    l = lines_per_page
+    return (
+        f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "lines AS (SELECT url, unnest(list_transform(range(1, len(flines) + 1), "
+        f"i -> {{'gseq': i - 1, 'page_no': (i - 1) // {l}, "
+        f"'seq': (i - 1) % {l}, 'text': flines[i]}}), recursive := true) FROM exp)"
+    )
+
+
+def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed PDF half of the corpus, materialized once.
+
+    localCheckpoint because every consumer branches the parsed frame at
+    least twice (items + spans, hits + blocks, self-join sides) — the
+    in-session analog of parse-once-write-spans-table; without it each
+    branch re-runs the whole mapInArrow parse. Blocks are reclaimed on
+    GC (unlike a bare persist)."""
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    parsed = parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    return parsed.localCheckpoint(eager=True)
 
 
 @q(
     "instance_index",
-    "SELECT event_id, (row_number() OVER (PARTITION BY user_id, event_type "
-    "ORDER BY ts, event_id) - 1)::BIGINT AS instance_index FROM events",
+    f"{_span_lines_cte()} "
+    "SELECT url, gseq::INT AS seq, text, (row_number() OVER (PARTITION BY "
+    "url, text ORDER BY gseq) - 1)::INT AS instance_index FROM lines",
 )
 def instance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/F4: per-(group, value) running ordinal via a rank window —
-    the relational form of the reference's forward-only instance
-    tracking (api.py:139-186)."""
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return _read(spark, sf_dir, "events").select(
-        "event_id",
-        (F.row_number().over(w) - 1).cast("bigint").alias("instance_index"),
-    )
+    """A1/F4 over real extraction output: the KERNEL's forward-only
+    instance counter (api.py:139-186 semantics, computed inside
+    extract_pdf) exposed via items_view and verified against a SQL
+    rank-window recomputation — kernel ordinal vs relational ordinal
+    must agree exactly."""
+    items = items_view(_parsed_pdf_docs(spark, sf_dir))
+    return items.select("url", "seq", "text", "instance_index")
 
 
 @q(
@@ -301,123 +373,165 @@ def instance_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "rank_join",
-    "WITH l AS (SELECT user_id, event_id AS view_id, row_number() OVER "
-    "(PARTITION BY user_id ORDER BY ts, event_id) AS rank FROM events WHERE "
-    "event_type = 'view'), r AS (SELECT user_id, event_id AS click_id, "
-    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank "
-    "FROM events WHERE event_type = 'click') "
-    "SELECT l.user_id, l.rank::BIGINT AS rank, l.view_id, r.click_id "
-    "FROM l LEFT JOIN r ON l.user_id = r.user_id AND l.rank = r.rank",
+    f"{_span_lines_cte()} "
+    ", l AS (SELECT url, text, row_number() OVER (PARTITION BY url, text "
+    "ORDER BY gseq) AS rank FROM lines), "
+    "r AS (SELECT url, text, 72.0 AS x, 720.0 - 14.0 * seq AS y, "
+    "row_number() OVER (PARTITION BY url, text ORDER BY page_no, "
+    "720.0 - 14.0 * seq DESC, 72.0) AS rank FROM lines) "
+    "SELECT l.url, l.text, l.rank::INT AS rank, r.x, r.y FROM l "
+    "LEFT JOIN r ON l.url = r.url AND l.text = r.text AND l.rank = r.rank",
 )
 def rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/F4: rank-aligned left equi-join — the relational form of the
-    reference's decoded-text⋈geometry forward-only matching."""
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    l = (
-        ev.where(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.row_number().over(w).cast("bigint").alias("rank"),
-        )
+    """J1/F4 over real extraction output: the reference's decoded-text ⋈
+    geometry forward-only matching (api.py:151-169) as a rank-aligned
+    left equi-join — decoded items ranked by content-stream order, span
+    geometry ranked by position (page, y desc, x), joined on (url,
+    text, rank). Hash-partitions on the join key; no theta join."""
+    parsed = _parsed_pdf_docs(spark, sf_dir)
+    items = items_view(parsed).select("url", "text", "seq")
+    spans = spans_view(parsed).select(
+        F.col("url").alias("r_url"),
+        F.col("text").alias("r_text"),
+        "page_no",
+        "x",
+        "y",
     )
-    r = (
-        ev.where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("r_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.row_number().over(w).cast("bigint").alias("r_rank"),
-        )
+    wl = Window.partitionBy("url", "text").orderBy("seq")
+    wr = Window.partitionBy("r_url", "r_text").orderBy(
+        "page_no", F.desc("y"), "x"
+    )
+    l = items.withColumn("rank", F.row_number().over(wl).cast("int"))
+    r = spans.withColumn("rank", F.row_number().over(wr).cast("int")).drop(
+        "page_no"
     )
     return l.join(
         r,
-        (l["user_id"] == r["r_user_id"]) & (l["rank"] == r["r_rank"]),
+        (l["url"] == r["r_url"])
+        & (l["text"] == r["r_text"])
+        & (l["rank"] == r["rank"]),
         "left",
-    ).select("user_id", "rank", "view_id", "click_id")
+    ).select("url", "text", l["rank"].alias("rank"), "x", "y")
 
 
-_RECTS_SQL = (
-    "SELECT l_orderkey, l_linenumber, l_discount * 100 AS x0, l_tax * 100 AS y0, "
-    "l_discount * 100 + l_quantity AS x1, l_tax * 100 + l_linenumber AS y1, "
-    "l_quantity * l_linenumber AS area FROM lineitem"
-)
+_CONTAIN_LPP = 4  # short pages → same (x, y) recurs across pages → real drops
 
 
 @q(
     "containment_anti_join",
-    f"WITH rects AS ({_RECTS_SQL}) "
-    "SELECT a.l_orderkey, a.l_linenumber FROM rects a WHERE NOT EXISTS ("
-    "SELECT 1 FROM rects b WHERE b.l_orderkey = a.l_orderkey "
-    "AND b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1 "
-    "AND b.area > a.area)",
+    f"{_span_lines_cte(_CONTAIN_LPP)} "
+    ", rects AS (SELECT url, page_no, seq, text, 72.0 AS x0, "
+    "720.0 - 14.0 * seq AS y0, 72.0 + 6.0 * length(text) AS x1, "
+    "732.0 - 14.0 * seq AS y1, 6.0 * length(text) * 12.0 AS area FROM lines) "
+    "SELECT a.url, a.page_no::INT AS page_no, a.seq::INT AS seq, a.text "
+    "FROM rects a WHERE NOT EXISTS (SELECT 1 FROM rects b "
+    "WHERE b.url = a.url AND b.x0 <= a.x0 AND b.y0 <= a.y0 "
+    "AND b.x1 >= a.x1 AND b.y1 >= a.y1 AND b.area > a.area)",
 )
 def containment_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: nested-bbox containment as a self anti-join scoped by a
-    group key (api.py:337-388) — equi on the key so it hash-partitions;
-    the containment predicate rides along as a join residual."""
-    li = _read(spark, sf_dir, "lineitem")
-    rects = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_discount") * 100).alias("x0"),
-        (F.col("l_tax") * 100).alias("y0"),
-        (F.col("l_discount") * 100 + F.col("l_quantity")).alias("x1"),
-        (F.col("l_tax") * 100 + F.col("l_linenumber")).alias("y1"),
-        (F.col("l_quantity") * F.col("l_linenumber")).alias("area"),
+    """F1 over real span rects (api.py:337-388): nested-bbox containment
+    as a self anti-join scoped by url — equi on the key so it
+    hash-partitions; the containment predicate rides along as a join
+    residual. The corpus is re-rendered at 4 lines/page so the same
+    page-space (x, y) recurs on different pages of one document and
+    shorter lines are genuinely dropped inside longer ones (strict-area
+    form; the order-dependent equal-rect case is pinned by the kernel
+    golden in tests/test_api_compat.py)."""
+    w = synthesize_pdf_variant(spark, sf_dir, lines_per_page=_CONTAIN_LPP)
+    parsed = parse_webdocs(
+        w, salt_map=webdocs_salt_map(spark, sf_dir)
+    ).localCheckpoint(eager=True)  # parse once; the anti-join branches twice
+    rects = spans_view(parsed).select(
+        "url",
+        "page_no",
+        "seq",
+        "text",
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+        (F.col("x") + F.col("width")).alias("x1"),
+        (F.col("y") + F.col("size")).alias("y1"),
+        (F.col("width") * F.col("size")).alias("area"),
     )
     a, b = rects.alias("a"), rects.alias("b")
     cond = (
-        (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+        (F.col("b.url") == F.col("a.url"))
         & (F.col("b.x0") <= F.col("a.x0"))
         & (F.col("b.y0") <= F.col("a.y0"))
         & (F.col("b.x1") >= F.col("a.x1"))
         & (F.col("b.y1") >= F.col("a.y1"))
         & (F.col("b.area") > F.col("a.area"))
     )
-    return a.join(b, cond, "left_anti").select("l_orderkey", "l_linenumber")
+    return a.join(b, cond, "left_anti").select(
+        "url",
+        F.col("page_no").cast("int").alias("page_no"),
+        F.col("seq").cast("int").alias("seq"),
+        "text",
+    )
+
+
+_BLOCK_LINES = 4  # spans per text block (the get_text("blocks") analog)
 
 
 @q(
     "spatial_block_join",
-    "WITH hits AS (SELECT l_orderkey * 10 + l_linenumber AS hit_id, "
-    "l_partkey % 55 AS hx, l_suppkey % 12 AS hy FROM lineitem "
-    "WHERE l_orderkey % 100 = 0), "
-    "blocks AS (SELECT p_partkey AS block_order, p_size AS bx0, "
-    "p_partkey % 7 AS by0, p_size + 10 AS bx1, p_partkey % 7 + 5 AS by1 "
-    "FROM part WHERE p_partkey % 10 = 0) "
-    "SELECT h.hit_id, coalesce(min(b.block_order), -1) AS block_order "
-    "FROM hits h LEFT JOIN blocks b ON b.bx0 <= h.hx AND h.hx <= b.bx1 "
-    "AND b.by0 <= h.hy AND h.hy <= b.by1 GROUP BY h.hit_id",
+    f"{_span_lines_cte()} "
+    "SELECT url, page_no::INT AS page_no, seq::INT AS seq, "
+    f"(page_no * {48 // _BLOCK_LINES} + seq // {_BLOCK_LINES})::INT "
+    "AS block_order FROM lines WHERE text LIKE '%table%'",
 )
 def spatial_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: spatial hit→block assignment (api.py:446-473): containment
-    theta-join with the small block side broadcast, first block by
-    order wins, unmatched → -1."""
-    li = _read(spark, sf_dir, "lineitem")
-    part = _read(spark, sf_dir, "part")
-    hits = li.where(F.col("l_orderkey") % 100 == 0).select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("hit_id"),
-        (F.col("l_partkey") % 55).alias("hx"),
-        (F.col("l_suppkey") % 12).alias("hy"),
+    """J2 over real spans (api.py:446-473): search hits assigned to
+    text blocks by geometric containment. Blocks are aggregates of
+    consecutive span runs (the page.get_text("blocks") analog:
+    min/max bbox over each 4-line run); each hit's midpoint probes
+    blocks of its own (url, page) via an equi-prefixed theta join;
+    first block by order wins, unmatched → -1. The oracle computes the
+    expected assignment arithmetically — two independent routes to the
+    same answer."""
+    parsed = _parsed_pdf_docs(spark, sf_dir)
+    spans = spans_view(parsed)
+    blocks = (
+        spans.groupBy(
+            F.col("url").alias("b_url"),
+            F.col("page_no").alias("b_page"),
+            F.floor(F.col("seq") / _BLOCK_LINES).alias("blk"),
+        )
+        .agg(
+            F.min("x").alias("bx0"),
+            F.min("y").alias("by0"),
+            F.max(F.col("x") + F.col("width")).alias("bx1"),
+            F.max(F.col("y") + F.col("size")).alias("by1"),
+        )
+        .withColumn(
+            "b_order",
+            (F.col("b_page") * (48 // _BLOCK_LINES) + F.col("blk")).cast("int"),
+        )
     )
-    blocks = part.where(F.col("p_partkey") % 10 == 0).select(
-        F.col("p_partkey").alias("block_order"),
-        F.col("p_size").alias("bx0"),
-        (F.col("p_partkey") % 7).alias("by0"),
-        (F.col("p_size") + 10).alias("bx1"),
-        (F.col("p_partkey") % 7 + 5).alias("by1"),
+    hits = spans.where(F.col("text").contains("table")).select(
+        "url",
+        "page_no",
+        "seq",
+        (F.col("x") + F.col("width") / 2).alias("hx"),
+        (F.col("y") + F.col("size") / 2).alias("hy"),
     )
     cond = (
-        (F.col("bx0") <= F.col("hx"))
+        (F.col("b_url") == F.col("url"))
+        & (F.col("b_page") == F.col("page_no"))
+        & (F.col("bx0") <= F.col("hx"))
         & (F.col("hx") <= F.col("bx1"))
         & (F.col("by0") <= F.col("hy"))
         & (F.col("hy") <= F.col("by1"))
     )
     return (
-        hits.join(F.broadcast(blocks), cond, "left")
-        .groupBy("hit_id")
-        .agg(F.coalesce(F.min("block_order"), F.lit(-1)).alias("block_order"))
+        hits.join(blocks, cond, "left")
+        .groupBy("url", "page_no", "seq")
+        .agg(F.coalesce(F.min("b_order"), F.lit(-1)).alias("block_order"))
+        .select(
+            "url",
+            F.col("page_no").cast("int").alias("page_no"),
+            F.col("seq").cast("int").alias("seq"),
+            "block_order",
+        )
     )
 
 

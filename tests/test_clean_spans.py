@@ -19,7 +19,9 @@ def _parsed(spark, spans):
                 parse_ms=1.0,
                 payload_bytes=10,
                 partition_id=0,
+                fallback_pages=0,
                 spans=spans,
+                items=[],
             )
         ],
         schema=PARSED_SCHEMA,

@@ -72,3 +72,45 @@ def test_bfrange_takes_precedence_over_bfchar_on_same_line():
     cm = parse_cmap("beginbfchar\n<41> <42> <0061>\nendbfchar")
     assert cm.mapping[0x41] == "a"
     assert cm.mapping[0x42] == "b"
+
+
+# --- CID 2-byte extension (flag ON; SURVEY §2.2 T7 north-star) --------------
+
+
+def test_multibyte_flag_decodes_two_byte_codes():
+    src = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "2 beginbfchar\n<4E2D> <4E2D>\n<6587> <6587>\nendbfchar"
+    )
+    cm = parse_cmap(src, multibyte=True)
+    assert cm.decode(b"\x4e\x2d\x65\x87") == "中文"
+    # reference mode on the same source: codes skipped, bytes fall to '?'
+    ref = parse_cmap(src)
+    assert ref.decode(b"\x4e\x2d\x65\x87") == "????"
+
+
+def test_multibyte_bfrange_and_mixed_width():
+    src = (
+        "beginbfrange\n<4E00> <4E02> <0041>\nendbfrange\n"
+        "beginbfchar\n<61> <0062>\nendbfchar"
+    )
+    cm = parse_cmap(src, multibyte=True)
+    # 2-byte range decodes; single-byte entries still work in the walk
+    assert cm.decode(b"\x4e\x01\x61") == "Bb"
+
+
+def test_multibyte_hex_width_not_magnitude():
+    # <0041> declares a TWO-byte code (00 41), not single-byte 0x41
+    cm = parse_cmap("beginbfchar\n<0041> <0063>\nendbfchar", multibyte=True)
+    assert cm.decode(b"\x00\x41") == "c"
+    assert cm.mapping == {}
+
+
+def test_multibyte_codespacerange_no_ghost():
+    # section-aware parse: the <00> <FF> codespacerange line no longer
+    # fabricates the 0x00→'ÿ' ghost entry (reference quirk, flag OFF only)
+    src = synthesize_tounicode_cmap()
+    ghost = parse_cmap(src)
+    assert ghost.mapping[0x00] == "\xff"
+    clean = parse_cmap(src, multibyte=True)
+    assert 0x00 not in clean.mapping

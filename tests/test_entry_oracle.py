@@ -66,10 +66,10 @@ def test_entry_smoke(spark, entry_mod):
 
 def test_every_query_matches_oracle(spark, entry_mod, duck):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    assert len(qs) >= 25
-    missing_oracle = [n for n in qs if n not in oracles]
-    # only genuinely non-SQL ops may skip the oracle
-    assert set(missing_oracle) <= {"audit_metrics"}
+    assert len(qs) >= 30
+    # every registered query has a DuckDB oracle (since r2 even the
+    # audit surface is oracle-checked via its host-keyed rollup)
+    assert [n for n in qs if n not in oracles] == []
     for name, fn in qs.items():
         sdf = fn(spark, SF_DIR).toPandas()
         if name not in oracles:

@@ -177,3 +177,19 @@ def test_inherited_resources_from_pages_node():
     pdf = _emit_classic(objects, root=1)
     r = extract_pdf(pdf)
     assert r.text == "inherited"
+
+
+def test_cid_two_byte_cmap_flag_end_to_end():
+    """CID extension golden: same PDF, flag off → reference-identical
+    '?' per byte; flag on → real 2-byte decode (SURVEY §2.2 T7)."""
+    from pdf_parser_spark.pdfcore.extract import extract_pdf
+    from pdf_parser_spark.pdfgen.writer import FontSpec, build_pdf
+
+    cmap_src = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "2 beginbfchar\n<4E2D> <4E2D>\n<6587> <6587>\nendbfchar"
+    )
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (\x4e\x2d\x65\x87) Tj ET"
+    pdf = build_pdf([[content]], fonts={"F1": FontSpec(tounicode=cmap_src)})
+    assert extract_pdf(pdf).text == "????"
+    assert extract_pdf(pdf, multibyte_cmaps=True).text == "中文"

@@ -147,3 +147,45 @@ def test_spans_t_star_uses_leading():
         b"BT /F1 10 Tf 14 TL 1 0 0 1 50 100 Tm (a) Tj T* (b) Tj ET", CMAPS
     )
     assert [(s.x, s.y) for s in spans] == [(50.0, 100.0), (50.0, 86.0)]
+
+
+def test_spans_char_and_word_spacing():
+    # Tc adds per glyph, Tw only on byte 0x20 (ISO 32000-1 §9.3.2-9.3.3)
+    content = b"BT /F1 10 Tf 2 Tc 5 Tw 1 0 0 1 100 700 Tm (a b) Tj ET"
+    (s,) = extract_spans(content, CMAPS)
+    # advances: 'a'=5+2, ' '=5+2+5, 'b'=5+2  (500/1000*10 = 5 base)
+    assert s.x == 100 and s.y == 700
+    assert s.width == (5 + 2) + (5 + 2 + 5) + (5 + 2)
+    assert s.char_xs == [100, 107, 119]
+
+
+def test_spans_horizontal_scaling_tz():
+    content = b"BT /F1 10 Tf 50 Tz (ab) Tj ET"
+    (s,) = extract_spans(content, CMAPS)
+    assert s.width == 5.0  # 2 glyphs * 5pt * 50%
+
+
+def test_spans_tm_scale_applies_to_advances():
+    # Tm scale a=2: origin at e/f, advances doubled in device space
+    content = b"BT /F1 10 Tf 2 0 0 2 30 40 Tm (ab) Tj ET"
+    (s,) = extract_spans(content, CMAPS)
+    assert (s.x, s.y) == (30, 40)
+    assert s.width == 20.0  # 2 glyphs * 5pt * a=2
+
+
+def test_spans_td_composes_with_tm_scale():
+    # Td translation maps through the line matrix: dx=10 with a=2 → +20
+    content = b"BT /F1 10 Tf 2 0 0 2 0 0 Tm 10 5 Td (x) Tj ET"
+    (s,) = extract_spans(content, CMAPS)
+    assert (s.x, s.y) == (20, 10)
+
+
+def test_spans_quote_op_sets_spacing_operands():
+    # "aw ac string" sets Tw/Tc then shows on the next line (§9.4.3)
+    content = b'BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm (a) Tj 5 2 (b c) " ET'
+    spans = extract_spans(content, CMAPS)
+    assert [s.text for s in spans] == ["a", "b c"]
+    s = spans[1]
+    assert s.y == 686  # dropped one leading
+    # 'b'=5+2, ' '=5+2+5, 'c'=5+2
+    assert s.width == 7 + 12 + 7
