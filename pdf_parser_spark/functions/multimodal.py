@@ -83,15 +83,128 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv (not in container).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    The pipeline-facing surface (`extract_features`) substitutes a
-    deterministic fake feature; callers wanting true decode hit this
-    marker immediately.
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG decoder: (width, height, channels, pixels).
+
+    Supports the public baseline subset a training pipeline meets in
+    practice for raster goldens: 8-bit depth, color types gray(0),
+    RGB(2), gray+alpha(4), RGBA(6), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth per the PNG spec §6). Palette
+    and 16-bit images raise NotImplementedError. zlib is the only
+    dependency — no PIL/opencv needed.
     """
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    rpos = 0
+    for row in range(h):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[row * stride : (row + 1) * stride] = line
+        prev = line
+    return w, h, channels, bytes(out)
+
+
+def resize_nearest(
+    w: int, h: int, channels: int, pixels: bytes, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample of a decoded raster (the pipeline's
+    thumbnail/normalize step)."""
+    out = bytearray(tw * th * channels)
+    for ty in range(th):
+        sy = min(ty * h // th, h - 1)
+        for tx in range(tw):
+            sx = min(tx * w // tw, w - 1)
+            src = (sy * w + sx) * channels
+            dst = (ty * tw + tx) * channels
+            out[dst : dst + channels] = pixels[src : src + channels]
+    return bytes(out)
+
+
+def png_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decoded-image feature vector: dimensions + per-channel
+    mean/std moments from the actual pixels (deterministic)."""
+    w, h, channels, px = decode_png(payload)
+    n = w * h
+    feats = [min(w / 4096.0, 1.0), min(h / 4096.0, 1.0), channels / 4.0]
+    for c in range(min(channels, 3)):
+        vals = px[c :: channels]
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        feats.append(mean / 255.0)
+        feats.append(var**0.5 / 255.0)
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to raw pixels.
+
+    PNG has a real pure-Python decoder (:func:`decode_png`). Other
+    formats (JPEG/GIF) need PIL/opencv, which this container lacks —
+    they raise NotImplementedError, clearly marked; the pipeline
+    surface (`extract_features`) degrades to the deterministic
+    byte-histogram feature for them.
+    """
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this environment"
+        "only PNG decodes without PIL/opencv (not available in this environment)"
     )
 
 
@@ -101,8 +214,10 @@ def extract_features(
     """mapInPandas feature extraction over binary payloads.
 
     Real Arrow-batched plumbing (schema, batching, error capture per
-    row); the per-payload kernel is the deterministic `_fake_feature`
-    stand-in for the stubbed decoder.
+    row). PNG payloads go through the real pure-Python decoder and get
+    pixel-moment features; other formats fall back to the deterministic
+    byte-histogram stand-in, with the decode limitation recorded in
+    ``decode_error``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,8 +234,16 @@ def extract_features(
                         break
                 ctypes.append(ct)
                 try:
-                    feats.append(_fake_feature(raw, dim))
-                    errs.append(None)
+                    if ct == "image/png":
+                        feats.append(png_feature(raw, dim))
+                        errs.append(None)
+                    else:
+                        feats.append(_fake_feature(raw, dim))
+                        errs.append(
+                            None
+                            if not ct.startswith(("image/", "audio/", "video/"))
+                            else "fallback_feature: no decoder for " + ct
+                        )
                 except Exception as exc:  # decode failure → row, not crash
                     feats.append([0.0] * dim)
                     errs.append(f"{type(exc).__name__}: {exc}")

@@ -36,16 +36,91 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def ivf_cell_expr(vec: Column, bits: int = 2) -> Column:
-    """Coarse quantizer: sign bits of the first `bits` dimensions →
-    cell id in [0, 2^bits). Deterministic, SQL-portable, and cheap; a
-    production system would plug a trained k-means codebook in here —
-    the join shape (equi on cell id) is identical."""
+    """Toy coarse quantizer (kept for tests): sign bits of the first
+    `bits` dimensions → cell id in [0, 2^bits). See
+    :func:`centroid_cell_expr` for the real codebook-driven assigner."""
     cell = F.lit(0)
     for d in range(bits):
         cell = cell + F.when(
             F.element_at(vec, d + 1).cast("double") > 0, F.lit(1 << d)
         ).otherwise(F.lit(0))
     return cell.cast("int")
+
+
+def _dot_lit(vec: Column, centroid: list[float]) -> Column:
+    """Sequential double fold of vec · literal-centroid."""
+    arr = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    prods = F.zip_with(vec, arr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def centroid_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF cell assignment against a broadcast codebook, as pure
+    built-in expressions (no UDF): cell = argmin_i ||v - c_i||², computed
+    as dot(v,v) - 2·dot(v,c_i) + dot(c_i,c_i) with sequential double
+    folds so the DuckDB oracle reproduces it bit-for-bit. Ties break on
+    the lower centroid index via lexicographic struct least()."""
+    dvv = dot_expr(vec, vec)
+    candidates = []
+    for i, c in enumerate(centroids):
+        cc = 0.0
+        for x in c:  # sequential left fold, same IEEE order as the SQL twin
+            cc += float(x) * float(x)
+        d = dvv - 2.0 * _dot_lit(vec, c) + F.lit(cc).cast("double")
+        candidates.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    return F.least(*candidates).getField("cid").cast("int")
+
+
+def medoid_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic seeded codebook: the corpus vectors with the
+    n_cells smallest ids, in id order. Data-derived (a real coarse
+    quantizer shape) yet SQL-reconstructible, so the IVF query stays
+    oracle-checkable. The collect is bounded at n_cells rows."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    sample_limit: int = 4096,
+) -> list[list[float]]:
+    """Train a k-means codebook on a bounded, deterministically-ordered
+    sample (driver-side NumPy — the standard IVF pattern: fit on a
+    sample, broadcast centroids, assign with expressions). Lloyd
+    iterations with first-k init; empty clusters keep their previous
+    centroid. Use with :func:`centroid_cell_expr` / :func:`ivf_topk`
+    for the production ANN path (data-dependent, so no SQL oracle —
+    covered by the recall-vs-brute-force pytest instead)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    )
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    k = min(n_cells, len(x))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [c.tolist() for c in cents]
 
 
 def _ranked_topk(
@@ -98,23 +173,33 @@ def ivf_topk(
     k: int = 3,
     bits: int = 2,
     round_digits: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k probing only the query's own IVF cell.
 
     Equi-join on cell id (hash-partitioned / broadcastable) replaces
-    the brute-force cross join — the scale path.
+    the brute-force cross join — the scale path. With ``centroids``
+    (from :func:`medoid_centroids` or :func:`kmeans_codebook`) the cell
+    is a real nearest-centroid assignment; without, the legacy sign-bit
+    toy quantizer.
     """
+
+    def cell(col: Column) -> Column:
+        if centroids is not None:
+            return centroid_cell_expr(col, centroids)
+        return ivf_cell_expr(col, bits)
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("qv"),
-            ivf_cell_expr(F.col(vec_col), bits).alias("cell"),
+            cell(F.col(vec_col)).alias("cell"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        ivf_cell_expr(F.col(vec_col), bits).alias("cell"),
+        cell(F.col(vec_col)).alias("cell"),
     )
     pairs = c.join(q, "cell").where(F.col("q_id") != F.col("neighbor_id"))
     scored = pairs.select(

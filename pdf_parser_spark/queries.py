@@ -922,16 +922,25 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_CELL = (
-    "(CASE WHEN {e}[1] > 0 THEN 1 ELSE 0 END) + "
-    "2 * (CASE WHEN {e}[2] > 0 THEN 1 ELSE 0 END)"
+_IVF_CELLS = 16
+
+_DUCK_CELLS = (
+    f"cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "
+    f"WHERE vec_id < {_IVF_CELLS}), "
+    "cdist AS (SELECT v.vec_id, v.embedding, c.cid, "
+    "list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) "
+    "- 2 * list_dot_product(v.embedding::DOUBLE[], c.ce::DOUBLE[]) "
+    "+ list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS d "
+    "FROM embeddings v, cent c), "
+    "cells AS (SELECT vec_id, embedding, cid AS cell FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) "
+    "AS rn FROM cdist) WHERE rn = 1)"
 )
 
 
 @q(
     "ann_ivf_bucketed",
-    "WITH cells AS (SELECT vec_id, embedding, "
-    f"{_DUCK_CELL.format(e='embedding')} AS cell FROM embeddings), "
+    f"WITH {_DUCK_CELLS}, "
     "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, "
     f"{_duck_cos('q.embedding', 'c.embedding')} AS _cos "
     "FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < 10 AND "
@@ -941,11 +950,18 @@ _DUCK_CELL = (
     "round(_cos, 4) AS cos FROM ranked WHERE rank <= 3",
 )
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: equi-join on coarse cell id replaces the cross
-    join — the 100 TB scale path."""
+    """IVF-bucketed ANN with a real 16-centroid codebook: nearest-
+    centroid cell assignment (argmin ||v−c||², broadcast codebook, pure
+    expressions), then an equi-join on cell id replaces the cross join —
+    the 100 TB scale path. Centroids here are medoid-seeded (the 16
+    lowest-id corpus vectors) so the DuckDB oracle reconstructs the
+    assignment exactly; the trained-k-means variant
+    (similarity.kmeans_codebook) is the production path, recall-tested
+    against brute force in pytest."""
     emb = _read(spark, sf_dir, "embeddings")
+    cents = similarity.medoid_centroids(emb, n_cells=_IVF_CELLS)
     return similarity.ivf_topk(
-        emb.where(F.col("vec_id") < 10), emb, k=3
+        emb.where(F.col("vec_id") < 10), emb, k=3, centroids=cents
     )
 
 

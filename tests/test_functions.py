@@ -206,10 +206,168 @@ def test_extract_features_plumbing(spark):
     )
     rows = {r["url"]: r for r in multimodal.extract_features(df).collect()}
     assert len(rows["u1"]["feature"]) == 8
-    assert rows["u1"]["decode_error"] is None
+    # truncated PNG: the real decoder rejects it, captured as a row error
+    assert rows["u1"]["decode_error"] == "ValueError: missing IHDR"
     assert rows["u2"]["payload_bytes"] == 0
 
 
-def test_decode_stub_raises():
+def test_decode_non_png_raises():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xffjpeg")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\ntruncated")
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(emb):
+    """Real-codebook IVF (kmeans on a sample → broadcast centroids →
+    argmin cell expressions): all cells populated, assignments match a
+    driver-side argmin, and single-probe recall@3 vs exact brute force
+    is well above chance (measured 0.7 on this corpus; chance ≈ 1/8)."""
+    q = emb.where(F.col("vec_id") < 10)
+    cb = similarity.kmeans_codebook(emb, n_cells=8, iters=8)
+    assert len(cb) == 8 and len(cb[0]) == 64
+    bf = similarity.cosine_topk(q, emb, k=3).collect()
+    ivf = similarity.ivf_topk(q, emb, k=3, centroids=cb).collect()
+    bfs = {(r.q_id, r.neighbor_id) for r in bf}
+    ivs = {(r.q_id, r.neighbor_id) for r in ivf}
+    assert len(bfs & ivs) / len(bfs) >= 0.5
+    # every cell used (balanced codebook on this corpus)
+    cells = emb.select(
+        similarity.centroid_cell_expr(F.col("embedding"), cb).alias("c")
+    )
+    assert cells.distinct().count() == 8
+    # expression assignment agrees with a NumPy argmin on a sample
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(32).collect()
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    c = np.asarray(cb)
+    expected = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    got = [
+        r["c"]
+        for r in emb.orderBy("vec_id")
+        .limit(32)
+        .select(similarity.centroid_cell_expr(F.col("embedding"), cb).alias("c"))
+        .collect()
+    ]
+    assert got == expected.tolist()
+
+
+def test_medoid_centroids_deterministic(emb):
+    a = similarity.medoid_centroids(emb, n_cells=4)
+    b = similarity.medoid_centroids(emb, n_cells=4)
+    assert a == b and len(a) == 4
+
+
+# -------------------------------------------------------------- multimodal png
+
+
+def _encode_png(w, h, channels, pixels, filters):
+    """Minimal PNG encoder for goldens — applies the given per-row
+    filter types so every unfilter branch of decode_png is exercised."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for row in range(h):
+        line = bytearray(pixels[row * stride : (row + 1) * stride])
+        f = filters[row % len(filters)]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (line[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pr) & 0xFF
+        raw.append(f)
+        raw += enc
+        prev = line
+    idat = zlib.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(w, h, channels):
+    return bytes(
+        (x * 7 + y * 13 + c * 31) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(channels)
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    w, h, ch = 9, 10, 3
+    px = _gradient(w, h, ch)
+    png = _encode_png(w, h, ch, px, filters=[0, 1, 2, 3, 4])
+    dw, dh, dch, dpx = multimodal.decode_png(png)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert dpx == px
+
+
+def test_png_decode_gray_and_rgba():
+    for ch in (1, 4):
+        px = _gradient(5, 4, ch)
+        png = _encode_png(5, 4, ch, px, filters=[4, 3, 2, 1])
+        assert multimodal.decode_png(png)[3] == px
+
+
+def test_decode_image_png_real_jpeg_stub():
+    import pytest as _pytest
+
+    png = _encode_png(4, 4, 3, _gradient(4, 4, 3), filters=[0])
+    w, h, ch, _ = multimodal.decode_image(png)
+    assert (w, h, ch) == (4, 4, 3)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_resize_nearest():
+    px = _gradient(8, 8, 3)
+    small = multimodal.resize_nearest(8, 8, 3, px, 4, 4)
+    assert len(small) == 4 * 4 * 3
+    # corner pixel preserved by nearest-neighbor
+    assert small[:3] == px[:3]
+
+
+def test_extract_features_real_png_path(spark):
+    png = _encode_png(6, 6, 3, _gradient(6, 6, 3), filters=[0, 2])
+    df = spark.createDataFrame(
+        [("u1", bytearray(png)), ("u2", bytearray(b"\xff\xd8\xffjpeg..."))],
+        "url STRING, payload BINARY",
+    )
+    out = {r["url"]: r for r in multimodal.extract_features(df).collect()}
+    assert out["u1"]["content_type"] == "image/png"
+    assert out["u1"]["decode_error"] is None
+    feats = out["u1"]["feature"]
+    assert len(feats) == 8 and feats[0] > 0 and feats[3] > 0  # real moments
+    assert out["u2"]["content_type"] == "image/jpeg"
+    assert out["u2"]["decode_error"].startswith("fallback_feature")
