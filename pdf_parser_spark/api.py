@@ -243,6 +243,22 @@ class PDFTextReplacer:
             for font, cmap in cmaps.items()
         }
 
+    def get_font_encodings(self, page_num: int = 0) -> dict[str, dict[int, str]]:
+        """Per-font code→glyph-name maps from /Encoding /Differences
+        arrays (reference fonts/analysis.py:31-67): ``{font_name:
+        {code: '/GlyphName'}}``. Fonts without a custom encoding
+        dictionary map to {} — like the reference, standard named
+        encodings are not expanded."""
+        from .pdfcore.extract import font_encoding_differences
+
+        pages = self._doc.pages()
+        if page_num < 0 or page_num >= len(pages):
+            raise ValueError(f"page {page_num} out of range")
+        return {
+            fname: font_encoding_differences(self._doc, fdict)
+            for fname, fdict in self._doc.page_fonts(pages[page_num]).items()
+        }
+
     def analyze_fonts(self) -> dict[str, dict]:
         """Whole-document font census (replacer.py:119-221 semantics):
         per font, the set of decoded chars used and the byte codes that

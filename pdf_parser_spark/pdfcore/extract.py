@@ -99,6 +99,31 @@ def _font_cmaps_and_metrics(
     return cmaps, metrics
 
 
+def font_encoding_differences(doc: PdfDocument, fdict: dict) -> dict[int, str]:
+    """Code → glyph-name map from a font's /Encoding /Differences array
+    (reference fonts/analysis.py:31-67 semantics): integers reset the
+    running code, names consume consecutive codes. Name-typed /Encoding
+    (standard encodings) yields {} exactly like the reference's TODO
+    branch. Read-side analysis surface only — per reference parity,
+    /Differences never alters text decoding."""
+    out: dict[int, str] = {}
+    enc = doc.resolve(fdict.get("Encoding"))
+    if not isinstance(enc, dict):
+        return out
+    diffs = doc.resolve(enc.get("Differences"))
+    if not isinstance(diffs, list):
+        return out
+    code = 0
+    for item in diffs:
+        item = doc.resolve(item)
+        if isinstance(item, Name):
+            out[code] = "/" + str(item)
+            code += 1
+        elif isinstance(item, (int, float)):
+            code = int(item)
+    return out
+
+
 def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
     """Extract text + spans from raw PDF bytes. Never raises: failures are
     reported in ``.error`` so the Spark audit table can count them

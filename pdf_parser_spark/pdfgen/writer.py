@@ -77,7 +77,7 @@ class FontSpec:
     """Synthetic font resource description."""
 
     tounicode: str | None = None  # CMap string; None → no /ToUnicode
-    encoding: str | None = "WinAnsiEncoding"
+    encoding: str | dict | None = "WinAnsiEncoding"  # name, or custom dict
     first_char: int = 32
     widths: list[int] = field(default_factory=list)
     base_font: str = "Helvetica"
@@ -88,7 +88,19 @@ class FontSpec:
             "Subtype": Raw("/Type1"),
             "BaseFont": Raw(f"/{self.base_font}"),
         }
-        if self.encoding:
+        if isinstance(self.encoding, dict):
+            # custom encoding dictionary: {"BaseEncoding": name,
+            # "Differences": [int, "GlyphName", ...]}
+            enc: dict = {"Type": Raw("/Encoding")}
+            if self.encoding.get("BaseEncoding"):
+                enc["BaseEncoding"] = Raw(f"/{self.encoding['BaseEncoding']}")
+            diffs = self.encoding.get("Differences")
+            if diffs:
+                enc["Differences"] = [
+                    d_ if isinstance(d_, int) else Raw(f"/{d_}") for d_ in diffs
+                ]
+            d["Encoding"] = enc
+        elif self.encoding:
             d["Encoding"] = Raw(f"/{self.encoding}")
         if self.widths:
             d["FirstChar"] = self.first_char

@@ -141,3 +141,27 @@ def test_write_path_raises(pdf_bytes):
         PDFTextReplacer(pdf_bytes).replace_text("a", "b")
     with pytest.raises(NotImplementedError):
         replace_pdf_text("in.pdf", "out.pdf", "a", "b")
+
+
+def test_font_encoding_differences_map():
+    """/Differences parity (reference fonts/analysis.py:31-67): ints
+    reset the running code, names consume consecutive codes; text
+    decoding is NOT affected (reference parity — WinAnsi synthesis
+    still applies)."""
+    from pdf_parser_spark.pdfgen.writer import FontSpec, make_text_pdf
+
+    spec = FontSpec(
+        encoding={
+            "BaseEncoding": "WinAnsiEncoding",
+            "Differences": [65, "Alpha", "Beta", 200, "Gamma"],
+        }
+    )
+    pdf = make_text_pdf([["ABC"]], font=spec)
+    r = PDFTextReplacer(pdf)
+    enc = r.get_font_encodings(0)
+    assert enc["/F1"] == {65: "/Alpha", 66: "/Beta", 200: "/Gamma"}
+    # named-encoding fonts yield {} (reference TODO branch)
+    plain = PDFTextReplacer(make_text_pdf([["x"]]))
+    assert plain.get_font_encodings(0) == {"/F1": {}}
+    # decode unchanged: dict /Encoding falls back to WinAnsi synthesis
+    assert [i["text"] for i in parse_page_text(pdf, 0)] == ["ABC"]

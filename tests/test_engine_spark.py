@@ -88,8 +88,11 @@ def test_audit_covers_all_partitions_and_docs(parsed):
 def test_salt_map_splits_hot_host(webdocs):
     salt_map = compute_salt_map(webdocs, target_docs_per_bucket=25)
     assert salt_map[HOT_HOST] >= 4  # ~200 docs / 25 per bucket
-    cold = [v for h, v in salt_map.items() if h != HOT_HOST]
-    assert max(cold) <= 2
+    # bounded driver materialization: only hosts ABOVE the per-bucket
+    # threshold are collected — the long tail (≤ 25 docs/host here)
+    # stays distributed and defaults to 1 bucket in salted_repartition
+    cold = [h for h in salt_map if h != HOT_HOST]
+    assert cold == []
 
 
 def test_hot_host_spread_across_partitions(parsed, webdocs, spark):
