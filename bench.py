@@ -82,8 +82,11 @@ def main() -> None:
     per_query["flagship_extract"] = round(time.perf_counter() - t0, 3)
 
     for name in HEADLINE:
-        df = QUERIES[name](spark, sf_dir)
+        # time construction + execution: some queries materialize
+        # intermediate frames eagerly (localCheckpoint), so timing only
+        # the final action would under-count them
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
 

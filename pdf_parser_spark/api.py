@@ -16,9 +16,12 @@ Differences, by design (SURVEY.md §7.3):
   are the text-space bbox (x, y, x+width, y+size). Text output is
   byte-identical to the reference; rect values are self-consistent but
   not PyMuPDF-identical (SURVEY.md §7.3 item 3);
-- the rewrite path (``replace_text``) is out of scope for the
-  extraction engine and raises ``NotImplementedError`` (the reference's
-  auto-insert path is itself broken — embedding.py:68 imports a
+- the rewrite path (``replace_text`` / ``replace_pdf_text``) is
+  supported via the from-scratch kernel in ``pdfcore/rewrite.py``:
+  census → validation → segment splice → INCREMENTAL-update output
+  (original bytes preserved, ISO 32000-1 §7.5.6) instead of a pikepdf
+  re-save. ``allow_auto_insert`` stays unsupported — the reference's
+  auto-insert path is itself broken (embedding.py:68 imports a
   function that does not exist; SURVEY.md §3.3).
 
 Spark is intentionally not imported here: this is the per-document
@@ -36,6 +39,7 @@ from .pdfcore.tokenizer import Span
 __all__ = [
     "parse_page_text",
     "search_text_in_pdf",
+    "replace_pdf_text",
     "PDFTextReplacer",
 ]
 
@@ -290,18 +294,65 @@ class PDFTextReplacer:
             for font in chars
         }
 
-    # -- write surface (out of scope) ---------------------------------
+    # -- write surface ------------------------------------------------
 
-    def replace_text(self, *args, **kwargs):
-        raise NotImplementedError(
-            "replace_text is the reference's rewrite path; this engine is "
-            "extraction-only (see SURVEY.md §7.3 item 6 — the reference's "
-            "own auto-insert path is broken at embedding.py:68)"
+    def replace_text(
+        self,
+        target_text: str,
+        replacement_text: str,
+        page_num: int = 0,
+        instance_index: int = -1,
+        allow_auto_insert: bool = False,
+    ):
+        """Replace text on one page; returns a ``ReplaceResult`` whose
+        ``.data`` holds the rewritten document (an incremental update —
+        original bytes preserved as a prefix).
+
+        Bytes-first divergence from the reference (api.py:500): its
+        class method takes input/output *paths*; this engine's document
+        already lives in ``self._data``. The path-based reference shape
+        is module-level :func:`replace_pdf_text`. ``allow_auto_insert``
+        is unsupported (the reference's own auto-insert is broken —
+        embedding.py:68 imports a nonexistent function) and is treated
+        as False with a log entry."""
+        from .pdfcore.rewrite import replace_text as _replace
+
+        result = _replace(
+            self._data, target_text, replacement_text, page_num, instance_index
         )
+        if allow_auto_insert:
+            result.log.insert(
+                0,
+                (
+                    "WARNING",
+                    "allow_auto_insert is unsupported (reference's own "
+                    "auto-insert path is broken); proceeding without it",
+                ),
+            )
+        return result
 
 
-def replace_pdf_text(*args, **kwargs):
-    """Reference api.py:581-613 equivalent — intentionally unsupported."""
-    raise NotImplementedError(
-        "write path out of scope for the extraction engine"
-    )
+def replace_pdf_text(
+    input_pdf,
+    output_pdf,
+    target_text: str,
+    replacement_text: str,
+    page_num: int = 0,
+    instance_index: int = -1,
+    debug: bool = False,
+    allow_auto_insert: bool = False,
+    verbose: int = 1,
+) -> bool:
+    """Reference api.py:581-613 shape: read *input_pdf* (path or
+    bytes), replace, write *output_pdf* (path; pass None to skip the
+    write), return success bool. On cancellation/failure the reference
+    copies the input through unchanged — mirrored here by writing the
+    original bytes."""
+    from .pdfcore.rewrite import replace_text as _replace
+
+    data = _as_bytes(input_pdf)
+    result = _replace(data, target_text, replacement_text, page_num, instance_index)
+    if output_pdf is not None:
+        with open(output_pdf, "wb") as fh:
+            fh.write(result.data)
+    return result.success

@@ -50,7 +50,7 @@ def _sniff(payload: bytes) -> str:
     return "html"
 
 
-def _extract_one(url: str, payload) -> dict:
+def _extract_one(url: str, payload, emit_items: bool = True) -> dict:
     t0 = time.perf_counter()
     if payload is None:
         payload = b""
@@ -79,7 +79,7 @@ def _extract_one(url: str, payload) -> dict:
             for s, pg in zip(r.spans, r.span_pages)
         ]
         n_spans = len(spans)
-        items = [
+        items = [] if not emit_items else [
             {
                 "seq": int(i),
                 "page_no": int(pno),
@@ -112,13 +112,16 @@ def _extract_one(url: str, payload) -> dict:
     }
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def extract_batch(
+    batches: Iterator[pd.DataFrame], emit_items: bool = True
+) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, html[, ...]) batches → PARSED_SCHEMA batches."""
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     for pdf in batches:
         rows = [
-            _extract_one(u, p) for u, p in zip(pdf["url"], pdf["html"])
+            _extract_one(u, p, emit_items)
+            for u, p in zip(pdf["url"], pdf["html"])
         ]
         out = pd.DataFrame(
             rows,
@@ -176,7 +179,7 @@ def _arrow_schema():
     )
 
 
-def extract_batch_arrow(batches) -> "Iterator":
+def extract_batch_arrow(batches, emit_items: bool = True) -> "Iterator":
     """mapInArrow body: columnar twin of extract_batch.
 
     Builds the output RecordBatch column-by-column (flat span arrays +
@@ -223,7 +226,9 @@ def extract_batch_arrow(batches) -> "Iterator":
                     s_font.append(s.font)
                     s_size.append(s.size)
                     s_width.append(s.width)
-                for i, (pno, font, itext, encoded, idx) in enumerate(r.items):
+                for i, (pno, font, itext, encoded, idx) in (
+                    enumerate(r.items) if emit_items else ()
+                ):
                     i_seq.append(i)
                     i_page.append(pno)
                     i_font.append(font)
@@ -302,6 +307,7 @@ def parse_webdocs(
     num_partitions: int | None = None,
     salt: bool = True,
     salt_map: dict[str, int] | None = None,
+    emit_items: bool = False,
 ) -> DataFrame:
     """webdocs → parsed DataFrame (the single materialization point).
 
@@ -326,11 +332,21 @@ def parse_webdocs(
         slim = slim.repartition(num_partitions, F.col("url"))
     # Columnar Arrow path by default (no pandas row materialization);
     # the pandas twin (extract_batch) remains the reference
-    # implementation and fallback.
+    # implementation and fallback. Decoded-item structs (font / encoded
+    # hex / instance index per text op) cost ~20% extra serialization,
+    # so they are opt-in (emit_items) — the items column is always in
+    # the schema, empty when disabled.
+    from functools import partial
+
     try:
-        return slim.mapInArrow(extract_batch_arrow, schema=PARSED_SCHEMA)
+        return slim.mapInArrow(
+            partial(extract_batch_arrow, emit_items=emit_items),
+            schema=PARSED_SCHEMA,
+        )
     except AttributeError:  # very old Spark: no mapInArrow
-        return slim.mapInPandas(extract_batch, schema=PARSED_SCHEMA)
+        return slim.mapInPandas(
+            partial(extract_batch, emit_items=emit_items), schema=PARSED_SCHEMA
+        )
 
 
 def extracted_view(parsed: DataFrame) -> DataFrame:
@@ -430,7 +446,7 @@ def run_extraction(
     """Full pipeline. With output_dir, materializes parsed→parquet once
     and derives the three views from the written table (single parse,
     columnar pruning on re-read); without, derives views lazily."""
-    parsed = parse_webdocs(webdocs, salt=salt)
+    parsed = parse_webdocs(webdocs, salt=salt, emit_items=True)
     if output_dir:
         parsed.write.mode("overwrite").parquet(f"{output_dir}/parsed")
         parsed = spark.read.parquet(f"{output_dir}/parsed")

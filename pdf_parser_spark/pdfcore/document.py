@@ -248,6 +248,33 @@ class PdfDocument:
         walk(root, {})
         return out
 
+    def page_object_refs(self) -> list[int | None]:
+        """Object numbers of the page nodes, in the same order as
+        :meth:`pages` (same traversal). None for a page reached as a
+        direct (non-Ref) kid — rare, and not incrementally updatable."""
+        cat = self.catalog()
+        out: list[int | None] = []
+
+        def walk(ref_or_obj, depth: int = 0) -> None:
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            obj = self.resolve(ref_or_obj)
+            if not isinstance(obj, dict):
+                return
+            ntype = str(self.resolve(obj.get("Type")) or "")
+            kids = obj.get("Kids")
+            if ntype == "Pages" or (kids is not None and ntype != "Page"):
+                for kid in self.resolve(kids) or []:
+                    walk(kid, depth + 1)
+            else:
+                out.append(ref_or_obj.num if isinstance(ref_or_obj, Ref) else None)
+
+        walk(cat.get("Pages"))
+        return out
+
+    def max_object_number(self) -> int:
+        return max(self._index, default=0)
+
     def page_content_bytes(self, page: dict) -> bytes:
         """Concatenated decoded /Contents — mirrors the reference's array
         concat (/root/reference/pdf_parser/api.py:74-87) plus the GUI's

@@ -1,0 +1,543 @@
+"""Read-compatible text replacement — the reference's rewrite engine
+(/root/reference/pdf_parser/core/replacer.py:43-839) re-expressed over
+this repo's own kernel (no pikepdf/fontTools).
+
+Semantics reproduced (each pinned by a test):
+
+- F6 identity guard (replacer.py:92-94): target == replacement bails.
+- whole-document census A2/A3/A4 (replacer.py:119-221) with the
+  REPLACE-path escape rule T5 (``inner.replace('\\\\','')`` — strips
+  every backslash, replacer.py:199,487), which deliberately diverges
+  from the parse-path rule T4.
+- validation E2 (replacer.py:375-467): replacement chars must be in
+  the target font's census charset ∪ whitespace ∪ the reverse-CMap
+  domain; otherwise the replacement is canceled and the original
+  bytes come back unchanged.
+- rewrite loop (replacer.py:469-802): segment regex incl. the Tm
+  alternation, font-state fold, instance gate F7 (counts only segments
+  whose decoded text equals the target), per-char code lookup J3
+  (census codes first — lowest code, deterministic, where the
+  reference takes set-iteration order — then reverse CMap), partial-
+  replacement guard, escape T10 + splice J5 via the same
+  ``str.replace`` on the matched segment.
+
+Differences, by design:
+
+- ``allow_auto_insert`` is unsupported: the reference's auto-insert
+  path is itself broken (fonts/embedding.py:68 imports a function that
+  does not exist — SURVEY.md §3.3), so unsupported characters always
+  cancel, exactly like the reference with auto-insert disabled. The
+  E1/E3/A6 building blocks (safe-code allocation, CMap merge,
+  width-ratio average) are still provided as standalone functions.
+- K2 sink: instead of pikepdf copy-and-save, the modified document is
+  produced as an INCREMENTAL UPDATE (ISO 32000-1 §7.5.6): the original
+  bytes are preserved verbatim and a new content stream object, a
+  classic xref section, and a trailer with /Prev are appended. Our own
+  reader follows the /Prev chain, so rewritten documents round-trip
+  through extract_pdf.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+from .cmap import CMap
+from .document import PdfDocument, PdfError
+from .extract import _font_cmaps_and_metrics
+from .lexer import Name, Ref, Stream
+
+# segment regex — replacer.py:470-471 (text ops + Tf + 6-number Tm)
+_SEGMENT_RE = re.compile(
+    r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]"
+    r"|/[A-Za-z0-9]+\s+\d+\s+Tf"
+    r"|(?:[-\d.]+\s+){5}[-\d.]+\s+Tm"
+)
+_FONT_RE = re.compile(r"/([A-Za-z0-9]+)\s+\d+\s+Tf")
+_TEXT_RE = re.compile(r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]")
+
+
+# --------------------------------------------------------------------------
+# scalar building blocks (reference core/cmap.py:57-104, fonts/analysis.py,
+# fonts/embedding.py) — T9, T10, E1, E3, A6
+
+_ESCAPE_MAP = {
+    "(": "\\(",
+    ")": "\\)",
+    "\\": "\\\\",
+    "\r": "\\r",
+    "\n": "\\n",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+
+def escape_pdf_string(text: str) -> str:
+    """T10 (reference cmap.py:80-104): escape ( ) \\ CR LF TAB BS FF."""
+    return "".join(_ESCAPE_MAP.get(ch, ch) for ch in text)
+
+
+def encode_pdf_string(text: str, cmap: CMap) -> bytes:
+    """T9 (reference cmap.py:57-77): reverse-CMap encode; ValueError on
+    any unmapped char (last-writer-wins inversion, like the reference)."""
+    reverse = cmap.reverse()
+    out = bytearray()
+    for ch in text:
+        if ch not in reverse:
+            raise ValueError(f"Character {ch} not found in CMap, cannot encode.")
+        out.append(reverse[ch])
+    return bytes(out)
+
+
+# E1 blocklist — reference fonts/analysis.py:70-100
+_UNSAFE_RANGES = [
+    (0x00, 0x1F),
+    (0x20, 0x20),
+    (0x22, 0x22),
+    (0x27, 0x27),
+    (0x28, 0x29),
+    (0x2C, 0x2C),
+    (0x2E, 0x2E),
+    (0x3A, 0x3B),
+    (0x3F, 0x3F),
+    (0x5B, 0x5D),
+    (0x7B, 0x7D),
+]
+
+
+def is_safe_code(code: int) -> bool:
+    """Reference fonts/analysis.py:70-100 blocklist."""
+    return not any(lo <= code <= hi for lo, hi in _UNSAFE_RANGES)
+
+
+def allocate_safe_code(
+    used_codes: set[int],
+    already_used: set[int] | None = None,
+    encoding_maps: dict[str, dict[int, str]] | None = None,
+) -> int | None:
+    """E1 (reference replacer.py:687-717): scan 0xB0..0xFF for a code
+    not in use anywhere and passing the safety blocklist. The
+    reference's 0x100-0x10F "extended range" fallback is intentionally
+    NOT reproduced — it masks codes back into 0x00-0x0F (`& 0xFF`,
+    replacer.py:719-736), silently colliding with control codes; we
+    return None instead."""
+    already = already_used or set()
+    maps = encoding_maps or {}
+    for code in range(0xB0, 0x100):
+        if code in used_codes or code in already:
+            continue
+        if any(code in m for m in maps.values()):
+            continue
+        if is_safe_code(code):
+            return code
+    return None
+
+
+def merge_cmaps(original: dict[int, str], new: dict[int, str]) -> dict[int, str]:
+    """E3 (reference fonts/embedding.py:62-66): original ∪ new, new wins."""
+    merged = dict(original)
+    merged.update(new)
+    return merged
+
+
+def avg_width_ratio(pairs: list[tuple[float, float]]) -> float:
+    """A6 (reference fonts/embedding.py:149-171): mean of
+    pdf_width/ttf_width ratios × 0.97; 0.0 for an empty input."""
+    ratios = [p / t for p, t in pairs if t]
+    if not ratios:
+        return 0.0
+    return (sum(ratios) / len(ratios)) * 0.97
+
+
+# --------------------------------------------------------------------------
+# census (replace-path T5 decode — replacer.py:119-221)
+
+
+def _census(doc: PdfDocument, pages: list[dict], page_cmaps: list[dict[str, CMap]]):
+    all_pdf_chars: dict[str, set[str]] = {}
+    all_char_codes: dict[str, dict[str, set[int]]] = {}
+    used_codes: dict[str, set[int]] = {}
+    all_texts: list[tuple[str, str]] = []  # (font, decoded)
+    for pno, page in enumerate(pages):
+        content = doc.page_content_bytes(page).decode("latin1")
+        cmaps = page_cmaps[pno]
+        current_font: str | None = None
+        for seg in _SEGMENT_RE.finditer(content):
+            fm = _FONT_RE.search(seg.group(0))
+            if fm:
+                current_font = "/" + fm.group(1)
+                continue
+            tmatch = _TEXT_RE.search(seg.group(0))
+            if not tmatch or current_font not in cmaps:
+                continue
+            is_tj = seg.group(0).strip().endswith("TJ")
+            inner = tmatch.group(2) if is_tj else tmatch.group(1)
+            raw = inner.replace("\\", "").encode("latin1")  # T5
+            decoded = cmaps[current_font].decode(raw)
+            all_texts.append((current_font, decoded))
+            all_pdf_chars.setdefault(current_font, set()).update(decoded)
+            used_codes.setdefault(current_font, set()).update(raw)
+            codes = all_char_codes.setdefault(current_font, {})
+            for b, ch in zip(raw, decoded):
+                codes.setdefault(ch, set()).add(b)
+    return all_pdf_chars, all_char_codes, used_codes, all_texts
+
+
+# --------------------------------------------------------------------------
+# incremental-update writer (K2 sink)
+
+
+def _serialize(obj) -> bytes:
+    """COS serializer for objects parsed by this kernel's lexer."""
+    if obj is None:
+        return b"null"
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if isinstance(obj, Ref):
+        return f"{obj.num} {obj.gen} R".encode()
+    if isinstance(obj, Name):
+        return b"/" + str(obj).encode("latin1")
+    if isinstance(obj, int):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        s = f"{obj:.6f}".rstrip("0").rstrip(".")
+        return s.encode()
+    if isinstance(obj, bytes):
+        esc = (
+            obj.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+        )
+        return b"(" + esc + b")"
+    if isinstance(obj, str):  # plain str (shouldn't occur, but be safe)
+        return _serialize(obj.encode("latin1", "replace"))
+    if isinstance(obj, list):
+        return b"[" + b" ".join(_serialize(x) for x in obj) + b"]"
+    if isinstance(obj, dict):
+        parts = [b"<<"]
+        for k, v in obj.items():
+            parts.append(b"/" + str(k).encode("latin1") + b" " + _serialize(v))
+        parts.append(b">>")
+        return b" ".join(parts)
+    if isinstance(obj, Stream):
+        d = dict(obj.dict)
+        d["Length"] = len(obj.raw)
+        return _serialize(d) + b"\nstream\n" + obj.raw + b"\nendstream"
+    raise PdfError(f"cannot serialize {type(obj).__name__}")
+
+
+def incremental_update(
+    data: bytes, doc: PdfDocument, updates: dict[int, bytes]
+) -> bytes:
+    """Append updated object bodies + a classic xref section + trailer
+    (/Prev chain) to the original bytes — ISO 32000-1 §7.5.6. Works on
+    top of classic-xref AND xref-stream originals: the appended section
+    is read first (newest wins), then /Prev walks into the original."""
+    prev = doc._find_startxref()
+    out = bytearray(data)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(updates):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n"
+    # one subsection per contiguous run of object numbers
+    nums = sorted(offsets)
+    run_start = 0
+    while run_start < len(nums):
+        run_end = run_start
+        while (
+            run_end + 1 < len(nums) and nums[run_end + 1] == nums[run_end] + 1
+        ):
+            run_end += 1
+        first = nums[run_start]
+        count = run_end - run_start + 1
+        out += f"{first} {count}\n".encode()
+        for num in nums[run_start : run_end + 1]:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        run_start = run_end + 1
+    size = int(doc.trailer.get("Size") or 0)
+    size = max(size, max(nums) + 1)
+    trailer: dict = {"Size": size, "Prev": prev}
+    root = doc.trailer.get("Root")
+    if root is not None:
+        trailer["Root"] = root
+    out += b"trailer\n" + _serialize(trailer)
+    out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def _flate_stream_body(content: bytes) -> bytes:
+    payload = zlib.compress(content, 6)
+    return (
+        f"<< /Length {len(payload)} /Filter /FlateDecode >>\nstream\n".encode()
+        + payload
+        + b"\nendstream"
+    )
+
+
+def content_update_objects(
+    doc: PdfDocument, page_index: int, new_content: bytes
+) -> dict[int, bytes]:
+    """Object bodies for swapping one page's content stream.
+
+    Single-Ref /Contents → override that object in place. Array or
+    direct /Contents → new stream object + rewritten page object."""
+    refs = doc.page_object_refs()
+    if page_index >= len(refs) or refs[page_index] is None:
+        raise PdfError(f"cannot locate page object for index {page_index}")
+    pnum = refs[page_index]
+    page_obj = doc.get_object(pnum)
+    if not isinstance(page_obj, dict):
+        raise PdfError(f"page object {pnum} is not a dict")
+    contents = page_obj.get("Contents")
+    body = _flate_stream_body(new_content)
+    if isinstance(contents, Ref):
+        target = doc.resolve(contents)
+        if isinstance(target, Stream):
+            return {contents.num: body}
+    new_num = doc.max_object_number() + 1
+    new_page = dict(page_obj)
+    new_page["Contents"] = Ref(new_num, 0)
+    return {new_num: body, pnum: _serialize(new_page)}
+
+
+# --------------------------------------------------------------------------
+# the replace engine
+
+
+@dataclass
+class ReplaceResult:
+    data: bytes  # output document (original bytes when unchanged)
+    changed: bool
+    success: bool
+    replacements: int = 0
+    log: list[tuple[str, str]] = field(default_factory=list)
+
+
+def replace_text(
+    pdf_data: bytes,
+    target_text: str,
+    replacement_text: str,
+    page_num: int = 0,
+    instance_index: int = -1,
+) -> ReplaceResult:
+    """Replace occurrences of *target_text* on one page.
+
+    ``instance_index=-1`` replaces every matching segment on the page;
+    ``k >= 0`` replaces only the k-th match (F7). See the module
+    docstring for the reproduced semantics and declared differences."""
+    log: list[tuple[str, str]] = []
+
+    def _log(level: str, msg: str) -> None:
+        log.append((level, msg))
+
+    if target_text == replacement_text:  # F6
+        _log("WARNING", "Target and replacement are identical, skipping")
+        return ReplaceResult(pdf_data, False, False, 0, log)
+
+    try:
+        doc = PdfDocument(pdf_data)
+        pages = doc.pages()
+    except (PdfError, ValueError) as exc:
+        _log("ERROR", f"cannot open PDF: {exc}")
+        return ReplaceResult(pdf_data, False, False, 0, log)
+    if page_num < 0 or page_num >= len(pages):
+        _log("ERROR", f"page {page_num} out of range (0..{len(pages) - 1})")
+        return ReplaceResult(pdf_data, False, False, 0, log)
+
+    page_cmaps = [_font_cmaps_and_metrics(doc, p)[0] for p in pages]
+    all_pdf_chars, all_char_codes, used_codes, all_texts = _census(
+        doc, pages, page_cmaps
+    )
+
+    # ---- validation E2 (replacer.py:375-467)
+    target_font = next((f for f, t in all_texts if t == target_text), None)
+    if target_font is not None and target_font in all_pdf_chars:
+        allowed = set(all_pdf_chars[target_font])
+        _log(
+            "INFO",
+            f"Found target text font: {target_font}, "
+            f"contains {len(allowed)} characters",
+        )
+    else:
+        _log("WARNING", "Could not determine target font, checking all fonts")
+        allowed = set().union(*all_pdf_chars.values()) if all_pdf_chars else set()
+    reverse_domain: set[str] = set()
+    if target_font is not None:
+        cm = next(
+            (pc[target_font] for pc in page_cmaps if target_font in pc), None
+        )
+        if cm is not None:
+            reverse_domain = set(cm.reverse())
+    unsupported = [
+        ch
+        for ch in replacement_text
+        if ch not in allowed and ch not in " \t\n\r" and ch not in reverse_domain
+    ]
+    if unsupported:
+        for ch in unsupported:
+            _log(
+                "WARNING",
+                f"Font {target_font or 'unknown'} missing character "
+                f"'{ch}', replacement canceled",
+            )
+        return ReplaceResult(pdf_data, False, False, 0, log)
+
+    # ---- rewrite loop (replacer.py:469-802) on the target page only
+    cmaps = page_cmaps[page_num]
+    content_raw = doc.page_content_bytes(pages[page_num]).decode("latin1")
+    new_segments: list[str] = []
+    current_pos = 0
+    current_font: str | None = None
+    current_instance = 0
+    changed = False
+    n_replacements = 0
+
+    for segment in _SEGMENT_RE.finditer(content_raw):
+        if segment.start() > current_pos:
+            new_segments.append(content_raw[current_pos : segment.start()])
+        seg_text = segment.group(0)
+
+        fm = _FONT_RE.search(seg_text)
+        if fm:
+            current_font = "/" + fm.group(1)
+            new_segments.append(seg_text)
+            current_pos = segment.end()
+            continue
+
+        tmatch = _TEXT_RE.search(seg_text)
+        if tmatch and current_font in cmaps:
+            is_tj = seg_text.strip().endswith("TJ")
+            inner = tmatch.group(2) if is_tj else tmatch.group(1)
+            raw = inner.replace("\\", "").encode("latin1")  # T5
+            decoded = cmaps[current_font].decode(raw)
+            if decoded == target_text:
+                if instance_index >= 0:  # F7 gate
+                    if current_instance != instance_index:
+                        current_instance += 1
+                        new_segments.append(seg_text)
+                        current_pos = segment.end()
+                        continue
+                    current_instance += 1
+                _log(
+                    "INFO",
+                    f"({current_font}) Replacing: {decoded} → {replacement_text}",
+                )
+                # J3 per-char code lookup: census codes first (lowest
+                # code — deterministic where the reference takes set
+                # order), then the reverse CMap
+                font_codes = all_char_codes.get(current_font, {})
+                reverse_map = cmaps[current_font].reverse()
+                new_codes: list[int] = []
+                for ch in replacement_text:
+                    if ch in font_codes and font_codes[ch]:
+                        new_codes.append(min(font_codes[ch]))
+                    elif ch in reverse_map:
+                        new_codes.append(reverse_map[ch])
+                    else:
+                        _log(
+                            "WARNING",
+                            f"Character '{ch}' not available in font. "
+                            "Auto-insert disabled.",
+                        )
+                        break
+                if len(new_codes) < len(replacement_text):  # partial guard
+                    _log(
+                        "WARNING",
+                        "Partial replacement not allowed with auto-insert "
+                        "disabled. Preserving original text.",
+                    )
+                    new_segments.append(seg_text)
+                    current_pos = segment.end()
+                    continue
+                new_str = escape_pdf_string(bytes(new_codes).decode("latin1"))
+                if is_tj:  # splice J5 — same str.replace as the reference
+                    seg_out = seg_text.replace(
+                        f"[{tmatch.group(2)}]", f"[({new_str})]"
+                    )
+                else:
+                    seg_out = seg_text.replace(
+                        f"({tmatch.group(1)})", f"({new_str})"
+                    )
+                new_segments.append(seg_out)
+                changed = True
+                n_replacements += 1
+            else:
+                new_segments.append(seg_text)
+        else:
+            new_segments.append(seg_text)
+        current_pos = segment.end()
+
+    if current_pos < len(content_raw):
+        new_segments.append(content_raw[current_pos:])
+
+    if not changed:
+        _log("WARNING", f"Text not found on page {page_num}: {target_text}")
+        return ReplaceResult(pdf_data, False, False, 0, log)
+
+    new_content = "".join(new_segments).encode("latin1")
+    updates = content_update_objects(doc, page_num, new_content)
+    out = incremental_update(pdf_data, doc, updates)
+    _log("SUCCESS", f"Replaced {n_replacements} occurrence(s) on page {page_num}")
+    return ReplaceResult(out, True, True, n_replacements, log)
+
+
+# --------------------------------------------------------------------------
+# J4/S5: template ⋈ replacement-columns batch (reference pdf_gui.py:1671-1758)
+
+
+def sanitize_tag(tag: str) -> str:
+    """Output-name tag sanitizer (pdf_gui.py:1694): keep alnum/_/-."""
+    return "".join(ch for ch in tag if ch.isalnum() or ch in ("_", "-"))
+
+
+def batch_replace(
+    data: bytes,
+    template_texts: list[str],
+    replacement_columns: list[list[str]],
+    page_num: int = 0,
+) -> dict[str, ReplaceResult]:
+    """J4 (reference pdf_gui.py:1689-1758): one output document per
+    replacement column; within a column, the template targets are
+    replaced SEQUENTIALLY (each rewrite chains on the previous output,
+    like the reference's copy-then-replace loop), skipping pairs where
+    either side is empty. Keys are the column's sanitized first
+    non-empty value, or ``colN``."""
+    out: dict[str, ReplaceResult] = {}
+    for idx, col in enumerate(replacement_columns, start=1):
+        tag = col[0] if col and col[0] else f"col{idx}"
+        key = sanitize_tag(tag) or f"col{idx}"
+        current = data
+        total = 0
+        logs: list[tuple[str, str]] = []
+        for target, repl in zip(template_texts, col):
+            if not target or not repl:
+                continue
+            r = replace_text(current, target, repl, page_num)
+            current = r.data
+            total += r.replacements
+            logs.extend(r.log)
+        out[key] = ReplaceResult(current, current != data, total > 0, total, logs)
+    return out
+
+
+def load_replacement_table(path: str) -> tuple[list[str], list[list[str]]]:
+    """S5 equivalent: read a header-less CSV (column 0 = template
+    texts, columns 1..N = replacement sets). The reference reads .xlsx
+    via pandas/openpyxl (pdf_gui.py:1671); that dependency is absent
+    here, so the batch source is CSV — at corpus scale the same table
+    loads with ``spark.read.csv`` and broadcasts."""
+    import csv
+
+    with open(path, newline="", encoding="utf-8") as fh:
+        rows = [r for r in csv.reader(fh) if r]
+    if not rows or len(rows[0]) < 2:
+        raise ValueError("replacement table needs >= 2 columns")
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    template = [r[0] for r in rows]
+    columns = [[r[c] for r in rows] for c in range(1, width)]
+    return template, columns

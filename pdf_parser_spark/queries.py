@@ -304,6 +304,52 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rewrite_roundtrip",
+    f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
+    "FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT url, array_to_string(list_transform(range(1, len(flines) + 1), "
+    "i -> CASE WHEN i <= 48 AND flines[i] = flines[1] "
+    "THEN reverse(flines[i]) ELSE flines[i] END), chr(10)) AS text FROM exp",
+)
+def rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path end-to-end under oracle: per PDF, replace every
+    page-0 occurrence of the document's first decoded line with its
+    reverse (same character multiset, so census validation passes),
+    via the from-scratch rewrite kernel (census → validation → splice
+    → incremental-update sink), then re-extract the REWRITTEN bytes
+    with the normal kernel. The oracle recomputes the expected final
+    text in SQL — this entry proves K2/J5/T9/T10/F7 produce documents
+    our own reader round-trips byte-exactly."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+
+    def rw(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.pdfcore.extract import extract_pdf
+        from pdf_parser_spark.pdfcore.rewrite import replace_text
+
+        for pdf in batches:
+            urls, texts = [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                data = bytes(payload)
+                r = extract_pdf(data)
+                if r.items:
+                    target = r.items[0][2]
+                    rep = replace_text(data, target, target[::-1], page_num=0)
+                    texts.append(extract_pdf(rep.data).text)
+                else:
+                    texts.append(r.text)
+                urls.append(url)
+            yield _pd.DataFrame({"url": urls, "text": texts})
+
+    return webdocs.select("url", "html").mapInPandas(
+        rw, schema="url STRING, text STRING"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational reframings of the reference's dataflow operators, running
 # over REAL extracted output (spans/items from parse_webdocs), with
@@ -335,7 +381,9 @@ def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch re-runs the whole mapInArrow parse. Blocks are reclaimed on
     GC (unlike a bare persist)."""
     webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
-    parsed = parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    parsed = parse_webdocs(
+        webdocs, salt_map=webdocs_salt_map(spark, sf_dir), emit_items=True
+    )
     return parsed.localCheckpoint(eager=True)
 
 

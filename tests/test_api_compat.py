@@ -136,11 +136,26 @@ def test_fallback_only_when_page_empty():
     assert r2.items[0][1] is None  # no font on fallback items
 
 
-def test_write_path_raises(pdf_bytes):
-    with pytest.raises(NotImplementedError):
-        PDFTextReplacer(pdf_bytes).replace_text("a", "b")
-    with pytest.raises(NotImplementedError):
-        replace_pdf_text("in.pdf", "out.pdf", "a", "b")
+def test_write_path_api(tmp_path, pdf_bytes):
+    """Write surface (since r2): class method returns a ReplaceResult;
+    module function mirrors the reference's path-based bool shape."""
+    res = PDFTextReplacer(pdf_bytes).replace_text("Hello World", "Howdy Globe")
+    assert res.success and res.replacements == 2
+    from pdf_parser_spark.pdfcore.extract import extract_pdf
+
+    assert "Howdy Globe" in extract_pdf(res.data).text
+    out = tmp_path / "out.pdf"
+    ok = replace_pdf_text(pdf_bytes, str(out), "Hello World", "Howdy Globe")
+    assert ok and extract_pdf(out.read_bytes()).text.startswith("Howdy Globe")
+    # failure path writes the original through unchanged (reference copy)
+    ok2 = replace_pdf_text(pdf_bytes, str(out), "absent", "x")
+    assert not ok2 and out.read_bytes() == pdf_bytes
+    # auto-insert flag is accepted but inert, with a log marker
+    res2 = PDFTextReplacer(pdf_bytes).replace_text(
+        "Hello World", "日本語", allow_auto_insert=True
+    )
+    assert not res2.success
+    assert res2.log[0][1].startswith("allow_auto_insert is unsupported")
 
 
 def test_font_encoding_differences_map():

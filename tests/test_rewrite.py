@@ -1,0 +1,197 @@
+"""Write-path kernel: replace_text + incremental-update K2 sink.
+
+Each test pins a reference semantic from core/replacer.py (cited in
+pdf_parser_spark/pdfcore/rewrite.py's module doc) and round-trips the
+rewritten bytes through this repo's own reader."""
+
+import pytest
+
+from pdf_parser_spark.pdfcore.extract import extract_pdf
+from pdf_parser_spark.pdfcore.rewrite import (
+    ReplaceResult,
+    allocate_safe_code,
+    avg_width_ratio,
+    encode_pdf_string,
+    escape_pdf_string,
+    is_safe_code,
+    merge_cmaps,
+    replace_text,
+)
+from pdf_parser_spark.pdfgen.writer import make_text_pdf, text_to_pdf
+
+SRC = "Hello World\nkeep this line\nHello World"
+
+
+def test_simple_replace_roundtrip():
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "Jelly Wordl!")
+    # '!' not in census and not in WinAnsi-synth reverse? it IS in the
+    # synthesized printable-ASCII CMap reverse domain → supported
+    assert r.success and r.changed and r.replacements == 2
+    out = extract_pdf(r.data)
+    assert out.text == "Jelly Wordl!\nkeep this line\nJelly Wordl!"
+    assert out.error is None
+    # incremental update: original bytes preserved verbatim as prefix
+    assert r.data.startswith(pdf)
+
+
+def test_instance_selector_gate():
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "Howdy Earth", instance_index=1)
+    assert r.success and r.replacements == 1
+    assert extract_pdf(r.data).text == "Hello World\nkeep this line\nHowdy Earth"
+    r0 = replace_text(pdf, "Hello World", "Howdy Earth", instance_index=0)
+    assert extract_pdf(r0.data).text == "Howdy Earth\nkeep this line\nHello World"
+
+
+def test_identity_guard():
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "Hello World")
+    assert not r.changed and not r.success and r.data == pdf
+    assert r.log[0][0] == "WARNING"
+
+
+def test_unsupported_char_cancels():
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "日本語")
+    assert not r.changed and not r.success and r.data == pdf
+    assert any("missing character" in m for _, m in r.log)
+
+
+def test_text_not_found():
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "absent text", "whatever")
+    assert not r.changed and not r.success and r.data == pdf
+
+
+def test_replace_on_xrefstream_and_objstm_pdf():
+    for variant, objstm in [("xrefstream", False), ("xrefstream", True)]:
+        pdf = text_to_pdf(SRC, variant=variant, use_objstm=objstm)
+        r = replace_text(pdf, "keep this line", "swap this line")
+        assert r.success, (variant, objstm)
+        assert (
+            extract_pdf(r.data).text
+            == "Hello World\nswap this line\nHello World"
+        )
+
+
+def test_replace_contents_array_page():
+    # /Contents as array → new stream object + rewritten page object
+    pdf = make_text_pdf([["alpha one", "beta two", "gamma three", "delta four"]],
+                        contents_array=True)
+    r = replace_text(pdf, "beta two", "BETA TWO!")
+    assert r.success
+    assert extract_pdf(r.data).text == "alpha one\nBETA TWO!\ngamma three\ndelta four"
+
+
+def test_replace_second_page():
+    pdf = make_text_pdf([["page one text"], ["page two text"]])
+    r = replace_text(pdf, "page two text", "PAGE TWO NEW!", page_num=1)
+    assert r.success
+    assert extract_pdf(r.data).text == "page one text\nPAGE TWO NEW!"
+    # page_num=0 does not see page 1's text
+    r0 = replace_text(pdf, "page two text", "PAGE TWO NEW!", page_num=0)
+    assert not r0.success
+
+
+def test_escaped_parens_roundtrip():
+    # pdf_escape writes \( \); replace-path T5 strips backslashes, so
+    # the census/decode sees '(x)' — target must match that form
+    pdf = text_to_pdf("before (x) after\nplain")
+    r = replace_text(pdf, "before (x) after", "after (y) before")
+    assert r.success
+    assert extract_pdf(r.data).text == "after (y) before\nplain"
+
+
+def test_repeated_replacement_chains():
+    pdf = text_to_pdf(SRC)
+    r1 = replace_text(pdf, "Hello World", "Round One A")
+    r2 = replace_text(r1.data, "Round One A", "Round Two B")
+    assert r2.success
+    assert extract_pdf(r2.data).text == "Round Two B\nkeep this line\nRound Two B"
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def test_escape_pdf_string_reference_set():
+    # reference cmap.py:80-104
+    assert escape_pdf_string("a(b)c\\d\r\n\t\b\f") == (
+        "a\\(b\\)c\\\\d\\r\\n\\t\\b\\f"
+    )
+
+
+def test_encode_pdf_string_reverse_and_raise():
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+
+    cm = parse_cmap("2 beginbfchar\n<41> <0061>\n<42> <0062>\nendbfchar")
+    assert encode_pdf_string("ab", cm) == b"\x41\x42"
+    with pytest.raises(ValueError):
+        encode_pdf_string("z", cm)
+
+
+def test_is_safe_code_blocklist():
+    # reference fonts/analysis.py:70-100
+    for bad in (0x00, 0x1F, 0x20, 0x22, 0x27, 0x28, 0x29, 0x2C, 0x2E,
+                0x3A, 0x3B, 0x3F, 0x5B, 0x5D, 0x7B, 0x7D):
+        assert not is_safe_code(bad)
+    for ok in (0x41, 0x61, 0xB0, 0xFF):
+        assert is_safe_code(ok)
+
+
+def test_allocate_safe_code():
+    # scans 0xB0..0xFF, skipping used/already/encoding-map codes (E1)
+    assert allocate_safe_code(set()) == 0xB0
+    assert allocate_safe_code({0xB0}, {0xB1}) == 0xB2
+    assert allocate_safe_code({0xB0}, None, {"/F1": {0xB1: "/x"}}) == 0xB2
+    # exhausted range → None (reference's &0xFF extended-range bug is
+    # deliberately NOT reproduced)
+    assert allocate_safe_code(set(range(0xB0, 0x100))) is None
+
+
+def test_merge_cmaps_and_width_ratio():
+    assert merge_cmaps({1: "a", 2: "b"}, {2: "B", 3: "c"}) == {
+        1: "a", 2: "B", 3: "c",
+    }
+    # reference embedding.py:168-171: mean ratio × 0.97
+    assert avg_width_ratio([(500, 1000), (600, 1000)]) == pytest.approx(
+        ((0.5 + 0.6) / 2) * 0.97
+    )
+    assert avg_width_ratio([]) == 0.0
+
+
+# ----------------------------------------------------- J4/S5 batch + K4 draw
+
+
+def test_batch_replace_columns(tmp_path):
+    """J4 (pdf_gui.py:1689-1758): one output per column, sequential
+    chained replacement, empty pairs skipped, sanitized tags."""
+    from pdf_parser_spark.pdfcore.rewrite import batch_replace, load_replacement_table
+
+    pdf = text_to_pdf("name here\ncity here\nfixed line")
+    csv_path = tmp_path / "repl.csv"
+    csv_path.write_text(
+        "name here,Ada L.,Grace H.\ncity here,London,New-York\nfixed line,,\n"
+    )
+    template, columns = load_replacement_table(str(csv_path))
+    assert template == ["name here", "city here", "fixed line"]
+    outs = batch_replace(pdf, template, columns)
+    assert set(outs) == {"AdaL", "GraceH"}  # sanitized first values
+    assert extract_pdf(outs["AdaL"].data).text == "Ada L.\nLondon\nfixed line"
+    assert extract_pdf(outs["GraceH"].data).text == "Grace H.\nNew-York\nfixed line"
+    assert outs["AdaL"].replacements == 2
+
+
+def test_render_parse_svg():
+    """K4: SVG plot sink — red rects, blue labels, y flipped."""
+    from pdf_parser_spark.api import parse_page_text
+    from pdf_parser_spark.draw import render_parse_svg
+
+    pdf = text_to_pdf("top line\nnext <tag> & more")
+    svg = render_parse_svg(parse_page_text(pdf, 0))
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count('stroke="red"') == 2
+    assert "top line" in svg
+    assert "&lt;tag&gt; &amp; more" in svg  # XML-escaped label
+    # y flipped: the top PDF line (y1=732) sits at svg y = 792-732 = 60
+    assert 'y="60"' in svg
