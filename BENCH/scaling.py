@@ -106,7 +106,15 @@ timing; the timed section is the salted mapInPandas extraction pipeline
 ending in a noop sink (no driver collect). Parallelism enters only via
 `local[k]` and shuffle partitions = 2k.
 """
-    (HERE / "BASELINE.md").write_text(md)
+    # preserve the manually-curated run-history section across rewrites
+    out_path = HERE / "BASELINE.md"
+    history = ""
+    if out_path.exists():
+        prev = out_path.read_text()
+        idx = prev.find("## Run history")
+        if idx != -1:
+            history = "\n" + prev[idx:]
+    out_path.write_text(md + history)
     print(md)
     print(json.dumps({
         "low": low, "high": high, "efficiency": round(eff, 3),

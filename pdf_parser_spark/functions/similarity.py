@@ -48,7 +48,13 @@ def ivf_cell_expr(vec: Column, bits: int = 2) -> Column:
 
 
 def _dot_lit(vec: Column, centroid: list[float]) -> Column:
-    """Sequential double fold of vec · literal-centroid."""
+    """Sequential double fold of vec · literal-centroid — same IEEE
+    order as DuckDB's list_dot_product, so the oracle matches exactly.
+
+    (An expanded element_at chain compiles to whole-stage codegen but
+    16 centroids × 64 dims of it produced 6-7 MB task binaries and
+    ~30 s of codegen compile per stage — the interpreted fold is the
+    better trade here.)"""
     arr = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
     prods = F.zip_with(vec, arr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
@@ -56,17 +62,18 @@ def _dot_lit(vec: Column, centroid: list[float]) -> Column:
 
 def centroid_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """IVF cell assignment against a broadcast codebook, as pure
-    built-in expressions (no UDF): cell = argmin_i ||v - c_i||², computed
-    as dot(v,v) - 2·dot(v,c_i) + dot(c_i,c_i) with sequential double
-    folds so the DuckDB oracle reproduces it bit-for-bit. Ties break on
-    the lower centroid index via lexicographic struct least()."""
-    dvv = dot_expr(vec, vec)
+    built-in expressions (no UDF): cell = argmin_i ||v - c_i||².
+    Since dot(v,v) is constant per row it cannot change the argmin and
+    is dropped: the score is cc_i − 2·dot(v,c_i), with sequential
+    double folds so the DuckDB oracle reproduces it bit-for-bit. Ties
+    break on the lower centroid index via lexicographic struct
+    least()."""
     candidates = []
     for i, c in enumerate(centroids):
         cc = 0.0
         for x in c:  # sequential left fold, same IEEE order as the SQL twin
             cc += float(x) * float(x)
-        d = dvv - 2.0 * _dot_lit(vec, c) + F.lit(cc).cast("double")
+        d = F.lit(cc).cast("double") - 2.0 * _dot_lit(vec, c)
         candidates.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
     return F.least(*candidates).getField("cid").cast("int")
 

@@ -372,19 +372,31 @@ def _span_lines_cte(lines_per_page: int = 48) -> str:
     )
 
 
+# one parsed frame per (session, sf_dir[, variant]) — the in-session
+# analog of parse-once-write-spans-table: the span-operator queries all
+# read the SAME materialized parse instead of each re-running the
+# mapInArrow kernel. Bounded (two entries per sf_dir) and keyed by
+# applicationId so a new session re-parses.
+_PARSED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parsed PDF half of the corpus, materialized once.
+    """Parsed PDF half of the corpus, materialized once per session.
 
     localCheckpoint because every consumer branches the parsed frame at
-    least twice (items + spans, hits + blocks, self-join sides) — the
-    in-session analog of parse-once-write-spans-table; without it each
-    branch re-runs the whole mapInArrow parse. Blocks are reclaimed on
-    GC (unlike a bare persist)."""
+    least twice (items + spans, hits + blocks, self-join sides);
+    without it each branch re-runs the whole mapInArrow parse. Blocks
+    are reclaimed on GC (unlike a bare persist)."""
+    key = (spark.sparkContext.applicationId, sf_dir, 0)
+    cached = _PARSED_CACHE.get(key)
+    if cached is not None:
+        return cached
     webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
     parsed = parse_webdocs(
         webdocs, salt_map=webdocs_salt_map(spark, sf_dir), emit_items=True
-    )
-    return parsed.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    _PARSED_CACHE[key] = parsed
+    return parsed
 
 
 @q(
@@ -485,10 +497,15 @@ def containment_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter lines are genuinely dropped inside longer ones (strict-area
     form; the order-dependent equal-rect case is pinned by the kernel
     golden in tests/test_api_compat.py)."""
-    w = synthesize_pdf_variant(spark, sf_dir, lines_per_page=_CONTAIN_LPP)
-    parsed = parse_webdocs(
-        w, salt_map=webdocs_salt_map(spark, sf_dir)
-    ).localCheckpoint(eager=True)  # parse once; the anti-join branches twice
+    key = (spark.sparkContext.applicationId, sf_dir, _CONTAIN_LPP)
+    parsed = _PARSED_CACHE.get(key)
+    if parsed is None:
+        w = synthesize_pdf_variant(spark, sf_dir, lines_per_page=_CONTAIN_LPP)
+        # parse once; the anti-join branches twice
+        parsed = parse_webdocs(
+            w, salt_map=webdocs_salt_map(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        _PARSED_CACHE[key] = parsed
     rects = spans_view(parsed).select(
         "url",
         "page_no",
@@ -976,9 +993,8 @@ _DUCK_CELLS = (
     f"cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "
     f"WHERE vec_id < {_IVF_CELLS}), "
     "cdist AS (SELECT v.vec_id, v.embedding, c.cid, "
-    "list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) "
-    "- 2 * list_dot_product(v.embedding::DOUBLE[], c.ce::DOUBLE[]) "
-    "+ list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS d "
+    "list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) "
+    "- 2 * list_dot_product(v.embedding::DOUBLE[], c.ce::DOUBLE[]) AS d "
     "FROM embeddings v, cent c), "
     "cells AS (SELECT vec_id, embedding, cid AS cell FROM "
     "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) "
