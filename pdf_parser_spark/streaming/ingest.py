@@ -65,3 +65,166 @@ def extracted_stream_view(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir).select(
         "url", "kind", "text", "n_pages", "n_items", "error"
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed aggregation with watermarking (late-data handling)
+
+
+def windowed_host_stats(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time windows over the ingest stream, keyed by
+    (window, host): doc counts + payload byte volume per host per
+    window of ``warc_ts``. The watermark bounds state: a row arriving
+    more than *watermark_delay* behind the max observed event time is
+    dropped instead of reopening its window — the standard late-data
+    policy for an unbounded crawl feed, and the mechanism that lets the
+    window state store stay finite at 10^12-doc scale."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark("warc_ts", watermark_delay)
+        .groupBy(
+            F.window("warc_ts", window_duration).alias("win"),
+            "host",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n_docs",
+            "bytes_in",
+        )
+    )
+
+
+def run_windowed_stats(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    watermark_delay: str = "10 minutes",
+):
+    """Start the windowed-stats stream into an in-memory sink (APPEND
+    mode: a window emits exactly once, when the watermark passes its
+    end — and input rows older than the watermark are filtered before
+    aggregation, the clean late-drop semantics; update mode would
+    merge a late row into any still-live window state).
+    ``maxFilesPerTrigger=1`` makes the watermark advance file-by-file,
+    so late-data dropping is deterministic in tests.
+
+    The memory sink cannot recover from a checkpoint — for
+    restart-resume semantics point the same stats DataFrame at a
+    parquet sink (see ``run_streaming_extract``)."""
+    stream = (
+        spark.readStream.schema(WEBDOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    stats = windowed_host_stats(stream, watermark_delay=watermark_delay)
+    writer = (
+        stats.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+
+
+STATE_SCHEMA = "total_docs BIGINT, total_bytes BIGINT"
+TOTALS_SCHEMA = (
+    "host STRING, batch_docs BIGINT, total_docs BIGINT, total_bytes BIGINT"
+)
+
+
+def stateful_host_totals(stream: DataFrame) -> DataFrame:
+    """Running per-host totals across micro-batches via
+    ``applyInPandasWithState`` — the arbitrary-stateful-operator path
+    for semantics windows can't express (monotone running totals that
+    survive across triggers and restarts through the checkpoint).
+
+    State per host = (total_docs, total_bytes); each trigger emits one
+    row per active host with the batch delta and the running totals.
+    State is O(distinct hosts) — bounded; at crawl scale add a
+    ProcessingTimeTimeout eviction for dormant hosts."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        host = key[0]
+        batch_docs = 0
+        batch_bytes = 0
+        for pdf in pdfs:
+            batch_docs += len(pdf)
+            batch_bytes += int(pdf["html"].map(len).sum())
+        if state.exists:
+            total_docs, total_bytes = state.get
+        else:
+            total_docs, total_bytes = 0, 0
+        total_docs += batch_docs
+        total_bytes += batch_bytes
+        state.update((total_docs, total_bytes))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "batch_docs": [batch_docs],
+                "total_docs": [total_docs],
+                "total_bytes": [total_bytes],
+            }
+        )
+
+    return (
+        stream.select("host", "html")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOTALS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_stateful_totals(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Drive ``stateful_host_totals`` into an in-memory sink. The state
+    store is checkpointed per trigger, but the memory sink itself
+    cannot recover — swap in a parquet/kafka sink (as in
+    ``run_streaming_extract``) to get restart-resume."""
+    stream = (
+        spark.readStream.schema(WEBDOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    totals = stateful_host_totals(stream)
+    writer = (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -72,3 +72,113 @@ def test_streaming_extract_drains_and_resumes(spark, webdocs, tmp_path):
     assert view.select("url").distinct().count() == view.count()
     # extraction semantics identical to batch
     assert view.where(F.col("text") == "").count() == 0
+
+
+def _mini_webdocs(spark, rows):
+    """rows: (doc_id, host, ts_str, payload_bytes)"""
+    from datetime import datetime
+
+    data = [
+        (
+            did,
+            f"https://{host}/doc/{did}",
+            host,
+            datetime.fromisoformat(ts),
+            bytearray(payload),
+            "t",
+            "en",
+        )
+        for did, host, ts, payload in rows
+    ]
+    from pdf_parser_spark.engine.corpus import WEBDOCS_SCHEMA
+
+    return spark.createDataFrame(data, WEBDOCS_SCHEMA)
+
+
+def test_windowed_stats_watermark_drops_late(spark, tmp_path):
+    """Event-time tumbling windows + watermark: a row arriving after
+    the watermark passed its window is DROPPED, not re-aggregated."""
+    import time as _time
+
+    from pdf_parser_spark.streaming.ingest import run_windowed_stats
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = _mini_webdocs(
+        spark,
+        [
+            (1, "h1", "2024-01-01 12:00:30", b"aaaa"),
+            (2, "h1", "2024-01-01 12:02:00", b"bb"),
+            (3, "h1", "2024-01-01 12:30:00", b"c"),  # advances watermark to 12:20
+        ],
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes → one file per micro-batch, in order
+    # on-time batch: watermark 12:20 passes window 12:00-12:10 → it is
+    # emitted (docs 1+2 only) and its state evicted
+    b2 = _mini_webdocs(spark, [(4, "h1", "2024-01-01 12:40:00", b"f")])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # VERY late row for the already-closed-and-emitted 12:00 window,
+    # plus an on-time row
+    b3 = _mini_webdocs(
+        spark,
+        [
+            (5, "h1", "2024-01-01 12:05:00", b"dddd"),  # late: dropped
+            (6, "h1", "2024-01-01 12:45:00", b"ee"),    # on time
+        ],
+    )
+    b3.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_windowed_stats(spark, src, "win_stats_t", ckpt)
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_stats_t").collect()
+    emitted = [
+        (str(r["win_start"]), r["host"], r["n_docs"], r["bytes_in"]) for r in rows
+    ]
+    # append mode: the 12:00 window emits exactly ONCE, when the
+    # watermark passes its end, with only the on-time docs 1+2. The
+    # very-late doc 5 must NOT produce a duplicate/amended emission for
+    # that window (watermark drop). Later windows never close before
+    # the stream drains, so nothing else emits.
+    assert emitted == [("2024-01-01 12:00:00", "h1", 2, 6)]
+
+
+def test_stateful_host_totals_accumulate(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals survive across
+    micro-batches via the state store."""
+    import time as _time
+
+    from pdf_parser_spark.streaming.ingest import run_stateful_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = _mini_webdocs(
+        spark,
+        [
+            (1, "ha", "2024-01-01 00:00:00", b"12345"),
+            (2, "ha", "2024-01-01 00:00:01", b"123"),
+            (3, "hb", "2024-01-01 00:00:02", b"1"),
+        ],
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    b2 = _mini_webdocs(spark, [(4, "ha", "2024-01-01 00:01:00", b"22")])
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_stateful_totals(spark, src, "host_totals_t", ckpt)
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_totals_t").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["host"])
+        if cur is None or r["total_docs"] > cur["total_docs"]:
+            final[r["host"]] = r
+    assert final["ha"]["total_docs"] == 3
+    assert final["ha"]["total_bytes"] == 5 + 3 + 2
+    assert final["hb"]["total_docs"] == 1
+    # the second micro-batch emitted a delta of 1 on running total 3
+    assert any(
+        r["host"] == "ha" and r["batch_docs"] == 1 and r["total_docs"] == 3
+        for r in rows
+    )
