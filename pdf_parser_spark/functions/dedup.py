@@ -7,12 +7,13 @@ Spark built-ins so the hot path is JVM-side and shuffle-aware:
 - exact:   one groupBy on md5(text) — a single hash shuffle; at 100 TB
            this is the cheapest possible dedup (map-side partial agg on
            the digest, not the payload).
-- MinHash: signatures via array_min over md5-hashed shingles (no
-           explode of the shingle set — the per-doc array stays in one
-           row), then an explode only of the B band keys (B≈4 rows per
-           doc) and a self-equi-join on band key. The join is an
-           equi-join ⇒ Catalyst can hash-partition it; candidate pairs
-           ≪ n².
+- MinHash: ONE md5 per shingle, one-permutation hashing (Li, Owen &
+           Zhang, NeurIPS 2012): the hash's leading byte buckets it
+           into one of the `num_hashes` signature slots, and each slot
+           keeps the lexicographic min — 8× fewer digests than the
+           per-seed rehash form for the same LSH behavior. Band keys
+           explode to B≈4 rows per doc and self-equi-join ⇒ Catalyst
+           hash-partitions it; candidate pairs ≪ n².
 - SimHash: bit votes folded with `aggregate` over the token array —
            again no explode, no UDF.
 - cross-engine determinism: md5 (identical in every engine) is the hash
@@ -92,21 +93,51 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w_keep, id_col, "left_semi")
 
 
+def _oph_bucket(hash_col: Column, num_hashes: int) -> Column:
+    """One-permutation-hashing slot for an md5 hex: leading byte value
+    (two hex digits, 0..255) mod `num_hashes`. Works for any slot count
+    up to 256."""
+    return (
+        (
+            (F.instr(F.lit(HEX_DIGITS), F.substring(hash_col, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(HEX_DIGITS), F.substring(hash_col, 2, 1)) - 1)
+        )
+        % num_hashes
+    ).cast("int")
+
+
+#: sentinel for an empty OPH slot; sorts after every hex digest so a
+#: filled slot always wins a min(), and two docs only share it when the
+#: slot is empty for both (naive densification — fine for candidate
+#: generation; rotation densification would remove the residual bias).
+OPH_EMPTY = "~empty"
+
+
 def minhash_signature(tok_col: Column, num_hashes: int = 8, shingle_k: int = 3) -> Column:
     """MinHash signature as array<string> of lexicographic-min md5 hexes.
 
-    One md5 per (seed, shingle) via transform+array_min — all JVM-side,
-    no shuffle, no explode of the shingle set.
+    One-permutation hashing: md5 per shingle, bucketed into
+    `num_hashes` slots by its leading byte, min per slot — all JVM-side
+    expressions, no shuffle, no explode of the shingle set. Same bits
+    as the bulk path (lsh_candidate_pairs); use the bulk path for
+    corpus-scale work (Catalyst inlines `hs` once per slot here, so
+    this form still evaluates num_hashes×|sh| digests).
     """
-    sh = F.array_distinct(shingles(tok_col, shingle_k))
+    hs = F.transform(
+        F.array_distinct(shingles(tok_col, shingle_k)), lambda x: F.md5(x)
+    )
 
-    def seed_min(s: int) -> Column:
+    def slot_min(s: int) -> Column:
         # closure factory: the lambda must take exactly one argument —
         # a 2-arg lambda is treated as (element, index) by Spark.
-        prefix = F.lit(f"s{s}:")
-        return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(prefix, x))))
+        return F.coalesce(
+            F.array_min(
+                F.filter(hs, lambda h: _oph_bucket(h, num_hashes) == s)
+            ),
+            F.lit(OPH_EMPTY),
+        )
 
-    return F.array(*[seed_min(s) for s in range(num_hashes)])
+    return F.array(*[slot_min(s) for s in range(num_hashes)])
 
 
 def minhash_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -136,29 +167,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates as distinct (a_id, b_id), a<b.
 
-    Pipeline: explode distinct shingles → md5 per (seed, shingle) →
-    map-side-combined min-agg signature → explode B band keys → self
-    equi-join on band_key (hash-partitioned; AQE splits skewed bands) →
-    distinct pairs. Only (id, signature) and (band_key, id) ever
-    shuffle; documents shorter than the shingle width drop out
-    naturally (no shingles → no bands).
+    Pipeline: explode distinct shingles → ONE md5 per shingle row →
+    one-permutation bucketing (leading byte mod num_hashes) →
+    map-side-combined conditional-min signature → explode B band keys →
+    self equi-join on band_key (hash-partitioned; AQE splits skewed
+    bands) → distinct pairs. Only (id, signature) and (band_key, id)
+    ever shuffle; documents shorter than the shingle width drop out
+    naturally (no shingles → no bands). Empty OPH slots densify to the
+    OPH_EMPTY sentinel, so very short documents can only pair through
+    their *filled* slots plus mutually-empty ones.
     """
     rows_per_band = num_hashes // bands
     # Produce (id, shingle) rows relationally (see exploded_shingles),
-    # hash per row, then fold the per-seed minima with a map-side-
-    # combined groupBy — one tokenization per document, and the shuffle
-    # carries only (id, 8 × 32-byte hex) after partial aggregation.
-    # min() is duplicate-insensitive, so no distinct pass is needed.
+    # ONE hash per row (vs md5-per-seed: 8× fewer digests for the same
+    # LSH behavior), then fold per-slot minima with a map-side-combined
+    # groupBy — one tokenization per document, and the shuffle carries
+    # only (id, 8 × 32-byte hex) after partial aggregation. min() is
+    # duplicate-insensitive, so no distinct pass is needed.
     sh = exploded_shingles(df, text_col, id_col, shingle_k)
-    hashed = sh.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle"))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ],
+    hashed = sh.select(id_col, F.md5("shingle").alias("h")).select(
+        id_col, "h", _oph_bucket(F.col("h"), num_hashes).alias("slot")
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{s}").alias(f"s{s}") for s in range(num_hashes)]
+        *[
+            F.coalesce(
+                F.min(F.when(F.col("slot") == s, F.col("h"))),
+                F.lit(OPH_EMPTY),
+            ).alias(f"s{s}")
+            for s in range(num_hashes)
+        ]
     )
     band = sig.select(
         id_col,
@@ -263,8 +300,11 @@ def jaccard_pair_counts(
     *pair_expr* maps a right-side id to its left partner (e.g.
     ``F.col("doc_id") - CLONE_OFFSET``). Produces
     (a_id, b_id, inter_n, union_n) for EVERY left row: |∩| via an
-    equi-join on (pair key, shingle), |∪| via countDistinct over the
-    union — all hash-partitioned, no arrays, no per-row set objects.
+    equi-join on (pair key, shingle); |∪| = |A| + |B| − |∩| from
+    per-side distinct counts, so the unioned shingle rows are never
+    re-shuffled (countDistinct over the union would ship every shingle
+    row a second time with no map-side combine) — all hash-partitioned,
+    no arrays, no per-row set objects.
     """
     a_sh = exploded_shingles(left, text_col, id_col, shingle_k).select(
         F.col(id_col).alias("a_id"), "shingle"
@@ -277,11 +317,10 @@ def jaccard_pair_counts(
         .groupBy("a_id")
         .agg(F.count("*").cast("int").alias("inter_n"))
     )
-    union = (
-        a_sh.unionByName(b_sh.select("a_id", "shingle"))
-        .groupBy("a_id")
-        .agg(F.countDistinct("shingle").cast("int").alias("union_n"))
-    )
+    # per-side sizes: the inputs are already distinct, so count(*) per
+    # id partially aggregates map-side and shuffles only (id, count)
+    cnt_a = a_sh.groupBy("a_id").agg(F.count("*").cast("int").alias("_n_a"))
+    cnt_b = b_sh.groupBy("a_id").agg(F.count("*").cast("int").alias("_n_b"))
     pairs = left.select(
         F.col(id_col).alias("a_id")
     ).join(
@@ -290,12 +329,17 @@ def jaccard_pair_counts(
     )
     return (
         pairs.join(inter, "a_id", "left")
-        .join(union, "a_id", "left")
+        .join(cnt_a, "a_id", "left")
+        .join(cnt_b, "a_id", "left")
         .select(
             "a_id",
             "b_id",
             F.coalesce("inter_n", F.lit(0)).alias("inter_n"),
-            F.coalesce("union_n", F.lit(0)).alias("union_n"),
+            (
+                F.coalesce("_n_a", F.lit(0))
+                + F.coalesce("_n_b", F.lit(0))
+                - F.coalesce("inter_n", F.lit(0))
+            ).alias("union_n"),
         )
     )
 

@@ -54,20 +54,63 @@ def _dot_lit(vec: Column, centroid: list[float]) -> Column:
     (An expanded element_at chain compiles to whole-stage codegen but
     16 centroids × 64 dims of it produced 6-7 MB task binaries and
     ~30 s of codegen compile per stage — the interpreted fold is the
-    better trade here.)"""
-    arr = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    better trade here. The literal array goes through ONE F.lit call:
+    per-element F.lit+cast cost 16×64 py4j round-trips, several seconds
+    of driver time per query construction.)"""
+    arr = F.lit([float(x) for x in centroid])
     prods = F.zip_with(vec, arr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
-def centroid_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+def _sql_double(x: float) -> str:
+    """Shortest-round-trip IEEE double as a Spark SQL expression.
+    repr() gives ≤17 significant digits, which a string→double CAST
+    parses back to the identical bits."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL twin of :func:`_dot_lit` — same sequential fold, same IEEE
+    order, but the whole expression ships to the JVM as ONE parsed
+    string instead of hundreds of py4j calls."""
+    arr = ", ".join(_sql_double(x) for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def centroid_cell_expr(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
     """IVF cell assignment against a broadcast codebook, as pure
     built-in expressions (no UDF): cell = argmin_i ||v - c_i||².
     Since dot(v,v) is constant per row it cannot change the argmin and
     is dropped: the score is cc_i − 2·dot(v,c_i), with sequential
     double folds so the DuckDB oracle reproduces it bit-for-bit. Ties
     break on the lower centroid index via lexicographic struct
-    least()."""
+    least().
+
+    Pass *vec* as a column-NAME string for the fast construction path:
+    the whole argmin tree is built as one SQL string and parsed JVM-side
+    in a single call. The Column form builds the same tree through the
+    PySpark expression API (16 centroids × 2 lambdas each ≈ seconds of
+    py4j round-trips at construction — fine for tests, not per-query)."""
+    if isinstance(vec, str):
+        cands = []
+        for i, c in enumerate(centroids):
+            cc = 0.0
+            for x in c:  # sequential left fold, same IEEE order
+                cc += float(x) * float(x)
+            cands.append(
+                f"named_struct('d', {_sql_double(cc)} - 2.0D * "
+                f"{_dot_sql(vec, c)}, 'cid', {i})"
+            )
+        return (
+            F.expr(f"least({', '.join(cands)})")
+            .getField("cid")
+            .cast("int")
+        )
     candidates = []
     for i, c in enumerate(centroids):
         cc = 0.0
@@ -191,22 +234,23 @@ def ivf_topk(
     toy quantizer.
     """
 
-    def cell(col: Column) -> Column:
-        if centroids is not None:
-            return centroid_cell_expr(col, centroids)
-        return ivf_cell_expr(col, bits)
+    if centroids is not None:
+        # string form → single JVM-parsed SQL tree (fast construction)
+        cell_col = centroid_cell_expr(vec_col, centroids)
+    else:
+        cell_col = ivf_cell_expr(F.col(vec_col), bits)
 
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("qv"),
-            cell(F.col(vec_col)).alias("cell"),
+            cell_col.alias("cell"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        cell(F.col(vec_col)).alias("cell"),
+        cell_col.alias("cell"),
     )
     pairs = c.join(q, "cell").where(F.col("q_id") != F.col("neighbor_id"))
     scored = pairs.select(

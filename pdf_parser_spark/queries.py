@@ -883,9 +883,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sql() -> str:
+    # one-permutation hashing, mirroring dedup._oph_bucket: one md5 per
+    # shingle, slot = leading byte (2 hex digits) mod 8, min per slot,
+    # '~empty' sentinel for unfilled slots
     sh = f"list_distinct({duck_shingles('toks')})"
+    slot = (
+        "(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8)"
+    )
     sigs = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('s{s}:' || x))) AS s{s}"
+        "coalesce(list_min(list_filter(list_transform(sh, x -> md5(x)), "
+        f"h -> {slot} = {s})), '~empty') AS s{s}"
         for s in range(8)
     )
     bands = " UNION ALL ".join(
