@@ -266,6 +266,71 @@ def audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# epoch seconds of the corpus _EPOCH (2024-01-01 UTC); warc_ts derives
+# as _EPOCH + doc_id % 86400 seconds (engine/corpus.py), so the window
+# oracle can stay in pure integer arithmetic.
+_EPOCH_S = 1704067200
+_WIN_S = 600  # 10-minute tumbling windows
+
+
+@q(
+    "windowed_host_stats",
+    f"SELECT (({_EPOCH_S} + doc_id % 86400) // {_WIN_S} * {_WIN_S})::BIGINT "
+    "AS win_start, "
+    f"(({_EPOCH_S} + doc_id % 86400) // {_WIN_S} * {_WIN_S} + {_WIN_S})::BIGINT "
+    "AS win_end, "
+    f"{HOST_SQL} AS host, count(*)::BIGINT AS n_docs, "
+    "sum(length(text))::BIGINT AS bytes_in FROM documents GROUP BY 1, 2, 3",
+)
+def windowed_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the EXACT code the
+    streaming surface runs (streaming/ingest.windowed_host_stats;
+    withWatermark is a no-op on a batch frame), verified here against
+    an integer-arithmetic window oracle. Streaming-only semantics
+    (late-row drop, append-mode single emission, state eviction) are
+    pinned by tests/test_sinks_streaming.py."""
+    from .streaming.ingest import windowed_host_stats as _wstats
+
+    w = synthesize_webdocs(spark, sf_dir)
+    stats = _wstats(w, size_col="text")
+    return stats.select(
+        F.col("win_start").cast("long").alias("win_start"),
+        F.col("win_end").cast("long").alias("win_end"),
+        "host",
+        "n_docs",
+        F.col("bytes_in").cast("long").alias("bytes_in"),
+    )
+
+
+@q(
+    "host_running_totals",
+    f"WITH w AS (SELECT doc_id, {HOST_SQL} AS host, "
+    f"{_EPOCH_S} + doc_id % 86400 AS ts, length(text) AS nb FROM documents) "
+    "SELECT doc_id, host, "
+    "(row_number() OVER (PARTITION BY host ORDER BY ts, doc_id))::BIGINT "
+    "AS running_docs, "
+    "sum(nb) OVER (PARTITION BY host ORDER BY ts, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
+    "AS running_bytes FROM w",
+)
+def host_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host running totals in event-time order — the batch twin of
+    the applyInPandasWithState stateful operator
+    (streaming/ingest.stateful_host_totals): the cumulative window here
+    must equal the stream's state trajectory after each row. Partition-
+    scoped window (no global sort); (warc_ts, doc_id) ordering is
+    deterministic."""
+    w = synthesize_webdocs(spark, sf_dir)
+    order = Window.partitionBy("host").orderBy("warc_ts", "doc_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return w.select(
+        "doc_id",
+        "host",
+        F.row_number().over(order).cast("bigint").alias("running_docs"),
+        F.sum(F.length("text")).over(cum).cast("bigint").alias("running_bytes"),
+    )
+
+
 @q(
     "fallback_extract",
     f"WITH exp AS (SELECT {URL_SQL} AS url, {CHUNKS_SQL} AS chunks "
