@@ -127,6 +127,7 @@ def synthesize_pdf_variant(
     sf_dir: str,
     lines_per_page: int = 48,
     fontless: bool = False,
+    repeat_first: int = 0,
 ) -> DataFrame:
     """PDF-only corpus variant: every source document (even doc_id, the
     PDF half — keeping doc_id parity identical to synthesize_webdocs)
@@ -139,6 +140,13 @@ def synthesize_pdf_variant(
       real spans.
     - ``fontless=True`` omits font resources so the content stream
       never decodes and the degraded literal-sweep fallback runs.
+    - ``repeat_first=k`` appends the document's first k lines again at
+      the end, so every document genuinely contains repeated text and
+      the instance-index/instance-selector operators are exercised
+      non-vacuously (the base corpus has no duplicate lines). SQL twin:
+      ``list_concat(flines, flines[1:k])`` — safe because the
+      chunk→line transform is per-element, order-preserving, and never
+      produces an empty line from a non-empty chunk.
     """
     from ..pdfgen.writer import make_text_pdf
 
@@ -156,6 +164,8 @@ def synthesize_pdf_variant(
             payloads = []
             for t in texts:
                 lines = wrap_lines(t) or [""]
+                if repeat_first:
+                    lines = lines + lines[:repeat_first]
                 pages = [
                     lines[i : i + lines_per_page]
                     for i in range(0, len(lines), lines_per_page)

@@ -424,23 +424,34 @@ def rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 500/1000 × 12pt — pdfgen writes no /Widths array).
 
 
-def _span_lines_cte(lines_per_page: int = 48) -> str:
+def _span_lines_cte(lines_per_page: int = 48, repeat_first: int = 0) -> str:
     """Reconstructed span stream per PDF url: (url, gseq, page_no, seq,
-    text) — the SQL twin of spans_view over the synthetic corpus."""
+    text) — the SQL twin of spans_view over the synthetic corpus.
+    ``repeat_first`` mirrors synthesize_pdf_variant's repeated-lines
+    corpus (first k lines appended again at the end)."""
     l = lines_per_page
-    return (
+    cte = (
         f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
         "FROM documents WHERE doc_id % 2 = 0), "
+    )
+    src = "exp"
+    if repeat_first:
+        cte += (
+            "ext AS (SELECT url, list_concat(flines, "
+            f"flines[1:{repeat_first}]) AS flines FROM exp), "
+        )
+        src = "ext"
+    return cte + (
         "lines AS (SELECT url, unnest(list_transform(range(1, len(flines) + 1), "
         f"i -> {{'gseq': i - 1, 'page_no': (i - 1) // {l}, "
-        f"'seq': (i - 1) % {l}, 'text': flines[i]}}), recursive := true) FROM exp)"
+        f"'seq': (i - 1) % {l}, 'text': flines[i]}}), recursive := true) FROM {src})"
     )
 
 
 # one parsed frame per (session, sf_dir[, variant]) — the in-session
 # analog of parse-once-write-spans-table: the span-operator queries all
 # read the SAME materialized parse instead of each re-running the
-# mapInArrow kernel. Bounded (two entries per sf_dir) and keyed by
+# mapInArrow kernel. Bounded (three entries per sf_dir) and keyed by
 # applicationId so a new session re-parses.
 _PARSED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
@@ -464,9 +475,30 @@ def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed
 
 
+_REPEAT_K = 3  # first k lines repeated → every doc has duplicate text
+
+
+def _parsed_repeat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed repeated-lines corpus variant (synthesize_pdf_variant
+    repeat_first=_REPEAT_K): every document contains genuine duplicate
+    lines, so instance ordinals take values > 0. Cached like
+    _parsed_pdf_docs; the cache key's variant tag is -_REPEAT_K (>0
+    tags mean lines_per_page variants)."""
+    key = (spark.sparkContext.applicationId, sf_dir, -_REPEAT_K)
+    cached = _PARSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    w = synthesize_pdf_variant(spark, sf_dir, repeat_first=_REPEAT_K)
+    parsed = parse_webdocs(
+        w, salt_map=webdocs_salt_map(spark, sf_dir), emit_items=True
+    ).localCheckpoint(eager=True)
+    _PARSED_CACHE[key] = parsed
+    return parsed
+
+
 @q(
     "instance_index",
-    f"{_span_lines_cte()} "
+    f"{_span_lines_cte(repeat_first=_REPEAT_K)} "
     "SELECT url, gseq::INT AS seq, text, (row_number() OVER (PARTITION BY "
     "url, text ORDER BY gseq) - 1)::INT AS instance_index FROM lines",
 )
@@ -475,24 +507,33 @@ def instance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance counter (api.py:139-186 semantics, computed inside
     extract_pdf) exposed via items_view and verified against a SQL
     rank-window recomputation — kernel ordinal vs relational ordinal
-    must agree exactly."""
-    items = items_view(_parsed_pdf_docs(spark, sf_dir))
+    must agree exactly. Runs over the repeated-lines corpus variant so
+    ordinals > 0 genuinely occur (the base corpus has no duplicate
+    lines — every ordinal would be 0)."""
+    items = items_view(_parsed_repeat_docs(spark, sf_dir))
     return items.select("url", "seq", "text", "instance_index")
 
 
 @q(
     "instance_selector",
-    "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY "
-    "user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 2",
+    f"{_span_lines_cte(repeat_first=_REPEAT_K)} "
+    "SELECT url, text, gseq::INT AS seq FROM (SELECT url, text, gseq, "
+    "row_number() OVER (PARTITION BY url, text ORDER BY gseq) AS rn "
+    "FROM lines) WHERE rn = 2",
 )
 def instance_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7: select only instance #k of each repeated key (replacer.py:367)."""
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    """F7 over real extraction output: select only instance #k (k=2
+    here) of each repeated (url, text) from the decoded item stream —
+    the reference's instance_index gate (replacer.py:491-500) as a
+    rank-window filter, non-vacuous on the repeated-lines variant (one
+    row per document line that repeats). The kernel's own instance
+    ordinal is verified separately by instance_index."""
+    items = items_view(_parsed_repeat_docs(spark, sf_dir))
+    w = Window.partitionBy("url", "text").orderBy("seq")
     return (
-        _read(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
+        items.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 2)
-        .select("event_id")
+        .select("url", "text", F.col("seq").cast("int").alias("seq"))
     )
 
 
