@@ -72,7 +72,17 @@ def main() -> None:
     # extraction throughput, not per-job fixed overhead (at sf0.1 the
     # raw table is only 5000 docs — seconds of work on 32 cores).
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "20"))
-    corpus_path = f"/tmp/bench_corpus_{os.getpid()}"
+    # corpus scratch: tmpfs when RAM headroom allows (the sandbox /tmp
+    # is a throttled virtual disk; the ~GB corpus write costs ~3s extra
+    # there), same guard as the session's shuffle-dir choice
+    from pdf_parser_spark.engine.session import _available_mem_gib
+
+    scratch = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and _available_mem_gib() >= 16.0
+        else "/tmp"
+    )
+    corpus_path = f"{scratch}/bench_corpus_{os.getpid()}"
     t0 = time.perf_counter()
     synthesize_webdocs(spark, sf_dir, replicate=replicate).write.mode(
         "overwrite"
