@@ -157,6 +157,39 @@ def minhash_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column
     )
 
 
+def oph_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, s0..s{n-1}): bulk one-permutation MinHash signatures.
+
+    Produce (id, shingle) rows relationally (see exploded_shingles),
+    ONE md5 per row (vs md5-per-seed: 8× fewer digests for the same
+    LSH behavior), then fold per-slot minima with a map-side-combined
+    groupBy — one tokenization per document, and the shuffle carries
+    only (id, n × 32-byte hex) after partial aggregation. min() is
+    duplicate-insensitive, so no distinct pass is needed. Same bits as
+    the expression form (minhash_signature) — equivalence is pinned in
+    tests. Documents with fewer than shingle_k tokens produce no row.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    hashed = sh.select(id_col, F.md5("shingle").alias("h")).select(
+        id_col, "h", _oph_bucket(F.col("h"), num_hashes).alias("slot")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.min(F.when(F.col("slot") == s, F.col("h"))),
+                F.lit(OPH_EMPTY),
+            ).alias(f"s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -178,25 +211,7 @@ def lsh_candidate_pairs(
     their *filled* slots plus mutually-empty ones.
     """
     rows_per_band = num_hashes // bands
-    # Produce (id, shingle) rows relationally (see exploded_shingles),
-    # ONE hash per row (vs md5-per-seed: 8× fewer digests for the same
-    # LSH behavior), then fold per-slot minima with a map-side-combined
-    # groupBy — one tokenization per document, and the shuffle carries
-    # only (id, 8 × 32-byte hex) after partial aggregation. min() is
-    # duplicate-insensitive, so no distinct pass is needed.
-    sh = exploded_shingles(df, text_col, id_col, shingle_k)
-    hashed = sh.select(id_col, F.md5("shingle").alias("h")).select(
-        id_col, "h", _oph_bucket(F.col("h"), num_hashes).alias("slot")
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[
-            F.coalesce(
-                F.min(F.when(F.col("slot") == s, F.col("h"))),
-                F.lit(OPH_EMPTY),
-            ).alias(f"s{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    sig = oph_signature_table(df, text_col, id_col, num_hashes, shingle_k)
     band = sig.select(
         id_col,
         F.explode(

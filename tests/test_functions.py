@@ -130,6 +130,25 @@ def test_simhash_table_matches_expression_path(spark, docs):
     assert table == expr
 
 
+def test_oph_signature_table_matches_expression_path(spark, docs):
+    sample = docs.limit(50)
+    expr = {
+        r["doc_id"]: list(r["sig"])
+        for r in sample.select(
+            "doc_id",
+            dedup.minhash_signature(textstats.tokens("text")).alias("sig"),
+        ).collect()
+        # expression form emits all-empty signatures for docs below the
+        # shingle width; the bulk table has no row for those
+        if any(s != dedup.OPH_EMPTY for s in r["sig"])
+    }
+    table = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+        for r in dedup.oph_signature_table(sample).collect()
+    }
+    assert table == expr
+
+
 def test_jaccard_pairs_counts(spark):
     a = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
     b = spark.createDataFrame([(1000001, "a b c d")], "doc_id INT, text STRING")
