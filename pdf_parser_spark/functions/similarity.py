@@ -121,6 +121,29 @@ def centroid_cell_expr(
     return F.least(*candidates).getField("cid").cast("int")
 
 
+def centroid_cells_topn(
+    vec_sql: str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The *nprobe* nearest cells as array<int>, nearest first — the
+    standard IVF search-quality knob (probe several coarse cells, not
+    just the closest; recall rises at the cost of nprobe× candidates).
+    Same distance/tie semantics as :func:`centroid_cell_expr`; built as
+    one SQL string (sort_array over (d, cid) structs → slice → cid)."""
+    cands = []
+    for i, c in enumerate(centroids):
+        cc = 0.0
+        for x in c:  # sequential left fold, same IEEE order
+            cc += float(x) * float(x)
+        cands.append(
+            f"named_struct('d', {_sql_double(cc)} - 2.0D * "
+            f"{_dot_sql(vec_sql, c)}, 'cid', {i})"
+        )
+    return F.expr(
+        f"transform(slice(sort_array(array({', '.join(cands)})), 1, "
+        f"{int(nprobe)}), s -> CAST(s.cid AS INT))"
+    )
+
+
 def medoid_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -224,27 +247,39 @@ def ivf_topk(
     bits: int = 2,
     round_digits: int = 4,
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k probing only the query's own IVF cell.
+    """ANN top-k probing the query's *nprobe* nearest IVF cells.
 
     Equi-join on cell id (hash-partitioned / broadcastable) replaces
     the brute-force cross join — the scale path. With ``centroids``
     (from :func:`medoid_centroids` or :func:`kmeans_codebook`) the cell
     is a real nearest-centroid assignment; without, the legacy sign-bit
-    toy quantizer.
+    toy quantizer. ``nprobe > 1`` explodes each query into its nprobe
+    nearest cells before the join (recall ↑, candidates ×nprobe — the
+    standard IVF knob); each corpus vector still lives in exactly one
+    cell, so no result dedup is needed.
     """
 
     if centroids is not None:
         # string form → single JVM-parsed SQL tree (fast construction)
         cell_col = centroid_cell_expr(vec_col, centroids)
+        q_cell = (
+            F.explode(centroid_cells_topn(vec_col, centroids, nprobe))
+            if nprobe > 1
+            else cell_col
+        )
     else:
+        if nprobe > 1:
+            raise ValueError("nprobe > 1 requires a centroid codebook")
         cell_col = ivf_cell_expr(F.col(vec_col), bits)
+        q_cell = cell_col
 
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("qv"),
-            cell_col.alias("cell"),
+            q_cell.alias("cell"),
         )
     )
     c = corpus.select(

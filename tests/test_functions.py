@@ -250,6 +250,18 @@ def test_kmeans_ivf_recall_vs_bruteforce(emb):
     bfs = {(r.q_id, r.neighbor_id) for r in bf}
     ivs = {(r.q_id, r.neighbor_id) for r in ivf}
     assert len(bfs & ivs) / len(bfs) >= 0.5
+    # nprobe widens the probe set: recall is monotone in nprobe, and
+    # probing EVERY cell must reproduce brute force exactly
+    iv4 = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, emb, k=3, centroids=cb, nprobe=4).collect()
+    }
+    assert len(bfs & iv4) >= len(bfs & ivs)
+    iv_all = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, emb, k=3, centroids=cb, nprobe=8).collect()
+    }
+    assert iv_all == bfs
     # every cell used (balanced codebook on this corpus)
     cells = emb.select(
         similarity.centroid_cell_expr(F.col("embedding"), cb).alias("c")
