@@ -59,7 +59,12 @@ def flate_decode(data: bytes, decode_parms: dict | None = None) -> bytes:
         raw = zlib.decompress(data)
     except zlib.error:
         # tolerate trailing garbage / missing adler (seen in the wild)
-        raw = zlib.decompressobj().decompress(data)
+        try:
+            raw = zlib.decompressobj().decompress(data)
+        except zlib.error as exc:
+            # genuinely corrupt stream → ValueError, the kernel's
+            # caught taxonomy ("never raises" extract_pdf contract)
+            raise ValueError(f"FlateDecode failed: {exc}") from exc
     if decode_parms:
         predictor = int(decode_parms.get("Predictor", 1) or 1)
         if predictor >= 10:

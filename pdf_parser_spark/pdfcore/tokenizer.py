@@ -173,6 +173,12 @@ class _ContentLexer:
             ):
                 self.pos += 1
             tok = data[start : self.pos]
+            if not tok:
+                # stray delimiter byte (unbalanced ')' / '>' in a
+                # corrupt or still-compressed stream): skip it — the
+                # loop must never yield without advancing
+                self.pos += 1
+                continue
             if _NUM_RE.fullmatch(tok):
                 yield ("num", float(tok))
             else:

@@ -138,6 +138,32 @@ def test_truncated_pdf_reports_error_not_raise():
     assert r.error is not None
 
 
+def test_mutation_fuzz_never_raises():
+    """Deterministic corruption sweep over every storage variant:
+    single-byte flips on a grid of offsets plus progressive
+    truncations. At 10^12-document scale every corruption that can
+    exist will exist; the kernel contract is that a result object
+    always comes back (text possibly empty, .error possibly set) and
+    NOTHING escapes as an exception — failures must become audit
+    counts, not task retries."""
+    src = "alpha beta gamma\ndelta epsilon zeta\n(paren) \\esc café"
+    for variant, objstm in [
+        ("classic", False),
+        ("xrefstream", False),
+        ("xrefstream", True),
+    ]:
+        good = text_to_pdf(src, variant=variant, use_objstm=objstm)
+        n = len(good)
+        for off in range(0, n, max(1, n // 40)):
+            bad = bytearray(good)
+            bad[off] ^= 0xFF
+            r = extract_pdf(bytes(bad))  # must not raise
+            assert r.text is not None
+        for cut in range(0, n, max(1, n // 20)):
+            r = extract_pdf(good[:cut])
+            assert r.text is not None
+
+
 def test_spans_geometry_matches_layout():
     pdf = make_text_pdf([["first", "second"]], font_size=10)
     r = extract_pdf(pdf)
