@@ -195,12 +195,11 @@ def synthesize_webdocs(
     replicate > 1 clones each source doc with distinct urls/doc_ids —
     used by the bench to scale the corpus without new inputs. Synthesis
     runs inside mapInPandas so it parallelizes like the real ingest.
-    Replicas of one source doc share payload BYTES (rendered once from
-    the source doc_id, memoized per batch): urls/hosts/timestamps still
-    vary per clone, the parse workload per document is unchanged, and
-    the 20× render saving keeps bench corpus_synthesis scaffolding
-    cheap. Only replicate=1 output is oracle-checked (payload content
-    keyed to the source id either way).
+    Replicas render their OWN payload bytes (keyed to the clone id):
+    byte-identical adjacent payloads were tried and reverted — they
+    saved no measurable synthesis time (render isn't the cost) but
+    compressed the corpus parquet ~50×, which makes the scan/IO side
+    of benchmark runs unrealistically cheap vs a real crawl corpus.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
@@ -215,23 +214,10 @@ def synthesize_webdocs(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            src_ids = pdf["doc_id"].astype("int64")
             ids = (pdf["doc_id"] * n_rep + pdf["rep"]).astype("int64")
             texts = pdf["text"].fillna("")
             langs = pdf["lang"].fillna("en")
             hosts = [host_for(int(i)) for i in ids]
-            # payload keyed on the SOURCE id: replicate=1 keeps the
-            # oracle-checked per-doc_id payload exactly (ids == src_ids
-            # when n_rep == 1); replicas reuse the rendered bytes.
-            rendered: dict[int, bytes] = {}
-            payloads = []
-            for s, t, l in zip(src_ids, texts, langs):
-                s = int(s)
-                p = rendered.get(s)
-                if p is None:
-                    p = payload_for(s, t, l)
-                    rendered[s] = p
-                payloads.append(p)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -242,7 +228,10 @@ def synthesize_webdocs(
                     "warc_ts": [
                         _EPOCH + timedelta(seconds=int(i) % 86400) for i in ids
                     ],
-                    "html": payloads,
+                    "html": [
+                        payload_for(int(i), t, l)
+                        for i, t, l in zip(ids, texts, langs)
+                    ],
                     "text": texts.values,
                     "lang": langs.values,
                 }
