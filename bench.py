@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "ann_ivf_bucketed",
+    "windowed_host_stats",
+    "host_running_totals",
     "token_count",
     "lang_id",
     "quality_score",
