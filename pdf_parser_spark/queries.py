@@ -158,6 +158,36 @@ def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "warc_ingest",
+    f"SELECT {URL_SQL} AS url, {EXPECTED_SQL_EXPR} AS text FROM documents",
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full archive-format cycle: synthesize webdocs → write
+    member-per-record .warc.gz files (one per partition) → read them
+    back via the binaryFile-based WARC source → same salted extraction
+    kernel → (url, text). The oracle is the flagship's — proving the
+    WARC path is byte-equivalent to the table path end-to-end."""
+    import os
+    import shutil
+
+    from .engine.extractor import HOST_FROM_URL
+    from .sources.warc import read_warc, write_warc_dir
+
+    out_dir = os.path.join(
+        "/tmp", f"warc_ingest_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_dir(synthesize_webdocs(spark, sf_dir), out_dir)
+    webdocs = (
+        read_warc(spark, os.path.join(out_dir, "*.warc.gz"))
+        .where(F.col("url").isNotNull())
+        .withColumn("host", F.regexp_extract("url", HOST_FROM_URL, 1))
+    )
+    parsed = parse_webdocs(webdocs, salt_map=webdocs_salt_map(spark, sf_dir))
+    return parsed.select("url", "text")
+
+
+@q(
     "payload_sniff",
     f"SELECT {URL_SQL} AS url, CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' "
     "END AS kind FROM documents",

@@ -1,0 +1,94 @@
+"""WARC source: writer↔reader round-trip, malformed-record tolerance,
+and the full archive→extraction pipeline on Spark."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pdf_parser_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    records_to_warc_gz,
+    warc_record,
+)
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_warc_roundtrip_pure():
+    recs = [
+        ("https://a.example.com/1", TS, b"<html>one</html>"),
+        ("https://b.example.com/2", TS, b"%PDF-1.4 fake"),
+    ]
+    blob = records_to_warc_gz(recs)
+    out = list(parse_warc_bytes(blob))
+    assert [(u, t, p) for u, t, p, e in out] == recs
+    assert all(e is None for _, _, _, e in out)
+
+
+def test_warc_skips_non_response_records():
+    req = warc_record("https://x/1", TS, b"GET / HTTP/1.1").replace(
+        b"WARC-Type: response", b"WARC-Type: request"
+    )
+    resp = warc_record("https://x/2", TS, b"payload")
+    import gzip, io
+
+    buf = io.BytesIO()
+    for r in (req, resp):
+        m = io.BytesIO()
+        with gzip.GzipFile(fileobj=m, mode="wb", mtime=0) as gz:
+            gz.write(r)
+        buf.write(m.getvalue())
+    out = list(parse_warc_bytes(buf.getvalue()))
+    assert len(out) == 1 and out[0][0] == "https://x/2"
+
+
+def test_warc_malformed_members_never_raise():
+    good = records_to_warc_gz([("https://ok/1", TS, b"fine")])
+    # truncated archive
+    for cut in range(0, len(good), 7):
+        rows = list(parse_warc_bytes(good[:cut]))
+        assert all(len(r) == 4 for r in rows)
+    # corrupt header inside a valid gzip member
+    import gzip, io
+
+    m = io.BytesIO()
+    with gzip.GzipFile(fileobj=m, mode="wb", mtime=0) as gz:
+        gz.write(b"NOT-A-WARC\r\n\r\nrest")
+    rows = list(parse_warc_bytes(m.getvalue()))
+    assert rows and rows[0][3] is not None  # error row, not an exception
+
+
+def test_warc_to_extraction_pipeline(spark, tmp_path):
+    """Archive files → read_warc → parse_webdocs: extracted text matches
+    the per-doc ground truth, proving WARC ingestion feeds the same
+    kernel as the parquet path."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine.corpus import (
+        expected_extracted,
+        payload_for,
+    )
+    from pdf_parser_spark.engine.extractor import HOST_FROM_URL, parse_webdocs
+
+    docs = [(i, f"text for doc {i} " * 8) for i in range(6)]
+    recs = [
+        (f"https://h{i % 2}.example.com/doc/{i}", TS, payload_for(i, t, "en"))
+        for i, t in docs
+    ]
+    # two archive files → two file-granular tasks
+    (tmp_path / "part0.warc.gz").write_bytes(records_to_warc_gz(recs[:3]))
+    (tmp_path / "part1.warc.gz").write_bytes(records_to_warc_gz(recs[3:]))
+
+    wdf = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    assert wdf.where(F.col("record_error").isNotNull()).count() == 0
+    webdocs = wdf.where(F.col("url").isNotNull()).withColumn(
+        "host", F.regexp_extract("url", HOST_FROM_URL, 1)
+    )
+    parsed = parse_webdocs(webdocs)
+    got = {r["url"]: r["text"] for r in parsed.select("url", "text").collect()}
+    want = {
+        f"https://h{i % 2}.example.com/doc/{i}": expected_extracted(i, t)
+        for i, t in docs
+    }
+    assert got == want
