@@ -216,8 +216,10 @@ def search_text_in_pdf(
 class PDFTextReplacer:
     """Facade mirroring the reference's class surface (api.py:486-576).
 
-    Read-side methods are fully supported; the rewrite path raises (out
-    of scope — extraction engine).
+    Read-side methods are fully supported; the write side
+    (replace_text) rewrites via the incremental-update engine
+    (pdfcore.rewrite). Auto-insert of missing glyph codes remains
+    unsupported and is documented as such in replace_text.
     """
 
     def __init__(self, pdf):

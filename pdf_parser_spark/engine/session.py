@@ -53,6 +53,11 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin event-time semantics to UTC: pandas-side timestamps from
+        # mapInPandas arrive tz-naive in the SESSION timezone — on a
+        # non-UTC host that silently shifts warc_ts through any
+        # naive-datetime round-trip (e.g. the WARC writer)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -48,14 +48,17 @@ from .document import PdfDocument, PdfError
 from .extract import _font_cmaps_and_metrics
 from .lexer import Name, Ref, Stream
 
-# segment regex — replacer.py:470-471 (text ops + Tf + 6-number Tm)
+# segment regex — replacer.py:470-471 (text ops + Tf + 6-number Tm).
+# _TEXT_RE/_FONT_RE are the extraction path's contract regexes
+# (tokenizer.py, pinned by goldens) — imported, not copied, so a fix
+# to the contract can never diverge the census/rewrite path.
+from .tokenizer import _FONT_RE, _TEXT_RE  # noqa: E402
+
 _SEGMENT_RE = re.compile(
-    r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]"
-    r"|/[A-Za-z0-9]+\s+\d+\s+Tf"
-    r"|(?:[-\d.]+\s+){5}[-\d.]+\s+Tm"
+    _TEXT_RE.pattern
+    + r"|/[A-Za-z0-9]+\s+\d+\s+Tf"
+    + r"|(?:[-\d.]+\s+){5}[-\d.]+\s+Tm"
 )
-_FONT_RE = re.compile(r"/([A-Za-z0-9]+)\s+\d+\s+Tf")
-_TEXT_RE = re.compile(r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]")
 
 
 # --------------------------------------------------------------------------
@@ -232,9 +235,18 @@ def incremental_update(
     """Append updated object bodies + a classic xref section + trailer
     (/Prev chain) to the original bytes — ISO 32000-1 §7.5.6. Works on
     top of classic-xref AND xref-stream originals: the appended section
-    is read first (newest wins), then /Prev walks into the original."""
+    is read first (newest wins), then /Prev walks into the original.
+
+    The base buffer is ``doc.data`` — NOT the caller's raw bytes: the
+    reader tolerates up to 1 KiB of junk before %PDF- and strips it, so
+    every xref offset (startxref, /Prev chain, and the new entries
+    below) lives in stripped coordinates. Appending to the unstripped
+    buffer would shift every new offset by the prefix length and yield
+    an unreadable document; dropping the junk prefix on rewrite is
+    spec-legal and keeps the coordinate system consistent."""
+    del data  # see docstring: stripped doc.data is the only safe base
     prev = doc._find_startxref()
-    out = bytearray(data)
+    out = bytearray(doc.data)
     if not out.endswith(b"\n"):
         out += b"\n"
     offsets: dict[int, int] = {}
@@ -278,13 +290,31 @@ def _flate_stream_body(content: bytes) -> bytes:
     )
 
 
+def _contents_uses(doc: PdfDocument, page_num: int, stream_num: int) -> bool:
+    """True when page object *page_num*'s /Contents references object
+    *stream_num* (directly or inside a /Contents array)."""
+    page = doc.get_object(page_num)
+    if not isinstance(page, dict):
+        return False
+    c = page.get("Contents")
+    if isinstance(c, Ref):
+        return c.num == stream_num
+    if isinstance(c, list):
+        return any(isinstance(x, Ref) and x.num == stream_num for x in c)
+    return False
+
+
 def content_update_objects(
     doc: PdfDocument, page_index: int, new_content: bytes
 ) -> dict[int, bytes]:
     """Object bodies for swapping one page's content stream.
 
-    Single-Ref /Contents → override that object in place. Array or
-    direct /Contents → new stream object + rewritten page object."""
+    Single-Ref /Contents owned by THIS page alone → override that
+    object in place. Array or direct /Contents — or a stream object
+    shared with another page (legal: boilerplate content reused across
+    pages) → new stream object + rewritten page object, so the edit
+    stays scoped to page_index instead of silently rewriting every
+    sharing page."""
     refs = doc.page_object_refs()
     if page_index >= len(refs) or refs[page_index] is None:
         raise PdfError(f"cannot locate page object for index {page_index}")
@@ -296,7 +326,12 @@ def content_update_objects(
     body = _flate_stream_body(new_content)
     if isinstance(contents, Ref):
         target = doc.resolve(contents)
-        if isinstance(target, Stream):
+        shared = any(
+            i != page_index and _contents_uses(doc, r, contents.num)
+            for i, r in enumerate(refs)
+            if r is not None
+        )
+        if isinstance(target, Stream) and not shared:
             return {contents.num: body}
     new_num = doc.max_object_number() + 1
     new_page = dict(page_obj)
@@ -505,11 +540,15 @@ def batch_replace(
     replaced SEQUENTIALLY (each rewrite chains on the previous output,
     like the reference's copy-then-replace loop), skipping pairs where
     either side is empty. Keys are the column's sanitized first
-    non-empty value, or ``colN``."""
+    non-empty value, or ``colN``; a key that collides with an earlier
+    column's (e.g. two tags sanitizing identically) is suffixed
+    ``_colN`` so no column's output is silently dropped."""
     out: dict[str, ReplaceResult] = {}
     for idx, col in enumerate(replacement_columns, start=1):
-        tag = col[0] if col and col[0] else f"col{idx}"
+        tag = next((v for v in col if v), "") or f"col{idx}"
         key = sanitize_tag(tag) or f"col{idx}"
+        if key in out:
+            key = f"{key}_col{idx}"
         current = data
         total = 0
         logs: list[tuple[str, str]] = []

@@ -173,9 +173,11 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .engine.extractor import HOST_FROM_URL
     from .sources.warc import read_warc, write_warc_dir
 
-    out_dir = os.path.join(
-        "/tmp", f"warc_ingest_{spark.sparkContext.applicationId}"
-    )
+    # fixed per-sf_dir path, overwritten each run: growth is bounded at
+    # one corpus copy per scale factor (an appId-keyed path would leave
+    # a new copy behind for every Spark session)
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join("/tmp", f"warc_ingest_{tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_warc_dir(synthesize_webdocs(spark, sf_dir), out_dir)
     webdocs = (
@@ -368,9 +370,13 @@ def host_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT url, array_to_string(list_filter(list_transform(chunks, "
     r"x -> trim(regexp_replace(x, '[^\x00-\x{00ff}]', '?', 'g'))), "
     "x -> x <> ''), chr(10)) AS text, "
-    "CASE WHEN len(list_filter(list_transform(chunks, "
+    # the kernel counts one fallback per swept PAGE; the variant renders
+    # 48 lines per page and no chunk transforms to empty, so the page
+    # count is ceil(lines / 48) — not a 0/1 flag (a >48-line fontless
+    # doc sweeps multiple pages)
+    "cast(ceil(len(list_filter(list_transform(chunks, "
     r"x -> trim(regexp_replace(x, '[^\x00-\x{00ff}]', '?', 'g'))), "
-    "x -> x <> '')) > 0 THEN 1 ELSE 0 END AS fallback_pages FROM exp",
+    "x -> x <> '')) / 48.0) as int) AS fallback_pages FROM exp",
 )
 def fallback_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degraded-path extraction: the corpus re-rendered WITHOUT font

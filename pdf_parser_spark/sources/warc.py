@@ -42,7 +42,15 @@ WARC_SCHEMA = (
 def warc_record(
     url: str, ts: datetime, payload: bytes, content_type: str = "text/html"
 ) -> bytes:
-    """One WARC/1.0 response record (uncompressed)."""
+    """One WARC/1.0 response record (uncompressed).
+
+    *ts* must be UTC: either tz-aware (converted) or naive-meaning-UTC
+    (the engine's convention — build_session pins
+    spark.sql.session.timeZone=UTC, so mapInPandas hands back naive
+    UTC timestamps). WARC-Date has whole-second resolution (the WARC
+    1.0 standard form); sub-second precision does not survive."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc)
     stamp = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     header = (
         "WARC/1.0\r\n"

@@ -182,6 +182,65 @@ def test_batch_replace_columns(tmp_path):
     assert outs["AdaL"].replacements == 2
 
 
+def test_rewrite_tolerates_junk_prefix():
+    """The reader strips up to 1 KiB before %PDF-; the rewriter must
+    emit xref offsets in the SAME stripped coordinates or the output
+    is unreadable (regression: offsets were computed against the
+    unstripped buffer)."""
+    pdf = b"\xef\xbb\xbfGARBAGE-" + text_to_pdf("Hello World\nHello World")
+    r = replace_text(pdf, "Hello World", "Howdy Globe")
+    assert r.success and r.replacements == 2
+    out = extract_pdf(r.data)
+    assert out.error is None
+    assert out.text == "Howdy Globe\nHowdy Globe"
+
+
+def test_rewrite_shared_contents_scoped_to_page():
+    """Two pages sharing ONE /Contents stream object (legal boilerplate
+    reuse): editing page 0 must not rewrite page 1 (regression: the
+    in-place override branch rewrote the shared object)."""
+    from pdf_parser_spark.pdfgen.writer import Raw, StreamObj, _emit_classic
+
+    font = {
+        "Type": Raw("/Font"),
+        "Subtype": Raw("/Type1"),
+        "BaseFont": Raw("/Helvetica"),
+        "Encoding": Raw("/WinAnsiEncoding"),
+    }
+    content = b"BT /F1 12 Tf 72 720 Td (shared text) Tj ET"
+    objects = {
+        1: {"Type": Raw("/Catalog"), "Pages": Raw("2 0 R")},
+        2: {
+            "Type": Raw("/Pages"),
+            "Kids": [Raw("3 0 R"), Raw("4 0 R")],
+            "Count": 2,
+            "Resources": {"Font": {"F1": font}},
+        },
+        3: {"Type": Raw("/Page"), "Parent": Raw("2 0 R"), "Contents": Raw("5 0 R")},
+        4: {"Type": Raw("/Page"), "Parent": Raw("2 0 R"), "Contents": Raw("5 0 R")},
+        5: StreamObj({}, content, compress=False),
+    }
+    pdf = _emit_classic(objects, root=1)
+    base = extract_pdf(pdf)
+    assert base.text == "shared text\nshared text"
+    r = replace_text(pdf, "shared text", "edited text", page_num=0)
+    assert r.success
+    out = extract_pdf(r.data)
+    assert out.text == "edited text\nshared text"
+
+
+def test_batch_replace_colliding_tags_keep_both_outputs():
+    """Two columns whose tags sanitize to the same key must both
+    survive (regression: dict overwrite dropped the first)."""
+    from pdf_parser_spark.pdfcore.rewrite import batch_replace
+
+    pdf = text_to_pdf("NAME\nother line")
+    outs = batch_replace(pdf, ["NAME"], [["Ada L."], ["AdaL."]])
+    assert len(outs) == 2
+    texts = sorted(extract_pdf(r.data).text for r in outs.values())
+    assert texts == ["Ada L.\nother line", "AdaL.\nother line"]
+
+
 def test_render_parse_svg():
     """K4: SVG plot sink — red rects, blue labels, y flipped."""
     from pdf_parser_spark.api import parse_page_text
