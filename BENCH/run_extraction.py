@@ -75,6 +75,10 @@ def main() -> None:
         )
     )
     spark.stop()
+    # each run otherwise leaves a ~GB corpus copy behind (one per pid)
+    import shutil
+
+    shutil.rmtree(corpus_path, ignore_errors=True)
 
 
 if __name__ == "__main__":
