@@ -187,6 +187,46 @@ def synthesize_pdf_variant(
     )
 
 
+def synthesize_cid_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-only corpus variant with 2-byte CID-style encoding: every
+    character rendered as its UTF-16BE code unit with an explicit
+    codespacerange ToUnicode CMap (pdfgen.make_cid_text_pdf). Only the
+    kernel's multibyte extension decodes it back to the source text —
+    the corpus-scale exercise of SURVEY §2.2 T7's CID flag."""
+    from ..pdfgen.writer import make_cid_text_pdf
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            texts = pdf["text"].fillna("")
+            hosts = [host_for(int(i)) for i in ids]
+            payloads = []
+            for t in texts:
+                lines = wrap_lines(t) or [""]
+                pages = [lines[i : i + 48] for i in range(0, len(lines), 48)]
+                payloads.append(make_cid_text_pdf(pages))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [
+                        f"https://{h}/doc/{int(i)}" for h, i in zip(hosts, ids)
+                    ],
+                    "host": hosts,
+                    "html": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id BIGINT, url STRING, host STRING, html BINARY"
+    )
+
+
 def synthesize_webdocs(
     spark: SparkSession, sf_dir: str, replicate: int = 1
 ) -> DataFrame:

@@ -50,7 +50,9 @@ def _sniff(payload: bytes) -> str:
     return "html"
 
 
-def _extract_one(url: str, payload, emit_items: bool = True) -> dict:
+def _extract_one(
+    url: str, payload, emit_items: bool = True, multibyte: bool = False
+) -> dict:
     t0 = time.perf_counter()
     if payload is None:
         payload = b""
@@ -62,7 +64,7 @@ def _extract_one(url: str, payload, emit_items: bool = True) -> dict:
     spans: list[dict] = []
     items: list[dict] = []
     if kind == "pdf":
-        r = extract_pdf(payload)
+        r = extract_pdf(payload, multibyte_cmaps=multibyte)
         text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
         fallback_pages = r.fallback_pages
         spans = [
@@ -113,14 +115,16 @@ def _extract_one(url: str, payload, emit_items: bool = True) -> dict:
 
 
 def extract_batch(
-    batches: Iterator[pd.DataFrame], emit_items: bool = True
+    batches: Iterator[pd.DataFrame],
+    emit_items: bool = True,
+    multibyte: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, html[, ...]) batches → PARSED_SCHEMA batches."""
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     for pdf in batches:
         rows = [
-            _extract_one(u, p, emit_items)
+            _extract_one(u, p, emit_items, multibyte)
             for u, p in zip(pdf["url"], pdf["html"])
         ]
         out = pd.DataFrame(
@@ -179,7 +183,9 @@ def _arrow_schema():
     )
 
 
-def extract_batch_arrow(batches, emit_items: bool = True) -> "Iterator":
+def extract_batch_arrow(
+    batches, emit_items: bool = True, multibyte: bool = False
+) -> "Iterator":
     """mapInArrow body: columnar twin of extract_batch.
 
     Builds the output RecordBatch column-by-column (flat span arrays +
@@ -213,7 +219,7 @@ def extract_batch_arrow(batches, emit_items: bool = True) -> "Iterator":
             text, n_pages, n_items, error = "", 0, 0, None
             n_spans = fallback_pages = 0
             if kind == "pdf":
-                r = _xpdf(raw)
+                r = _xpdf(raw, multibyte_cmaps=multibyte)
                 text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
                 n_spans = len(r.spans)
                 fallback_pages = r.fallback_pages
@@ -308,6 +314,7 @@ def parse_webdocs(
     salt: bool = True,
     salt_map: dict[str, int] | None = None,
     emit_items: bool = False,
+    multibyte: bool = False,
 ) -> DataFrame:
     """webdocs → parsed DataFrame (the single materialization point).
 
@@ -340,12 +347,15 @@ def parse_webdocs(
 
     try:
         return slim.mapInArrow(
-            partial(extract_batch_arrow, emit_items=emit_items),
+            partial(
+                extract_batch_arrow, emit_items=emit_items, multibyte=multibyte
+            ),
             schema=PARSED_SCHEMA,
         )
     except AttributeError:  # very old Spark: no mapInArrow
         return slim.mapInPandas(
-            partial(extract_batch, emit_items=emit_items), schema=PARSED_SCHEMA
+            partial(extract_batch, emit_items=emit_items, multibyte=multibyte),
+            schema=PARSED_SCHEMA,
         )
 
 

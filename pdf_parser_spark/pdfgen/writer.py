@@ -341,6 +341,64 @@ def make_text_pdf(
     )
 
 
+def _cid_escape(encoded: bytes) -> bytes:
+    """Escape PDF string delimiters inside a 2-byte-encoded payload:
+    only the BYTES 0x28/0x29/0x5C need a backslash, wherever they fall
+    in the code units (for BMP ASCII they are always low bytes)."""
+    out = bytearray()
+    for b in encoded:
+        if b in (0x28, 0x29, 0x5C):
+            out.append(0x5C)
+        out.append(b)
+    return bytes(out)
+
+
+def make_cid_text_pdf(
+    pages_of_lines: list[list[str]],
+    font_size: int = 12,
+    variant: str = "classic",
+    compress: bool = True,
+) -> bytes:
+    """CID twin of make_text_pdf: every character is encoded as TWO
+    bytes (its UTF-16BE code unit) and the font carries an explicit
+    <0000><FFFF> codespacerange ToUnicode CMap over the used
+    characters. Only the kernel's multibyte CMap extension decodes it
+    (single-byte parse yields '?' per byte — reference-identical).
+    Same layout contract as make_text_pdf (one Tj per line, y from
+    720, leading 14)."""
+    used = sorted(
+        {ch for lines in pages_of_lines for line in lines for ch in line}
+    )
+    if any(ord(c) > 0xFFFF for c in used):
+        raise ValueError("make_cid_text_pdf supports BMP characters only")
+    entries = "\n".join(f"<{ord(c):04X}> <{ord(c):04X}>" for c in used)
+    cmap_src = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(used)} beginbfchar\n{entries}\nendbfchar"
+    )
+    page_contents = []
+    for lines in pages_of_lines:
+        ops = [f"BT\n/F1 {font_size} Tf".encode("latin1")]
+        y = 720
+        for line in lines:
+            enc = b"".join(ord(c).to_bytes(2, "big") for c in line)
+            ops.append(
+                f"1 0 0 1 72 {y} Tm".encode()
+                + b"\n("
+                + _cid_escape(enc)
+                + b") Tj"
+            )
+            y -= 14
+        ops.append(b"ET")
+        page_contents.append([b"\n".join(ops)])
+    return build_pdf(
+        page_contents,
+        fonts={"F1": FontSpec(tounicode=cmap_src)},
+        variant=variant,
+        compress=compress,
+    )
+
+
 def text_to_pdf(
     text: str,
     lines_per_page: int = 48,

@@ -30,6 +30,7 @@ from .engine.corpus import (
     HOST_SQL,
     PDF_LINES_SQL,
     _HTML_LINES_SQL,
+    synthesize_cid_variant,
     synthesize_pdf_variant,
     synthesize_webdocs,
     webdocs_salt_map,
@@ -390,6 +391,31 @@ def fallback_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "url", "text", F.col("fallback_pages").cast("int").alias("fallback_pages")
     )
+
+
+_CID_LINES_SQL = (
+    f"list_filter(list_transform({CHUNKS_SQL}, x -> trim(x)), x -> x <> '')"
+)
+
+
+@q(
+    "cid_extract",
+    f"SELECT {URL_SQL} AS url, "
+    f"array_to_string({_CID_LINES_SQL}, chr(10)) AS text "
+    "FROM documents WHERE doc_id % 2 = 0",
+)
+def cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID/multibyte decode at corpus scale (SURVEY §2.2 T7 extension):
+    the corpus re-rendered with 2-byte code units + codespacerange
+    ToUnicode CMaps, parsed with multibyte=True — extracted text must
+    equal the source lines EXACTLY (no WinAnsi '?' degradation, unlike
+    the single-byte flagship path). The reference-identical flag-off
+    behavior is pinned by the kernel golden in test_pdf_end_to_end."""
+    w = synthesize_cid_variant(spark, sf_dir)
+    parsed = parse_webdocs(
+        w, salt_map=webdocs_salt_map(spark, sf_dir), multibyte=True
+    )
+    return parsed.select("url", "text")
 
 
 @q(

@@ -138,6 +138,21 @@ def test_truncated_pdf_reports_error_not_raise():
     assert r.error is not None
 
 
+def test_cid_text_pdf_roundtrip():
+    """make_cid_text_pdf (2-byte code units + codespacerange CMap):
+    multibyte decode restores the text exactly — including escaped
+    delimiters — while the flag-off path diverges (its exact
+    reference-quirk output is pinned by the flag golden below)."""
+    from pdf_parser_spark.pdfgen.writer import make_cid_text_pdf
+
+    src = ["alpha (beta) \\ gamma", "second line"]
+    pdf = make_cid_text_pdf([src])
+    on = extract_pdf(pdf, multibyte_cmaps=True)
+    assert on.error is None
+    assert on.text == "\n".join(src)
+    assert extract_pdf(pdf).text != on.text
+
+
 def test_mutation_fuzz_never_raises():
     """Deterministic corruption sweep over every storage variant:
     single-byte flips on a grid of offsets plus progressive
