@@ -75,3 +75,31 @@ def test_nested_main_depth_tracking():
 def test_br_is_a_block_boundary():
     html = "<article>first part<br>second part</article>"
     assert extract_html(html) == "first part\nsecond part"
+
+
+def test_adversarial_html_never_raises_or_hangs():
+    """Malformed-web-soup sweep (the HTML analog of the PDF mutation
+    fuzz): deeply nested tags, unclosed comments/tags, huge
+    attributes, entity floods, NULs, truncations — the extractor must
+    return a string quickly for all of them (failures at crawl scale
+    must become empty/partial text, never exceptions or stalls)."""
+    import time
+
+    cases = [
+        "<div>" * 5000 + "text" + "</div>" * 5000,
+        "<p>before</p><!-- never closed " + "x" * 100000,
+        "<p>text " * 20000,
+        '<p class="' + "a" * 500000 + '">body</p>',
+        "<script>" + "var x=1;" * 50000 + "</script><p>real</p>",
+        "< < > >> <<p>>text<</p>>",
+        "&amp;" * 100000,
+        "<p>a\x00b</p>",
+        "<![CDATA[ <p>not real</p> ]]><p>real</p>",
+        "<table><tr><td>" * 1000 + "cell",
+    ]
+    good = text_to_html("normal doc\nsecond line")
+    cases += [good[:i] for i in range(0, len(good), max(1, len(good) // 25))]
+    t0 = time.time()
+    for h in cases:
+        assert isinstance(extract_html(h), str)
+    assert time.time() - t0 < 20
