@@ -161,19 +161,26 @@ def test_mutation_fuzz_never_raises():
     always comes back (text possibly empty, .error possibly set) and
     NOTHING escapes as an exception — failures must become audit
     counts, not task retries."""
+    from pdf_parser_spark.pdfgen.writer import make_cid_text_pdf
+
     src = "alpha beta gamma\ndelta epsilon zeta\n(paren) \\esc café"
-    for variant, objstm in [
-        ("classic", False),
-        ("xrefstream", False),
-        ("xrefstream", True),
-    ]:
-        good = text_to_pdf(src, variant=variant, use_objstm=objstm)
+    subjects = [
+        text_to_pdf(src, variant=v, use_objstm=o)
+        for v, o in [
+            ("classic", False),
+            ("xrefstream", False),
+            ("xrefstream", True),
+        ]
+    ]
+    subjects.append(make_cid_text_pdf([src.split("\n")]))
+    for good in subjects:
         n = len(good)
         for off in range(0, n, max(1, n // 40)):
             bad = bytearray(good)
             bad[off] ^= 0xFF
-            r = extract_pdf(bytes(bad))  # must not raise
-            assert r.text is not None
+            for mb in (False, True):
+                r = extract_pdf(bytes(bad), multibyte_cmaps=mb)
+                assert r.text is not None  # must not raise
         for cut in range(0, n, max(1, n // 20)):
             r = extract_pdf(good[:cut])
             assert r.text is not None
