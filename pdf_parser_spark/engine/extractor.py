@@ -327,6 +327,10 @@ def parse_webdocs(
     pruning cannot reach through mapInPandas). In that case pass
     ``salt_map`` computed from a cheap side-channel (e.g. the source
     table's host column) to keep the pipeline single-pass.
+
+    ``multibyte=True`` enables the kernel's CID 2-byte CMap extension
+    on every PDF in the batch (extract.extract_pdf multibyte_cmaps);
+    off by default for reference-identical output.
     """
     spark = webdocs.sparkSession
     if num_partitions is None:
