@@ -1,0 +1,72 @@
+"""Physical-plan contracts: the scale properties the engine promises
+(broadcast small sides, one shuffle per hash aggregation, top-k without
+a global sort, column pruning at the scan) pinned as tests so a future
+change that silently degrades the plan — not just the answer — fails CI.
+
+Assertions target coarse, stable plan features (operator presence /
+exchange counts), not full plan text, so Spark-version formatting
+changes don't break them.
+"""
+
+import pytest
+
+from pdf_parser_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_top_customers_broadcasts_the_dim(spark):
+    plan = _plan(spark, "top_customers")
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT be shuffled for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle_with_partial_agg(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Exchange") <= 2  # hash shuffle (+AQE read)
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_windowed_host_stats_single_shuffle(spark):
+    plan = _plan(spark, "windowed_host_stats")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_host_running_totals_no_global_sort(spark):
+    plan = _plan(spark, "host_running_totals")
+    assert "Window" in plan
+    # partition-scoped sort only — a global orderBy would add a
+    # rangepartitioning exchange
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_embedding_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "dedup_embedding")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_queries_broadcast_query_side(spark):
+    for name in ("ann_topk_bruteforce", "ann_ivf_bucketed"):
+        plan = _plan(spark, name)
+        assert "Broadcast" in plan, name
+
+
+def test_scalar_chain_prunes_scan_columns(spark):
+    plan = _plan(spark, "scalar_chain")
+    # ReadSchema at the parquet scan must not drag the full row in
+    start = plan.find("ReadSchema")
+    assert start != -1
+    schema_line = plan[start : plan.find("\n", start)]
+    assert "l_comment" not in schema_line
+    assert schema_line.count(",") <= 3
