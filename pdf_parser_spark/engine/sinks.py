@@ -40,8 +40,15 @@ def hierarchical_json(spans: DataFrame) -> DataFrame:
     )
     spark = spans.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = agg.repartitionByRange(n_part, "_first").withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins the ranged partitioning before the plan
+    # branches: both the local-ordinal branch and the counts branch must
+    # see IDENTICAL _pid assignments — relying on exchange reuse is
+    # fragile (a re-evaluated exchange could re-range independently and
+    # produce wrong/duplicate ordinals)
+    ranged = (
+        agg.repartitionByRange(n_part, "_first")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     # per-partition local ordinal (partitions are small and ordered
     # among themselves by the range partitioner)

@@ -38,6 +38,8 @@ class PdfDocument:
         self.trailer: dict = {}
         # obj num -> ("file", offset) | ("objstm", container_num, index)
         self._index: dict[int, tuple] = {}
+        # obj num -> generation (0 for objstm members; newest xref wins)
+        self._gens: dict[int, int] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
         self._load_xref()
@@ -97,6 +99,10 @@ class PdfDocument:
                 num = start + i
                 if typ == b"n" and num not in self._index:
                     self._index[num] = ("file", off)
+                    try:
+                        self._gens[num] = int(entry[11:16])
+                    except ValueError:
+                        self._gens[num] = 0
                 # advance: entries are 20 bytes but be tolerant of 19/20
                 lex.pos += 20
                 if entry[18:20] not in (b"\r\n", b" \n", b" \r"):
@@ -133,8 +139,12 @@ class PdfDocument:
                     continue
                 if ftype == 1:
                     self._index[onum] = ("file", fields[1])
+                    # third field of a type-1 entry is the generation
+                    self._gens[onum] = fields[2] if len(fields) > 2 else 0
                 elif ftype == 2:
+                    # objstm members always have generation 0 (§7.5.7)
                     self._index[onum] = ("objstm", fields[1], fields[2])
+                    self._gens[onum] = 0
                 # type 0 = free
         return dict(sd)
 
@@ -275,6 +285,11 @@ class PdfDocument:
     def max_object_number(self) -> int:
         return max(self._index, default=0)
 
+    def object_generation(self, num: int) -> int:
+        """Generation number the newest xref section records for *num*
+        (0 when unknown — e.g. located via the junk-offset scan)."""
+        return self._gens.get(num, 0)
+
     def page_content_bytes(self, page: dict) -> bytes:
         """Concatenated decoded /Contents — mirrors the reference's array
         concat (/root/reference/pdf_parser/api.py:74-87) plus the GUI's
@@ -307,3 +322,18 @@ class PdfDocument:
             if isinstance(fd, dict):
                 out["/" + str(name)] = fd
         return out
+
+    def page_font_refs(self, page: dict) -> dict[str, Ref | None]:
+        """'/F1' → the Ref of that font object in /Resources /Font
+        (None when the font dict is inlined directly — such a font
+        cannot be overridden by an incremental update)."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fonts = self.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return {}
+        return {
+            "/" + str(n): (r if isinstance(r, Ref) else None)
+            for n, r in fonts.items()
+        }

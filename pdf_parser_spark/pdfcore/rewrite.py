@@ -145,6 +145,42 @@ def merge_cmaps(original: dict[int, str], new: dict[int, str]) -> dict[int, str]
     return merged
 
 
+def build_tounicode_stream(mapping: dict[int, str]) -> str:
+    """ToUnicode CMap text whose :func:`parse_cmap` (default mode) result
+    is EXACTLY *mapping* — the auto-insert write form.
+
+    The codespacerange bounds are emitted one-per-line so the quirky
+    line-oriented parser (two hex groups on one line = bfchar) cannot
+    manufacture the 0x00→'ÿ' ghost entry: the merged mapping round-trips
+    bit-exactly, including any explicit 0x00 entry it carries. CMaps are
+    PostScript, so the token-per-line layout is spec-valid."""
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<00>",
+        "<FF>",
+        "endcodespacerange",
+        f"{len(mapping)} beginbfchar",
+    ]
+    for code in sorted(mapping):  # O3 sort order
+        lines.append(f"<{code:02X}> <{ord(mapping[code]):04X}>")
+    lines.extend(
+        [
+            "endbfchar",
+            "endcmap",
+            "CMapName currentdict /CMap defineresource pop",
+            "end",
+            "end",
+        ]
+    )
+    return "\n".join(lines)
+
+
 def avg_width_ratio(pairs: list[tuple[float, float]]) -> float:
     """A6 (reference fonts/embedding.py:149-171): mean of
     pdf_width/ttf_width ratios × 0.97; 0.0 for an empty input."""
@@ -250,9 +286,14 @@ def incremental_update(
     if not out.endswith(b"\n"):
         out += b"\n"
     offsets: dict[int, int] = {}
+    # carry each overridden object's ORIGINAL generation into the
+    # appended body and xref entry: a spec-conforming reader resolving
+    # 'n g R' with g > 0 would otherwise ignore the update (our own
+    # reader ignores generations, so round-trip tests can't catch it)
+    gens = {num: doc.object_generation(num) for num in updates}
     for num in sorted(updates):
         offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+        out += f"{num} {gens[num]} obj\n".encode() + updates[num] + b"\nendobj\n"
     xref_pos = len(out)
     out += b"xref\n"
     # one subsection per contiguous run of object numbers
@@ -268,7 +309,7 @@ def incremental_update(
         count = run_end - run_start + 1
         out += f"{first} {count}\n".encode()
         for num in nums[run_start : run_end + 1]:
-            out += f"{offsets[num]:010d} 00000 n \n".encode()
+            out += f"{offsets[num]:010d} {gens[num]:05d} n \n".encode()
         run_start = run_end + 1
     size = int(doc.trailer.get("Size") or 0)
     size = max(size, max(nums) + 1)
@@ -305,7 +346,10 @@ def _contents_uses(doc: PdfDocument, page_num: int, stream_num: int) -> bool:
 
 
 def content_update_objects(
-    doc: PdfDocument, page_index: int, new_content: bytes
+    doc: PdfDocument,
+    page_index: int,
+    new_content: bytes,
+    next_num: int | None = None,
 ) -> dict[int, bytes]:
     """Object bodies for swapping one page's content stream.
 
@@ -333,10 +377,87 @@ def content_update_objects(
         )
         if isinstance(target, Stream) and not shared:
             return {contents.num: body}
-    new_num = doc.max_object_number() + 1
+    new_num = next_num if next_num is not None else doc.max_object_number() + 1
     new_page = dict(page_obj)
     new_page["Contents"] = Ref(new_num, 0)
     return {new_num: body, pnum: _serialize(new_page)}
+
+
+def font_update_objects(
+    doc: PdfDocument,
+    page: dict,
+    font_name: str,
+    new_entries: dict[int, str],
+    current_mapping: dict[int, str],
+    next_num: int,
+) -> dict[int, bytes] | None:
+    """Object bodies extending *font_name* with *new_entries* — the
+    working form of the reference's intended auto-insert flow
+    (fonts/embedding.py:11-230, which is broken at embedding.py:68):
+
+    - a NEW ToUnicode stream carrying merge_cmaps(current, new) in the
+      exact-round-trip form (:func:`build_tounicode_stream`), always a
+      fresh object so a ToUnicode shared between fonts is never mutated;
+    - the font dict rewritten in place: /ToUnicode → the new stream,
+      /Encoding /Differences extended with ``code /uniXXXX`` pairs
+      (AGL convention) so spec-conforming viewers map the code to a
+      glyph name, /Widths extended when the font declares them (gap
+      codes get the font's average width — the A6 analog; no better
+      estimate exists without the glyph program).
+
+    Declared caveat (vs the reference's aspiration): no font-program
+    subsetting/embedding (fontTools is out of scope), so a viewer
+    renders the inserted code only if the base font already has the
+    glyph. OUR reader decodes via ToUnicode, so extraction round-trips
+    exactly.
+
+    Returns None when the font is not incrementally updatable (inlined
+    font dict — no object to override)."""
+    ref = doc.page_font_refs(page).get(font_name)
+    if ref is None:
+        return None
+    fdict = doc.resolve(ref)
+    if not isinstance(fdict, dict):
+        return None
+    merged = merge_cmaps(current_mapping, new_entries)
+    cmap_body = _flate_stream_body(
+        build_tounicode_stream(merged).encode("latin1")
+    )
+    new_font = dict(fdict)
+    new_font["ToUnicode"] = Ref(next_num, 0)
+    # /Differences: additive, preserving any existing array
+    enc = doc.resolve(fdict.get("Encoding"))
+    if isinstance(enc, dict):
+        enc_dict = dict(enc)
+        diffs = list(doc.resolve(enc_dict.get("Differences")) or [])
+    else:
+        enc_dict = {"Type": Name("Encoding")}
+        if isinstance(enc, Name):
+            enc_dict["BaseEncoding"] = enc
+        diffs = []
+    for code in sorted(new_entries):
+        diffs.extend([code, Name(f"uni{ord(new_entries[code]):04X}")])
+    enc_dict["Differences"] = diffs
+    new_font["Encoding"] = enc_dict
+    # /Widths: extend the declared range to cover the new codes
+    widths = doc.resolve(fdict.get("Widths"))
+    first_char = doc.resolve(fdict.get("FirstChar"))
+    if isinstance(widths, list) and isinstance(first_char, (int, float)):
+        w = [int(doc.resolve(x)) for x in widths]
+        avg = round(sum(w) / len(w)) if w else 500
+        first = int(first_char)
+        last = first + len(w) - 1
+        for code in sorted(new_entries):
+            if code < first:
+                w = [avg] * (first - code) + w
+                first = code
+            elif code > last:
+                w = w + [avg] * (code - last)
+                last = code
+        new_font["FirstChar"] = first
+        new_font["LastChar"] = last
+        new_font["Widths"] = w
+    return {next_num: cmap_body, ref.num: _serialize(new_font)}
 
 
 # --------------------------------------------------------------------------
@@ -358,12 +479,24 @@ def replace_text(
     replacement_text: str,
     page_num: int = 0,
     instance_index: int = -1,
+    allow_auto_insert: bool = False,
 ) -> ReplaceResult:
     """Replace occurrences of *target_text* on one page.
 
     ``instance_index=-1`` replaces every matching segment on the page;
     ``k >= 0`` replaces only the k-th match (F7). See the module
-    docstring for the reproduced semantics and declared differences."""
+    docstring for the reproduced semantics and declared differences.
+
+    ``allow_auto_insert=True`` enables the WORKING form of the
+    reference's broken aspiration (fonts/embedding.py:11-230): each
+    replacement char missing from the census ∪ reverse-CMap domain gets
+    a safe code (E1, allocate_safe_code), the target font's ToUnicode is
+    extended via merge (E3) and written as a new stream through the
+    incremental-update sink, /Differences and /Widths are reconciled,
+    and the splice uses the allocated code — so our reader round-trips
+    the inserted character exactly. Caveat, declared honestly: no glyph
+    program is embedded (no fontTools), so third-party viewers render
+    the new code only if the base font carries the glyph."""
     log: list[tuple[str, str]] = []
 
     def _log(level: str, msg: str) -> None:
@@ -412,7 +545,10 @@ def replace_text(
         for ch in replacement_text
         if ch not in allowed and ch not in " \t\n\r" and ch not in reverse_domain
     ]
-    if unsupported:
+    auto_entries: dict[int, str] = {}
+    font_updates: dict[int, bytes] | None = None
+    base_next = doc.max_object_number() + 1
+    if unsupported and not allow_auto_insert:
         for ch in unsupported:
             _log(
                 "WARNING",
@@ -420,6 +556,45 @@ def replace_text(
                 f"'{ch}', replacement canceled",
             )
         return ReplaceResult(pdf_data, False, False, 0, log)
+    if unsupported:
+        # ---- auto-insert E1+E3 (the reference's intended
+        # update_pdf_font_mapping flow, done through our own writer)
+        page_cm = page_cmaps[page_num].get(target_font) if target_font else None
+        if target_font is None or page_cm is None:
+            _log(
+                "ERROR",
+                "auto-insert requires the target font on the target page; "
+                "replacement canceled",
+            )
+            return ReplaceResult(pdf_data, False, False, 0, log)
+        taken = set(used_codes.get(target_font, set())) | set(page_cm.mapping)
+        for ch in dict.fromkeys(unsupported):
+            code = allocate_safe_code(taken, already_used=set(auto_entries))
+            if code is None:
+                _log("ERROR", f"no safe code available for '{ch}', canceled")
+                return ReplaceResult(pdf_data, False, False, 0, log)
+            auto_entries[code] = ch
+            taken.add(code)
+        font_updates = font_update_objects(
+            doc,
+            pages[page_num],
+            target_font,
+            auto_entries,
+            page_cm.mapping,
+            next_num=base_next,
+        )
+        if font_updates is None:
+            _log(
+                "ERROR",
+                f"font {target_font} is not incrementally updatable "
+                "(inlined font dict); replacement canceled",
+            )
+            return ReplaceResult(pdf_data, False, False, 0, log)
+        for code, ch in auto_entries.items():
+            _log(
+                "INFO",
+                f"Auto-insert: '{ch}' → code 0x{code:02X} in {target_font}",
+            )
 
     # ---- rewrite loop (replacer.py:469-802) on the target page only
     cmaps = page_cmaps[page_num]
@@ -466,6 +641,9 @@ def replace_text(
                 # order), then the reverse CMap
                 font_codes = all_char_codes.get(current_font, {})
                 reverse_map = cmaps[current_font].reverse()
+                if auto_entries and current_font == target_font:
+                    for code, ch in auto_entries.items():
+                        reverse_map.setdefault(ch, code)
                 new_codes: list[int] = []
                 for ch in replacement_text:
                     if ch in font_codes and font_codes[ch]:
@@ -514,7 +692,14 @@ def replace_text(
         return ReplaceResult(pdf_data, False, False, 0, log)
 
     new_content = "".join(new_segments).encode("latin1")
-    updates = content_update_objects(doc, page_num, new_content)
+    # the font update (when present) consumed base_next for its new
+    # ToUnicode stream; content objects allocate after it
+    content_next = base_next + 1 if font_updates else base_next
+    updates = content_update_objects(
+        doc, page_num, new_content, next_num=content_next
+    )
+    if font_updates:
+        updates.update(font_updates)
     out = incremental_update(pdf_data, doc, updates)
     _log("SUCCESS", f"Replaced {n_replacements} occurrence(s) on page {page_num}")
     return ReplaceResult(out, True, True, n_replacements, log)

@@ -96,6 +96,28 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# private mkdtemp scratch per (session, sf_dir) for the WARC round-trip,
+# removed at interpreter exit — no fixed world-guessable /tmp name
+# (symlink/squatting hazard) and no cross-session clobbering; growth is
+# bounded at one corpus copy per live (session, sf_dir)
+_WARC_SCRATCH: dict[tuple[str, str], str] = {}
+
+
+def _warc_scratch_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _WARC_SCRATCH.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="warc_ingest_")
+        _WARC_SCRATCH[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (dialect twins of textstats helpers)
 
@@ -169,18 +191,13 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel → (url, text). The oracle is the flagship's — proving the
     WARC path is byte-equivalent to the table path end-to-end."""
     import os
-    import shutil
 
     from .engine.extractor import HOST_FROM_URL
     from .sources.warc import read_warc, write_warc_dir
 
-    # fixed per-sf_dir path, overwritten each run: growth is bounded at
-    # one corpus copy per scale factor (an appId-keyed path would leave
-    # a new copy behind for every Spark session)
-    tag = sf_dir.strip("/").replace("/", "_")
-    out_dir = os.path.join("/tmp", f"warc_ingest_{tag}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_warc_dir(synthesize_webdocs(spark, sf_dir), out_dir)
+    out_dir = _warc_scratch_dir(spark, sf_dir)
+    if not os.listdir(out_dir):
+        write_warc_dir(synthesize_webdocs(spark, sf_dir), out_dir)
     webdocs = (
         read_warc(spark, os.path.join(out_dir, "*.warc.gz"))
         .where(F.col("url").isNotNull())
@@ -477,6 +494,58 @@ def rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rewrite_autoinsert",
+    f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
+    "FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT url, array_to_string(list_transform(range(1, len(flines) + 1), "
+    "i -> CASE WHEN i <= 48 AND flines[i] = flines[1] "
+    "THEN flines[i] || ' ±§' ELSE flines[i] END), chr(10)) AS text FROM exp",
+)
+def rewrite_autoinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path with FONT AUTO-INSERT under oracle (the reference's
+    broken aspiration, fonts/embedding.py:11-230, working end-to-end):
+    per PDF, every page-0 occurrence of the first decoded line is
+    replaced by itself + ' ±§' — two characters provably absent from
+    the census and the synthesized reverse-CMap domain, so the rewrite
+    must allocate safe codes (E1), merge them into the font's ToUnicode
+    (E3) through the incremental-update writer, reconcile /Differences,
+    splice, and re-extract to EXACTLY the oracle-recomputed text."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    webdocs = synthesize_webdocs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+
+    def rw(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.pdfcore.extract import extract_pdf
+        from pdf_parser_spark.pdfcore.rewrite import replace_text
+
+        for pdf in batches:
+            urls, texts = [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                data = bytes(payload)
+                r = extract_pdf(data)
+                if r.items:
+                    target = r.items[0][2]
+                    rep = replace_text(
+                        data,
+                        target,
+                        target + " ±§",
+                        page_num=0,
+                        allow_auto_insert=True,
+                    )
+                    texts.append(extract_pdf(rep.data).text)
+                else:
+                    texts.append(r.text)
+                urls.append(url)
+            yield _pd.DataFrame({"url": urls, "text": texts})
+
+    return webdocs.select("url", "html").mapInPandas(
+        rw, schema="url STRING, text STRING"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational reframings of the reference's dataflow operators, running
 # over REAL extracted output (spans/items from parse_webdocs), with
@@ -513,9 +582,17 @@ def _span_lines_cte(lines_per_page: int = 48, repeat_first: int = 0) -> str:
 # one parsed frame per (session, sf_dir[, variant]) — the in-session
 # analog of parse-once-write-spans-table: the span-operator queries all
 # read the SAME materialized parse instead of each re-running the
-# mapInArrow kernel. Bounded (three entries per sf_dir) and keyed by
-# applicationId so a new session re-parses.
+# mapInArrow kernel. Keyed by applicationId so a new session re-parses;
+# _evict_stale_parses drops entries from other (stopped or concurrent)
+# sessions so localCheckpointed blocks never outlive their session in a
+# long-lived multi-session driver.
 _PARSED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _evict_stale_parses(spark: SparkSession) -> None:
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _PARSED_CACHE if k[0] != app_id]:
+        del _PARSED_CACHE[key]
 
 
 def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +602,7 @@ def _parsed_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least twice (items + spans, hits + blocks, self-join sides);
     without it each branch re-runs the whole mapInArrow parse. Blocks
     are reclaimed on GC (unlike a bare persist)."""
+    _evict_stale_parses(spark)
     key = (spark.sparkContext.applicationId, sf_dir, 0)
     cached = _PARSED_CACHE.get(key)
     if cached is not None:
@@ -546,6 +624,7 @@ def _parsed_repeat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines, so instance ordinals take values > 0. Cached like
     _parsed_pdf_docs; the cache key's variant tag is -_REPEAT_K (>0
     tags mean lines_per_page variants)."""
+    _evict_stale_parses(spark)
     key = (spark.sparkContext.applicationId, sf_dir, -_REPEAT_K)
     cached = _PARSED_CACHE.get(key)
     if cached is not None:
@@ -665,6 +744,7 @@ def containment_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter lines are genuinely dropped inside longer ones (strict-area
     form; the order-dependent equal-rect case is pinned by the kernel
     golden in tests/test_api_compat.py)."""
+    _evict_stale_parses(spark)
     key = (spark.sparkContext.applicationId, sf_dir, _CONTAIN_LPP)
     parsed = _PARSED_CACHE.get(key)
     if parsed is None:

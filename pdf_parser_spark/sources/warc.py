@@ -122,6 +122,11 @@ def parse_warc_bytes(
             except ValueError:
                 yield None, None, None, "missing Content-Length"
                 break
+            if len(rest) < head_end + 4 + length:
+                # a truncated final record must surface as an error row,
+                # not a silently short payload (errors-become-audit)
+                yield None, None, None, "truncated record body"
+                break
             body = rest[head_end + 4 : head_end + 4 + length]
             rest = rest[head_end + 4 + length :].lstrip(b"\r\n")
             if fields.get("warc-type") != "response":

@@ -254,3 +254,129 @@ def test_render_parse_svg():
     assert "&lt;tag&gt; &amp; more" in svg  # XML-escaped label
     # y flipped: the top PDF line (y1=732) sits at svg y = 792-732 = 60
     assert 'y="60"' in svg
+
+
+# --------------------------------------------------------------------------
+# auto-insert (the reference's intended update_pdf_font_mapping flow,
+# fonts/embedding.py:11-230, made to work — minus glyph-program embedding)
+
+
+def test_autoinsert_roundtrip():
+    """A replacement char missing from census ∪ reverse domain gets a
+    safe code, a merged ToUnicode, and round-trips byte-exactly."""
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "Hej Världen", allow_auto_insert=True)
+    assert r.success and r.replacements == 2
+    out = extract_pdf(r.data)
+    assert out.error is None
+    assert out.text == "Hej Världen\nkeep this line\nHej Världen"
+    assert r.data.startswith(pdf)  # still an incremental update
+    assert any("Auto-insert" in m for _, m in r.log)
+
+
+def test_autoinsert_default_off_unchanged():
+    """Flag off → reference-identical cancel (regression guard)."""
+    pdf = text_to_pdf(SRC)
+    r = replace_text(pdf, "Hello World", "Hej Världen")
+    assert not r.changed and r.data == pdf
+
+
+def test_autoinsert_beyond_latin1_and_differences():
+    """CJK chars (> U+00FF) map through single-byte safe codes; the
+    font dict gains /Differences uniXXXX entries (AGL convention)."""
+    from pdf_parser_spark.pdfcore.document import PdfDocument
+
+    pdf = text_to_pdf("Hello World\nkeep this line")
+    r = replace_text(pdf, "Hello World", "日本語 rocks", allow_auto_insert=True)
+    assert r.success
+    out = extract_pdf(r.data)
+    assert out.text == "日本語 rocks\nkeep this line"
+    d = PdfDocument(r.data)
+    f = d.page_fonts(d.pages()[0])["/F1"]
+    enc = d.resolve(f.get("Encoding"))
+    diffs = d.resolve(enc.get("Differences"))
+    names = [str(x) for x in diffs if not isinstance(x, (int, float))]
+    assert names == ["uni65E5", "uni672C", "uni8A9E"]
+
+
+def test_autoinsert_extends_widths():
+    """A font declaring /Widths gets its range extended to cover the
+    allocated code; gap codes get the average width (A6 analog)."""
+    from pdf_parser_spark.pdfcore.document import PdfDocument
+    from pdf_parser_spark.pdfgen.writer import FontSpec, make_text_pdf
+
+    font = FontSpec(first_char=32, widths=[500] * 95)  # 32..126
+    pdf = make_text_pdf([["Hello World", "keep this line"]], font=font)
+    r = replace_text(pdf, "Hello World", "Hëllo World", allow_auto_insert=True)
+    assert r.success
+    out = extract_pdf(r.data)
+    assert out.text == "Hëllo World\nkeep this line"
+    d = PdfDocument(r.data)
+    f = d.page_fonts(d.pages()[0])["/F1"]
+    first, last = int(d.resolve(f["FirstChar"])), int(d.resolve(f["LastChar"]))
+    widths = d.resolve(f["Widths"])
+    assert first == 32 and last >= 0xB0
+    assert len(widths) == last - first + 1
+
+
+def test_autoinsert_chains_and_reuses_distinct_codes():
+    """Sequential auto-inserting rewrites chain (update on update);
+    codes already consumed by an earlier update are not re-allocated."""
+    pdf = text_to_pdf("alpha line\nbeta line")
+    r1 = replace_text(pdf, "alpha line", "älpha line", allow_auto_insert=True)
+    r2 = replace_text(r1.data, "beta line", "bëta line", allow_auto_insert=True)
+    assert r1.success and r2.success
+    out = extract_pdf(r2.data)
+    assert out.text == "älpha line\nbëta line"
+
+
+def test_build_tounicode_stream_exact_roundtrip():
+    """parse_cmap(build_tounicode_stream(m)) == m exactly — including
+    the absence of the 0x00→'ÿ' ghost (two-line codespacerange form)."""
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+    from pdf_parser_spark.pdfcore.rewrite import build_tounicode_stream
+
+    m = {65: "A", 0xB0: "ä", 0xB1: "日"}
+    parsed = parse_cmap(build_tounicode_stream(m))
+    assert parsed.mapping == m
+
+
+def test_incremental_update_carries_generation():
+    """An overridden object whose original xref generation is > 0 keeps
+    that generation in the appended body and xref entry — a
+    spec-conforming reader resolving 'n g R' (g>0) must see the update."""
+    import re
+
+    from pdf_parser_spark.pdfgen.writer import Raw, StreamObj, _emit_classic
+
+    font = {
+        "Type": Raw("/Font"),
+        "Subtype": Raw("/Type1"),
+        "BaseFont": Raw("/Helvetica"),
+        "Encoding": Raw("/WinAnsiEncoding"),
+    }
+    content = b"BT /F1 12 Tf 72 720 Td (old text here) Tj ET"
+    objects = {
+        1: {"Type": Raw("/Catalog"), "Pages": Raw("2 0 R")},
+        2: {
+            "Type": Raw("/Pages"),
+            "Kids": [Raw("3 0 R")],
+            "Count": 1,
+            "Resources": {"Font": {"F1": font}},
+        },
+        # the page references its contents at generation 7
+        3: {"Type": Raw("/Page"), "Parent": Raw("2 0 R"), "Contents": Raw("5 7 R")},
+        5: StreamObj({}, content, compress=False),
+    }
+    pdf = _emit_classic(objects, root=1)
+    # rewrite the xref table entry for object 5 to generation 00007
+    # (the writer emits 00000; patch both the entry and keep offsets)
+    m = re.search(rb"(\d{10}) 00000 n \n$", pdf[: pdf.rfind(b"trailer")], re.M)
+    assert m is not None
+    pdf = pdf.replace(m.group(0), m.group(1) + b" 00007 n \n")
+    assert extract_pdf(pdf).text == "old text here"
+    r = replace_text(pdf, "old text here", "new text here")
+    assert r.success
+    assert b"5 7 obj" in r.data[len(pdf):]
+    assert re.search(rb"\d{10} 00007 n \n", r.data[len(pdf):])
+    assert extract_pdf(r.data).text == "new text here"

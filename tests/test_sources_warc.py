@@ -92,3 +92,18 @@ def test_warc_to_extraction_pipeline(spark, tmp_path):
         for i, t in docs
     }
     assert got == want
+
+
+def test_warc_truncated_body_is_error_row():
+    """A record whose Content-Length exceeds the remaining bytes must
+    yield a 'truncated record body' error row, never a silently short
+    payload (errors-become-audit contract)."""
+    rec = warc_record("https://x/1", TS, b"0123456789")
+    cut = rec[: rec.find(b"0123456789") + 4]  # body cut mid-payload
+    rows = list(parse_warc_bytes(cut, gzipped=False))
+    assert rows == [(None, None, None, "truncated record body")]
+    # a full record followed by a truncated one: first survives
+    both = rec + cut
+    rows = list(parse_warc_bytes(both, gzipped=False))
+    assert rows[0][0] == "https://x/1" and rows[0][2] == b"0123456789"
+    assert rows[1][3] == "truncated record body"
