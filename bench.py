@@ -5,21 +5,27 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf", plus docs/sec for the flagship extraction}.
 
-The flagship is measured the way the engine runs in production: the
-webdocs corpus is materialized to parquet once (timed separately as
-corpus_synthesis), then the salted mapInPandas extraction runs from
-that table — so flagship_extract measures extraction, and the salt
-pre-pass is a pruned column scan, not a re-run of the generator.
+Methodology (round-3 rework — the r2 artifact was a single contended
+warm trial with two queries slower warm than cold):
+
+- Every headline query runs ONE untimed-into-"queries_cold" pass (it
+  absorbs one-time per-plan costs: janino codegen compile, broadcast
+  builds, the span-parse localCheckpoint, the IVF codebook fit — costs
+  that amortize to nothing over a 100 TB run but dominate a seconds-
+  long sf0.1 pass), then ``$SPARK_GRAFT_BENCH_TRIALS`` (default 3)
+  recorded trials.
+- Each recorded trial times query CONSTRUCTION (DataFrame build,
+  including any memo-cache hits) and EXECUTION (the noop-sink action)
+  separately; the per-query headline number is the MEDIAN of
+  construction+execution across trials, with the split reported in
+  "queries_construction" / "queries_execution". Medians absorb
+  hypervisor-steal spikes that made single-trial numbers swing up to
+  6× on this VM.
+- The flagship extraction likewise records the median of 3 measured
+  passes after a worker-pool warmup.
+
 Every query is forced end-to-end with the noop sink (full computation,
 no driver collect bottleneck).
-
-Each headline query runs twice: an untimed-into-"queries_cold" warm
-trial, then the recorded trial. The warm trial absorbs one-time
-per-plan costs — janino codegen compile, broadcast builds, derived-
-table materializations (the span-parse checkpoint, the IVF codebook) —
-which amortize to nothing over a 100 TB run but dominate (and, under
-hypervisor-steal windows, wildly perturb) a seconds-long sf0.1 pass.
-The cold column keeps the one-shot costs visible.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import sys
 import time
 
@@ -55,10 +62,15 @@ HEADLINE = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     from pdf_parser_spark.engine.corpus import synthesize_webdocs
     from pdf_parser_spark.engine.extractor import parse_webdocs
@@ -69,6 +81,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     per_query: dict[str, float] = {}
+    construction: dict[str, float] = {}
+    execution: dict[str, float] = {}
 
     # Replicate the corpus so the flagship number measures steady-state
     # extraction throughput, not per-job fixed overhead (at sf0.1 the
@@ -94,33 +108,43 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
     # warm the Python worker pool so the timed section is steady-state
-    parse_webdocs(corpus.limit(256)).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    t0 = time.perf_counter()
-    parse_webdocs(corpus).write.format("noop").mode("overwrite").save()
-    per_query["flagship_extract"] = round(time.perf_counter() - t0, 3)
+    _noop(parse_webdocs(corpus.limit(256)))
+    extract_trials = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _noop(parse_webdocs(corpus))
+        extract_trials.append(time.perf_counter() - t0)
+    per_query["flagship_extract"] = round(statistics.median(extract_trials), 3)
 
     queries_cold: dict[str, float] = {}
     for name in HEADLINE:
-        # each trial times construction + execution: some queries
-        # materialize intermediate frames eagerly (localCheckpoint), so
-        # timing only the final action would under-count them
+        # cold pass: construction + execution in one number — keeps the
+        # one-shot costs (codegen, checkpoints, codebook fit) honest
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        _noop(QUERIES[name](spark, sf_dir))
         queries_cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        cons, execs = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            cons.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _noop(df)
+            execs.append(time.perf_counter() - t0)
+        construction[name] = round(statistics.median(cons), 3)
+        execution[name] = round(statistics.median(execs), 3)
+        per_query[name] = round(construction[name] + execution[name], 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "trials": trials,
+        "aggregation": "median over recorded trials after one cold pass",
         "queries": per_query,
+        "queries_construction": construction,
+        "queries_execution": execution,
         "queries_cold": queries_cold,
         "sf": sf,
         "docs_per_sec_extraction": round(

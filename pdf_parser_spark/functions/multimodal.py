@@ -3,10 +3,12 @@
 The build brief's multimodal requirement: image/audio/video travel as
 opaque ``binary`` columns with typed metadata; decode / feature-extract
 steps are Pandas UDFs over ``mapInPandas``. The image/audio libraries
-are not in this container, so the decode *kernel* is stubbed (clearly
-marked), while everything Spark-side — schema, batch iteration,
-partition-pruned metadata extraction, UDF signature — is real and
-tested.
+are not in this container, so PNG (this module) and baseline JPEG
+(:mod:`.jpegcore`) carry real from-the-spec pure-Python decoders;
+formats without a decoder (GIF, audio, video) degrade to a clearly
+labeled deterministic byte-histogram feature. Everything Spark-side —
+schema, batch iteration, partition-pruned metadata extraction, UDF
+signature — is real and tested.
 
 Metadata sniffing (magic bytes → content type, dimensions from header
 bytes where the format allows) is pure built-in expressions: it runs
@@ -176,10 +178,11 @@ def resize_nearest(
     return bytes(out)
 
 
-def png_feature(payload: bytes, dim: int = 8) -> list[float]:
+def raster_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Real decoded-image feature vector: dimensions + per-channel
-    mean/std moments from the actual pixels (deterministic)."""
-    w, h, channels, px = decode_png(payload)
+    mean/std moments from the actual pixels (deterministic; sequential
+    Python-float folds so the values are engine-independent)."""
+    w, h, channels, px = decode_image(payload)
     n = w * h
     feats = [min(w / 4096.0, 1.0), min(h / 4096.0, 1.0), channels / 4.0]
     for c in range(min(channels, 3)):
@@ -192,19 +195,29 @@ def png_feature(payload: bytes, dim: int = 8) -> list[float]:
     return feats + [0.0] * (dim - len(feats))
 
 
-def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an image payload to raw pixels.
+def png_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """PNG pixel-moment features (kept name; delegates to the generic
+    raster path)."""
+    return raster_feature(payload, dim)
 
-    PNG has a real pure-Python decoder (:func:`decode_png`). Other
-    formats (JPEG/GIF) need PIL/opencv, which this container lacks —
-    they raise NotImplementedError, clearly marked; the pipeline
-    surface (`extract_features`) degrades to the deterministic
-    byte-histogram feature for them.
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to raw pixels (w, h, channels, bytes).
+
+    PNG and baseline JPEG have real pure-Python decoders
+    (:func:`decode_png`, :mod:`.jpegcore` — huffman + IDCT + YCbCr from
+    the public T.81 spec). GIF still needs an LZW pass and raises
+    NotImplementedError; the pipeline surface (``extract_features``)
+    degrades to the deterministic byte-histogram feature for it.
     """
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcore import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes without PIL/opencv (not available in this environment)"
+        "no decoder for this format (PNG and baseline JPEG are supported)"
     )
 
 
@@ -234,8 +247,8 @@ def extract_features(
                         break
                 ctypes.append(ct)
                 try:
-                    if ct == "image/png":
-                        feats.append(png_feature(raw, dim))
+                    if ct in ("image/png", "image/jpeg"):
+                        feats.append(raster_feature(raw, dim))
                         errs.append(None)
                     else:
                         feats.append(_fake_feature(raw, dim))

@@ -230,11 +230,15 @@ def test_extract_features_plumbing(spark):
     assert rows["u2"]["payload_bytes"] == 0
 
 
-def test_decode_non_png_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_malformed_raises():
+    # malformed JPEG → ValueError from the real decoder (no longer a stub)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xffjpeg")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\ntruncated")
+    # formats without a decoder still raise NotImplementedError
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a......")
 
 
 def test_kmeans_ivf_recall_vs_bruteforce(emb):
@@ -371,14 +375,20 @@ def test_png_decode_gray_and_rgba():
         assert multimodal.decode_png(png)[3] == px
 
 
-def test_decode_image_png_real_jpeg_stub():
+def test_decode_image_png_and_jpeg_real():
     import pytest as _pytest
 
     png = _encode_png(4, 4, 3, _gradient(4, 4, 3), filters=[0])
     w, h, ch, _ = multimodal.decode_image(png)
     assert (w, h, ch) == (4, 4, 3)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # real baseline JPEG decodes through jpegcore
+    from pdf_parser_spark.functions.jpegcore import encode_jpeg
+
+    jpg = encode_jpeg(_gradient(8, 8, 3), 8, 8, 3, quality=90)
+    w, h, ch, _ = multimodal.decode_image(jpg)
+    assert (w, h, ch) == (8, 8, 3)
 
 
 def test_resize_nearest():
@@ -389,10 +399,18 @@ def test_resize_nearest():
     assert small[:3] == px[:3]
 
 
-def test_extract_features_real_png_path(spark):
+def test_extract_features_real_png_and_jpeg_path(spark):
+    from pdf_parser_spark.functions.jpegcore import encode_jpeg
+
     png = _encode_png(6, 6, 3, _gradient(6, 6, 3), filters=[0, 2])
+    jpg = encode_jpeg(_gradient(16, 16, 3), 16, 16, 3, quality=90)
     df = spark.createDataFrame(
-        [("u1", bytearray(png)), ("u2", bytearray(b"\xff\xd8\xffjpeg..."))],
+        [
+            ("u1", bytearray(png)),
+            ("u2", bytearray(jpg)),
+            ("u3", bytearray(b"\xff\xd8\xffjunk...")),
+            ("u4", bytearray(b"GIF89a..........")),
+        ],
         "url STRING, payload BINARY",
     )
     out = {r["url"]: r for r in multimodal.extract_features(df).collect()}
@@ -400,5 +418,12 @@ def test_extract_features_real_png_path(spark):
     assert out["u1"]["decode_error"] is None
     feats = out["u1"]["feature"]
     assert len(feats) == 8 and feats[0] > 0 and feats[3] > 0  # real moments
+    # real JPEG: decoded moments, no error
     assert out["u2"]["content_type"] == "image/jpeg"
-    assert out["u2"]["decode_error"].startswith("fallback_feature")
+    assert out["u2"]["decode_error"] is None
+    assert out["u2"]["feature"][0] > 0 and out["u2"]["feature"][3] > 0
+    # malformed JPEG: captured as a row error, zero feature
+    assert out["u3"]["decode_error"].startswith("ValueError")
+    # GIF: labeled fallback (no decoder)
+    assert out["u4"]["content_type"] == "image/gif"
+    assert out["u4"]["decode_error"].startswith("fallback_feature")
