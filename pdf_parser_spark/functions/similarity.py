@@ -177,7 +177,15 @@ def kmeans_codebook(
     iterations with first-k init; empty clusters keep their previous
     centroid. Use with :func:`centroid_cell_expr` / :func:`ivf_topk`
     for the production ANN path (data-dependent, so no SQL oracle —
-    covered by the recall-vs-brute-force pytest instead)."""
+    covered by the recall-vs-brute-force pytest instead).
+
+    Cell sizing: the standard IVF rule is n_cells ≈ √N (candidate work
+    per query ≈ nprobe·N/n_cells, codebook scan ≈ n_cells; √N balances
+    them). At 10^9 vectors that is ~32k cells — the codebook is still
+    a few MB, comfortably broadcastable; raise nprobe (not n_cells)
+    first when recall is short, since each nprobe step costs one more
+    equi-join partition's worth of candidates, monotonically
+    (tests/test_functions.py pins the recall/candidate curve)."""
     import numpy as np
 
     rows = (

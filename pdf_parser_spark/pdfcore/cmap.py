@@ -36,32 +36,60 @@ class CMap:
     """Byte-code → unicode-char mapping with a fast translate table.
 
     ``multi`` (CID extension, SURVEY §2.2 T7 north-star promise) holds
-    2-byte code → char entries; it is only populated when the CMap was
-    parsed with ``multibyte=True`` and is empty in reference-compatible
-    mode, keeping the fast single-byte translate path."""
+    multi-byte code → string entries; ``spaces`` holds the declared
+    codespace ranges as (n_bytes, lo, hi). Both are only populated when
+    the CMap was parsed with ``multibyte=True`` and are empty in
+    reference-compatible mode, keeping the fast single-byte translate
+    path."""
 
-    __slots__ = ("mapping", "multi", "_table")
+    __slots__ = ("mapping", "multi", "spaces", "_table")
 
-    def __init__(self, mapping: dict[int, str], multi: dict[bytes, str] | None = None):
+    def __init__(
+        self,
+        mapping: dict[int, str],
+        multi: dict[bytes, str] | None = None,
+        spaces: list[tuple[int, int, int]] | None = None,
+    ):
         self.mapping = mapping
         self.multi = multi or {}
+        self.spaces = spaces or []
         # translate table over latin1-decoded bytes: ord(0..255) → char
         self._table = {i: mapping.get(i, "?") for i in range(256)}
 
     def decode(self, data: bytes) -> str:
         """Per-byte decode with '?' fallback (reference cmap.py:43-54).
 
-        With 2-byte entries present, a greedy walk consumes a 2-byte
-        code wherever one matches and falls back to the single-byte
-        table otherwise — reference-identical when ``multi`` is empty
-        (always, unless parsed with multibyte=True)."""
+        With multi-byte entries present the walk is codespace-driven:
+        the declared range containing the next code determines its byte
+        width (ISO 32000-1 §9.7.6.2 / Adobe CMap spec), so mixed 1&2
+        (and wider) codespaces decode unambiguously; an in-codespace
+        but unmapped code yields ONE '?' (one code = one char). Without
+        declared codespaces the walk is greedy 2-byte-then-1-byte.
+        Reference-identical when ``multi`` is empty (always, unless
+        parsed with multibyte=True)."""
         if not self.multi:
             return data.decode("latin1").translate(self._table)
         out: list[str] = []
         i, n = 0, len(data)
+        spaces = self.spaces
         while i < n:
-            pair = data[i : i + 2]
-            ch = self.multi.get(pair)
+            width = 0
+            for nb, lo, hi in spaces:
+                if i + nb <= n and lo <= int.from_bytes(data[i : i + nb], "big") <= hi:
+                    width = nb
+                    break
+            if width == 1:
+                out.append(self._table[data[i]])
+                i += 1
+                continue
+            if width > 1:
+                ch = self.multi.get(data[i : i + width])
+                out.append(ch if ch is not None else "?")
+                i += width
+                continue
+            # outside every declared codespace (or none declared):
+            # greedy 2-byte attempt, then the single-byte table
+            ch = self.multi.get(data[i : i + 2])
             if ch is not None:
                 out.append(ch)
                 i += 2
@@ -101,36 +129,100 @@ def parse_cmap(cmap_str: str, multibyte: bool = False) -> CMap:
 from functools import lru_cache  # noqa: E402  (kept beside its sole user)
 
 
+_ARRAY_RANGE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]"
+)
+_HEX_TOKEN_RE = re.compile(r"<([0-9A-Fa-f]+)>")
+
+
+def _dst_str(hexdst: str) -> str:
+    """bfchar/bfrange destination hex → string (CID extension form):
+    ≤4 digits is one BMP scalar; longer is UTF-16BE (ligatures,
+    surrogate pairs — e.g. <00660069> → 'fi', <D835DC00> → U+1D400)."""
+    if len(hexdst) <= 4:
+        return chr(int(hexdst, 16))
+    raw = bytes.fromhex(hexdst if len(hexdst) % 2 == 0 else "0" + hexdst)
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _dst_incr(dst: str, offset: int) -> str:
+    """bfrange destination increment: the LAST code unit advances
+    (Adobe CMap spec §bfrange); single-char destinations are the
+    common case."""
+    if not dst:
+        return dst
+    return dst[:-1] + chr(ord(dst[-1]) + offset)
+
+
 @lru_cache(maxsize=4096)
 def _parse_cmap_cached(cmap_str: str, multibyte: bool = False) -> CMap:
     mapping: dict[int, str] = {}
     multi: dict[bytes, str] = {}
+    spaces: list[tuple[int, int, int]] = []
+    cs_tokens: list[str] = []
     in_codespace = False
+
+    def _put(code: int, nbytes: int, dst: str) -> None:
+        if nbytes == 1:
+            if code <= 0xFF:
+                mapping[code] = dst
+        else:
+            multi[code.to_bytes(nbytes, "big")] = dst
+
     for line in cmap_str.splitlines():
         if multibyte:
-            # section-aware: codespacerange bounds are not mappings
+            # section-aware: codespacerange bounds become decode-width
+            # declarations, not mappings; bounds may be one-per-line
             if "begincodespacerange" in line:
                 in_codespace = True
+                cs_tokens = []
                 continue
             if "endcodespacerange" in line:
                 in_codespace = False
+                for lo_hex, hi_hex in zip(cs_tokens[0::2], cs_tokens[1::2]):
+                    if len(lo_hex) == len(hi_hex):
+                        spaces.append(
+                            (
+                                len(lo_hex) // 2,
+                                int(lo_hex, 16),
+                                int(hi_hex, 16),
+                            )
+                        )
                 continue
             if in_codespace:
+                cs_tokens.extend(_HEX_TOKEN_RE.findall(line))
+                continue
+            # bfrange array-destination form: <a> <b> [<x> <y> …] — the
+            # form real CJK ToUnicode streams use (must be checked
+            # before the scalar triple, which would otherwise eat the
+            # first array element as a scalar destination)
+            m = _ARRAY_RANGE_RE.search(line)
+            if m:
+                lo = int(m.group(1), 16)
+                hi = int(m.group(2), 16)
+                nbytes = max(1, len(m.group(1)) // 2)
+                dsts = _HEX_TOKEN_RE.findall(m.group(3))
+                for j, code in enumerate(range(lo, hi + 1)):
+                    if j >= len(dsts):
+                        break
+                    _put(code, nbytes, _dst_str(dsts[j]))
                 continue
         m = _RANGE_RE.search(line)
         if m:
             lo = int(m.group(1), 16)
             hi = int(m.group(2), 16)
-            dst = int(m.group(3), 16)
             # in multibyte mode the code width is declared by the hex
             # digit count (<0041> is the 2-byte code 00 41), not the
-            # numeric magnitude; only 2-byte codes are supported
-            wide = multibyte and len(m.group(1)) == 4
+            # numeric magnitude
+            wide = multibyte and len(m.group(1)) > 2
+            if multibyte:
+                nbytes = max(1, len(m.group(1)) // 2) if wide else 1
+                base = _dst_str(m.group(3))
+                for code in range(lo, hi + 1):
+                    _put(code, nbytes, _dst_incr(base, code - lo))
+                continue
+            dst = int(m.group(3), 16)
             for code in range(lo, hi + 1):
-                if wide:
-                    if code <= 0xFFFF:
-                        multi[code.to_bytes(2, "big")] = chr(dst + (code - lo))
-                    continue
                 if code > 0xFF:
                     continue
                 mapping[code] = chr(dst + (code - lo))
@@ -138,14 +230,16 @@ def _parse_cmap_cached(cmap_str: str, multibyte: bool = False) -> CMap:
         m = _CHAR_RE.search(line)
         if m:
             code = int(m.group(1), 16)
-            if multibyte and len(m.group(1)) == 4:
-                if code <= 0xFFFF:
-                    multi[code.to_bytes(2, "big")] = chr(int(m.group(2), 16))
+            if multibyte:
+                nbytes = max(1, len(m.group(1)) // 2)
+                _put(code, nbytes, _dst_str(m.group(2)))
                 continue
             if code > 0xFF:
                 continue
             mapping[code] = chr(int(m.group(2), 16))
-    return CMap(mapping, multi if multibyte else None)
+    if not multibyte:
+        return CMap(mapping, None)
+    return CMap(mapping, multi, spaces)
 
 
 def decode_pdf_string(data: bytes, cmap: CMap) -> str:

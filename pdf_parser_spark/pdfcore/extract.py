@@ -134,6 +134,15 @@ def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
     falling to '?'. OFF by default — reference-identical output."""
     try:
         doc = PdfDocument(data)
+        if doc.trailer.get("Encrypt") is not None:
+            # typed audit row: an /Encrypt dict means the strings and
+            # streams are enciphered (ISO 32000-1 §7.6) — decoding
+            # would produce garbage, so surface a classified error
+            # instead of a generic parse failure
+            return ExtractResult(
+                text="", items=[], spans=[], span_pages=[], n_pages=0,
+                n_items=0, error="encrypted",
+            )
         pages = doc.pages()
     except (PdfError, ValueError, KeyError, IndexError, OverflowError) as exc:
         return ExtractResult(

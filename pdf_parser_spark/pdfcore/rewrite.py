@@ -749,15 +749,25 @@ def batch_replace(
 
 
 def load_replacement_table(path: str) -> tuple[list[str], list[list[str]]]:
-    """S5 equivalent: read a header-less CSV (column 0 = template
-    texts, columns 1..N = replacement sets). The reference reads .xlsx
-    via pandas/openpyxl (pdf_gui.py:1671); that dependency is absent
-    here, so the batch source is CSV — at corpus scale the same table
-    loads with ``spark.read.csv`` and broadcasts."""
-    import csv
+    """S5: read a header-less replacement table (column 0 = template
+    texts, columns 1..N = replacement sets) from .xlsx or CSV.
 
-    with open(path, newline="", encoding="utf-8") as fh:
-        rows = [r for r in csv.reader(fh) if r]
+    The reference reads .xlsx via pandas/openpyxl (pdf_gui.py:1671);
+    openpyxl is absent here, so xlsx goes through the pure-Python
+    zip+XML reader (sources/xlsx.py — matching the reference's file
+    surface), with CSV kept as the plain-text path. At corpus scale the
+    same table loads once and broadcasts."""
+    with open(path, "rb") as fh:
+        is_zip = fh.read(2) == b"PK"
+    if is_zip:
+        from ..sources.xlsx import read_xlsx
+
+        rows = [r for r in read_xlsx(path) if any(v for v in r)]
+    else:
+        import csv
+
+        with open(path, newline="", encoding="utf-8") as fh:
+            rows = [r for r in csv.reader(fh) if r]
     if not rows or len(rows[0]) < 2:
         raise ValueError("replacement table needs >= 2 columns")
     width = max(len(r) for r in rows)

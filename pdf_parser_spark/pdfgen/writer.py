@@ -353,39 +353,110 @@ def _cid_escape(encoded: bytes) -> bytes:
     return bytes(out)
 
 
+def _array_form_bfranges(codes_to_chars: list[tuple[int, str]], width: int) -> str:
+    """bfrange sections in the ARRAY-destination form real CJK
+    ToUnicode streams use: consecutive code runs become
+    ``<lo> <hi> [<d0> <d1> …]`` lines."""
+    lines = []
+    i = 0
+    items = sorted(codes_to_chars)
+    while i < len(items):
+        j = i
+        while j + 1 < len(items) and items[j + 1][0] == items[j][0] + 1:
+            j += 1
+        lo, hi = items[i][0], items[j][0]
+        dsts = " ".join(f"<{ord(c):04X}>" for _, c in items[i : j + 1])
+        lines.append(f"<{lo:0{width * 2}X}> <{hi:0{width * 2}X}> [{dsts}]")
+        i = j + 1
+    return f"{len(lines)} beginbfrange\n" + "\n".join(lines) + "\nendbfrange"
+
+
 def make_cid_text_pdf(
     pages_of_lines: list[list[str]],
     font_size: int = 12,
     variant: str = "classic",
     compress: bool = True,
+    array_form: bool = False,
+    mixed: bool = False,
 ) -> bytes:
-    """CID twin of make_text_pdf: every character is encoded as TWO
-    bytes (its UTF-16BE code unit) and the font carries an explicit
-    <0000><FFFF> codespacerange ToUnicode CMap over the used
-    characters. Only the kernel's multibyte CMap extension decodes it
-    (single-byte parse yields '?' per byte — reference-identical).
-    Same layout contract as make_text_pdf (one Tj per line, y from
-    720, leading 14)."""
+    """CID twin of make_text_pdf. Default shape: every character is
+    encoded as TWO bytes (its UTF-16BE code unit) and the font carries
+    an explicit <0000><FFFF> codespacerange ToUnicode CMap over the
+    used characters. Only the kernel's multibyte CMap extension decodes
+    it (single-byte parse yields '?' per byte — reference-identical).
+    Same layout contract as make_text_pdf (one Tj per line, y from 720,
+    leading 14).
+
+    ``array_form=True`` emits the mapping as array-destination bfranges
+    (``<lo> <hi> [<d0> …]`` — the form real CJK ToUnicode streams use).
+    ``mixed=True`` emits an SJIS-like MIXED codespace: ASCII characters
+    travel as identity 1-byte codes (<00> <7F>), everything else gets
+    an allocated 2-byte code from <8040> upward (<8040> <FEFF>) — the
+    decoder must use the declared codespaces to split codes."""
     used = sorted(
         {ch for lines in pages_of_lines for line in lines for ch in line}
     )
     if any(ord(c) > 0xFFFF for c in used):
         raise ValueError("make_cid_text_pdf supports BMP characters only")
-    entries = "\n".join(f"<{ord(c):04X}> <{ord(c):04X}>" for c in used)
-    cmap_src = (
-        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
-        f"{len(used)} beginbfchar\n{entries}\nendbfchar"
-    )
+
+    if mixed:
+        narrow = [(ord(c), c) for c in used if ord(c) < 0x80]
+        alloc = {
+            c: 0x8040 + k
+            for k, c in enumerate(c for c in used if ord(c) >= 0x80)
+        }
+        wide = sorted((code, c) for c, code in alloc.items())
+        cmap_parts = [
+            "2 begincodespacerange",
+            "<00> <7F>",
+            "<8040> <FEFF>",
+            "endcodespacerange",
+        ]
+        if array_form:
+            if narrow:
+                cmap_parts.append(_array_form_bfranges(narrow, width=1))
+            if wide:
+                cmap_parts.append(_array_form_bfranges(wide, width=2))
+        else:
+            ent1 = "\n".join(f"<{k:02X}> <{ord(c):04X}>" for k, c in narrow)
+            ent2 = "\n".join(f"<{k:04X}> <{ord(c):04X}>" for k, c in wide)
+            cmap_parts.append(
+                f"{len(narrow) + len(wide)} beginbfchar\n{ent1}\n{ent2}\nendbfchar"
+            )
+        cmap_src = "\n".join(cmap_parts)
+
+        def enc_line(line: str) -> bytes:
+            out = bytearray()
+            for c in line:
+                if ord(c) < 0x80:
+                    out.append(ord(c))
+                else:
+                    out += alloc[c].to_bytes(2, "big")
+            return bytes(out)
+
+    else:
+        pairs = [(ord(c), c) for c in used]
+        if array_form:
+            body = _array_form_bfranges(pairs, width=2)
+        else:
+            entries = "\n".join(f"<{ord(c):04X}> <{ord(c):04X}>" for c in used)
+            body = f"{len(used)} beginbfchar\n{entries}\nendbfchar"
+        cmap_src = (
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" + body
+        )
+
+        def enc_line(line: str) -> bytes:
+            return b"".join(ord(c).to_bytes(2, "big") for c in line)
+
     page_contents = []
     for lines in pages_of_lines:
         ops = [f"BT\n/F1 {font_size} Tf".encode("latin1")]
         y = 720
         for line in lines:
-            enc = b"".join(ord(c).to_bytes(2, "big") for c in line)
             ops.append(
                 f"1 0 0 1 72 {y} Tm".encode()
                 + b"\n("
-                + _cid_escape(enc)
+                + _cid_escape(enc_line(line))
                 + b") Tj"
             )
             y -= 14

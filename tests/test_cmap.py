@@ -114,3 +114,66 @@ def test_multibyte_codespacerange_no_ghost():
     assert ghost.mapping[0x00] == "\xff"
     clean = parse_cmap(src, multibyte=True)
     assert 0x00 not in clean.mapping
+
+
+# --------------------------------------------------------------------------
+# CID extension round 3: array-destination bfrange, mixed codespaces,
+# multi-unit destinations (reference skips all of this; flag-off
+# behavior is pinned above)
+
+
+def test_cid_array_destination_bfrange():
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+
+    src = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<8140> <8142> [<3042> <30443046> <00660069>]\nendbfrange"
+    )
+    cm = parse_cmap(src, multibyte=True)
+    assert cm.multi[b"\x81\x40"] == "あ"
+    assert cm.multi[b"\x81\x41"] == "いう"  # multi-unit UTF-16BE dst
+    assert cm.multi[b"\x81\x42"] == "fi"  # ligature dst
+    # default mode: the scalar-triple rule eats the first element —
+    # reference-identical line-oriented quirk, unchanged
+    cm0 = parse_cmap(src)
+    assert not cm0.multi
+
+
+def test_cid_mixed_codespaces_drive_code_width():
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+
+    src = (
+        "2 begincodespacerange\n<00> <7F>\n<8140> <FEFF>\nendcodespacerange\n"
+        "3 beginbfchar\n<41> <0041>\n<8150> <4E00>\n<8152> <4E16>\nendbfchar"
+    )
+    cm = parse_cmap(src, multibyte=True)
+    assert cm.spaces == [(1, 0x00, 0x7F), (2, 0x8140, 0xFEFF)]
+    # 1-byte and 2-byte codes interleave unambiguously
+    assert cm.decode(b"\x41\x81\x50\x41\x81\x52") == "A一A世"
+    # in-codespace unmapped 2-byte code → exactly ONE '?'
+    assert cm.decode(b"\x81\x60") == "?"
+
+
+def test_cid_surrogate_pair_and_wide_codespace():
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+
+    cm = parse_cmap(
+        "1 beginbfchar\n<0041> <D835DC00>\nendbfchar", multibyte=True
+    )
+    assert cm.multi[b"\x00\x41"] == "\U0001D400"
+    cm3 = parse_cmap(
+        "1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange\n"
+        "1 beginbfchar\n<010203> <0042>\nendbfchar",
+        multibyte=True,
+    )
+    assert cm3.decode(b"\x01\x02\x03") == "B"
+
+
+def test_cid_range_increments_last_unit():
+    from pdf_parser_spark.pdfcore.cmap import parse_cmap
+
+    cm = parse_cmap(
+        "1 beginbfrange\n<8150> <8152> <4E00>\nendbfrange", multibyte=True
+    )
+    assert cm.multi[b"\x81\x50"] == "一"
+    assert cm.multi[b"\x81\x52"] == "丂"

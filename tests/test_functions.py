@@ -427,3 +427,71 @@ def test_extract_features_real_png_and_jpeg_path(spark):
     # GIF: labeled fallback (no decoder)
     assert out["u4"]["content_type"] == "image/gif"
     assert out["u4"]["decode_error"].startswith("fallback_feature")
+
+
+def test_ivf_recall_perf_curve(spark):
+    """Pins the IVF search-quality curve on a 2000-vector clustered
+    corpus: recall@3 is non-decreasing in nprobe, candidate volume is
+    monotone in nprobe, and a finer codebook at fixed nprobe yields
+    fewer candidates (the nprobe·N/cells shape). Codebooks are fitted
+    once per cell count; sizing guidance lives in
+    similarity.kmeans_codebook's docstring (√N rule)."""
+    import numpy as np
+
+    from pdf_parser_spark.functions import similarity
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(32, 16))
+    assign = rng.integers(0, 32, 2000)
+    X = centers[assign] + 0.15 * rng.normal(size=(2000, 16))
+    X32 = X.astype(np.float32)
+    rows = [(i, [float(x) for x in X32[i]]) for i in range(2000)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    emb = emb.localCheckpoint(eager=True)
+    n_q, k = 12, 3
+    queries = emb.where(F.col("vec_id") < n_q)
+
+    # exact ground truth, driver-side numpy on the float32-cast values
+    Xd = X32.astype(np.float64)
+    norm = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    sims = norm[:n_q] @ norm.T
+    np.fill_diagonal(sims[:, :n_q], -np.inf)
+    truth = {q: set(np.argsort(-sims[q])[:k].tolist()) for q in range(n_q)}
+
+    cand_at = {}
+    for n_cells in (16, 64):
+        book = similarity.kmeans_codebook(emb, n_cells=n_cells, iters=5)
+        cell_counts = {
+            r["cell"]: r["n"]
+            for r in emb.select(
+                similarity.centroid_cell_expr("embedding", book).alias("cell")
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        prev_recall, prev_cand = -1.0, 0
+        for nprobe in (1, 2, 4, 8):
+            got = similarity.ivf_topk(
+                queries, emb, k=k, centroids=book, nprobe=nprobe
+            ).collect()
+            rec = sum(
+                1 for r in got if r["neighbor_id"] in truth[r["q_id"]]
+            ) / (n_q * k)
+            probed = queries.select(
+                similarity.centroid_cells_topn(
+                    "embedding", book, nprobe
+                ).alias("cells")
+            ).collect()
+            cand = sum(
+                cell_counts.get(c, 0) for r in probed for c in r["cells"]
+            )
+            assert rec >= prev_recall - 1e-9, (n_cells, nprobe, rec, prev_recall)
+            assert cand >= prev_cand, (n_cells, nprobe)
+            prev_recall, prev_cand = rec, cand
+            cand_at[(n_cells, nprobe)] = cand
+        if n_cells == 16:
+            # probing half of 16 cells on a 32-cluster corpus → high recall
+            assert prev_recall >= 0.8, prev_recall
+    # finer codebook at fixed nprobe → fewer candidates per query
+    assert cand_at[(64, 1)] < cand_at[(16, 1)]

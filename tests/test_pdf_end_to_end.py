@@ -241,3 +241,39 @@ def test_cid_two_byte_cmap_flag_end_to_end():
     pdf = build_pdf([[content]], fonts={"F1": FontSpec(tounicode=cmap_src)})
     assert extract_pdf(pdf).text == "????"
     assert extract_pdf(pdf, multibyte_cmaps=True).text == "中文"
+
+
+def test_cid_array_form_and_mixed_codespace_goldens():
+    """CJK-style goldens for the round-3 CID extension: the SAME source
+    decodes byte-exactly through all four ToUnicode shapes (bfchar /
+    array-form bfrange × uniform / SJIS-like mixed codespace), and
+    flag-off stays reference-identically degraded."""
+    from pdf_parser_spark.pdfcore.extract import extract_pdf
+    from pdf_parser_spark.pdfgen.writer import make_cid_text_pdf
+
+    pages = [["Hello 世界!", "naïve café 東京"], ["second page 行"]]
+    want = "Hello 世界!\nnaïve café 東京\nsecond page 行"
+    for array_form in (False, True):
+        for mixed in (False, True):
+            pdf = make_cid_text_pdf(pages, array_form=array_form, mixed=mixed)
+            r = extract_pdf(pdf, multibyte_cmaps=True)
+            assert r.text == want, (array_form, mixed)
+            assert r.error is None
+            assert "世" not in extract_pdf(pdf).text  # flag-off degrades
+
+
+def test_encrypted_pdf_detected_as_typed_error():
+    """/Encrypt in the trailer → classified error='encrypted' (not a
+    generic parse failure, never an exception); clean docs unaffected."""
+    import re
+
+    from pdf_parser_spark.pdfcore.extract import extract_pdf
+    from pdf_parser_spark.pdfgen.writer import text_to_pdf
+
+    pdf = text_to_pdf("secret line")
+    # splice an /Encrypt entry into the trailer dict
+    enc = re.sub(rb"trailer\s*<<", b"trailer\n<< /Encrypt << /Filter /Standard /V 1 >>", pdf, count=1)
+    assert enc != pdf
+    r = extract_pdf(enc)
+    assert r.error == "encrypted" and r.text == "" and r.n_items == 0
+    assert extract_pdf(pdf).error is None  # clean path unchanged

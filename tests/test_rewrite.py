@@ -380,3 +380,56 @@ def test_incremental_update_carries_generation():
     assert b"5 7 obj" in r.data[len(pdf):]
     assert re.search(rb"\d{10} 00007 n \n", r.data[len(pdf):])
     assert extract_pdf(r.data).text == "new text here"
+
+
+def test_batch_replace_from_real_xlsx(tmp_path):
+    """S5 end-to-end: a REAL .xlsx fixture (zip + sharedStrings XML,
+    written by our own minimal writer — no openpyxl anywhere) drives
+    batch_replace exactly like the CSV path."""
+    from pdf_parser_spark.pdfcore.rewrite import (
+        batch_replace,
+        load_replacement_table,
+    )
+    from pdf_parser_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    rows = [
+        ["Hello World", "Howdy Earth", "Salut Monde"],
+        ["keep this line", "", "kept by col2"],
+    ]
+    path = str(tmp_path / "table.xlsx")
+    write_xlsx(path, rows)
+    assert read_xlsx(path) == rows  # reader round-trips the writer
+    template, columns = load_replacement_table(path)
+    assert template == ["Hello World", "keep this line"]
+    assert columns == [["Howdy Earth", ""], ["Salut Monde", "kept by col2"]]
+    pdf = text_to_pdf(SRC)
+    outs = batch_replace(pdf, template, columns)
+    texts = {k: extract_pdf(r.data).text for k, r in outs.items()}
+    assert texts["HowdyEarth"] == "Howdy Earth\nkeep this line\nHowdy Earth"
+    assert texts["SalutMonde"] == "Salut Monde\nkept by col2\nSalut Monde"
+
+
+def test_read_xlsx_inline_strings_and_sparse_cells(tmp_path):
+    """Reader coverage beyond our writer's flavour: inline strings,
+    sparse rows, numeric cells."""
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>tpl</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>skip b</t></is></c></row>'
+        '<row r="3"><c r="B3"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "inline.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    from pdf_parser_spark.sources.xlsx import read_xlsx
+
+    assert read_xlsx(path) == [
+        ["tpl", "", "skip b"],
+        ["", "", ""],
+        ["", "42", ""],
+    ]
