@@ -122,3 +122,41 @@ def test_resume_is_idempotent_and_complete(spark, webdocs, tmp_path):
     # idempotent re-run: nothing to do, still 500
     again = resumable_extract(spark, webdocs, out)
     assert again.count() == 500
+
+
+def test_batched_resume_after_midrun_crash(spark, tmp_path):
+    """Batch-committed extraction survives a crash between commits:
+    only uncommitted urls are reprocessed, the final table is exact
+    (one row per url), and a second resume is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine.corpus import synthesize_webdocs
+    from pdf_parser_spark.engine.resume import batched_resumable_extract
+
+    webdocs = synthesize_webdocs(spark, "/root/testdata/sf0.001").limit(60)
+    webdocs = webdocs.localCheckpoint(eager=True)
+    n_total = webdocs.count()
+    out = str(tmp_path / "resume")
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after_two(b: int) -> None:
+        if b >= 1:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        batched_resumable_extract(
+            spark, webdocs, out, n_batches=6, on_batch=crash_after_two
+        )
+    committed = spark.read.parquet(f"{out}/parsed")
+    n_committed = committed.count()
+    assert 0 < n_committed < n_total
+
+    # resume: only the remainder is parsed (track via batch callback)
+    final = batched_resumable_extract(spark, webdocs, out, n_batches=6)
+    assert final.count() == n_total
+    assert final.select("url").distinct().count() == n_total
+    # idempotent: a third run appends nothing
+    again = batched_resumable_extract(spark, webdocs, out, n_batches=6)
+    assert again.count() == n_total
