@@ -3,10 +3,11 @@
 The build brief's multimodal requirement: image/audio/video travel as
 opaque ``binary`` columns with typed metadata; decode / feature-extract
 steps are Pandas UDFs over ``mapInPandas``. The image/audio libraries
-are not in this container, so PNG (this module) and baseline JPEG
-(:mod:`.jpegcore`) carry real from-the-spec pure-Python decoders;
-formats without a decoder (GIF, audio, video) degrade to a clearly
-labeled deterministic byte-histogram feature. Everything Spark-side —
+are not in this container, so PNG (this module), baseline JPEG
+(:mod:`.jpegcore`) and GIF (:mod:`.gifcore`) carry real from-the-spec
+pure-Python decoders; formats without a decoder (audio, video) degrade
+to a clearly labeled deterministic byte-histogram feature. Everything
+Spark-side —
 schema, batch iteration, partition-pruned metadata extraction, UDF
 signature — is real and tested.
 
@@ -204,11 +205,12 @@ def png_feature(payload: bytes, dim: int = 8) -> list[float]:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to raw pixels (w, h, channels, bytes).
 
-    PNG and baseline JPEG have real pure-Python decoders
-    (:func:`decode_png`, :mod:`.jpegcore` — huffman + IDCT + YCbCr from
-    the public T.81 spec). GIF still needs an LZW pass and raises
+    All three crawl raster formats have real pure-Python decoders:
+    PNG (:func:`decode_png`), baseline JPEG (:mod:`.jpegcore` —
+    huffman + IDCT + YCbCr from the public T.81 spec), and GIF
+    (:mod:`.gifcore` — LZW + palettes + interlace). Audio/video raise
     NotImplementedError; the pipeline surface (``extract_features``)
-    degrades to the deterministic byte-histogram feature for it.
+    degrades to the deterministic byte-histogram feature for them.
     """
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
@@ -216,8 +218,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from .jpegcore import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcore import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "no decoder for this format (PNG and baseline JPEG are supported)"
+        "no decoder for this format (PNG, baseline JPEG, and GIF are supported)"
     )
 
 
@@ -247,7 +253,7 @@ def extract_features(
                         break
                 ctypes.append(ct)
                 try:
-                    if ct in ("image/png", "image/jpeg"):
+                    if ct in ("image/png", "image/jpeg", "image/gif"):
                         feats.append(raster_feature(raw, dim))
                         errs.append(None)
                     else:

@@ -236,9 +236,11 @@ def test_decode_malformed_raises():
         multimodal.decode_image(b"\xff\xd8\xffjpeg")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\ntruncated")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89a......")  # truncated GIF
     # formats without a decoder still raise NotImplementedError
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a......")
+        multimodal.decode_image(b"ID3\x04audio....")
 
 
 def test_kmeans_ivf_recall_vs_bruteforce(emb):
@@ -399,6 +401,14 @@ def test_resize_nearest():
     assert small[:3] == px[:3]
 
 
+def _real_gif() -> bytes:
+    from pdf_parser_spark.functions.gifcore import encode_gif
+
+    colors = [b"\xff\x00\x00", b"\x00\xff\x00"]
+    px = b"".join(colors[(x + y) % 2] for y in range(8) for x in range(8))
+    return encode_gif(px, 8, 8)
+
+
 def test_extract_features_real_png_and_jpeg_path(spark):
     from pdf_parser_spark.functions.jpegcore import encode_jpeg
 
@@ -409,7 +419,8 @@ def test_extract_features_real_png_and_jpeg_path(spark):
             ("u1", bytearray(png)),
             ("u2", bytearray(jpg)),
             ("u3", bytearray(b"\xff\xd8\xffjunk...")),
-            ("u4", bytearray(b"GIF89a..........")),
+            ("u4", bytearray(_real_gif())),
+            ("u5", bytearray(b"ID3\x04audio-payload.....")),
         ],
         "url STRING, payload BINARY",
     )
@@ -424,9 +435,13 @@ def test_extract_features_real_png_and_jpeg_path(spark):
     assert out["u2"]["feature"][0] > 0 and out["u2"]["feature"][3] > 0
     # malformed JPEG: captured as a row error, zero feature
     assert out["u3"]["decode_error"].startswith("ValueError")
-    # GIF: labeled fallback (no decoder)
+    # real GIF: decoded moments, no error
     assert out["u4"]["content_type"] == "image/gif"
-    assert out["u4"]["decode_error"].startswith("fallback_feature")
+    assert out["u4"]["decode_error"] is None
+    assert out["u4"]["feature"][0] > 0
+    # audio: labeled fallback (no decoder)
+    assert out["u5"]["content_type"] == "audio/mpeg"
+    assert out["u5"]["decode_error"].startswith("fallback_feature")
 
 
 def test_ivf_recall_perf_curve(spark):
