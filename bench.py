@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_bucketed",
     "ann_topk_bruteforce",
     "ann_ivf_bucketed",
     "windowed_host_stats",

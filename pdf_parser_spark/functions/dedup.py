@@ -467,3 +467,42 @@ def embedding_topk_pairs(
         .limit(top_n)
         .select("a_id", "b_id", F.round("_cos", round_digits).alias("cos"))
     )
+
+
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Scale-path embedding near-dup: nearest-centroid cell bucketing
+    (broadcast codebook, pure expressions) turns the O(n²) pair scan of
+    :func:`embedding_topk_pairs` into an equi-join on cell id — per-cell
+    work is n²/cells², summed n²/cells, and the join hash-partitions /
+    AQE-skew-splits like any other equi-join. Standard recall caveat: a
+    near-dup pair straddling a cell boundary is missed (raise cells'
+    nprobe analog by coarsening the codebook, or run the exact path on
+    a suspect subset).
+
+    Returns (a_id, b_id, cos) for same-cell pairs with cosine ≥
+    *threshold* (compared pre-rounding; output rounded for the oracle).
+    """
+    from .similarity import centroid_cell_expr, cosine_expr
+
+    cell = centroid_cell_expr(vec_col, centroids)
+    side = emb.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    a = side.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = side.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"), "cell"
+    )
+    pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("_cos")
+    )
+    return scored.where(F.col("_cos") >= threshold).select(
+        "a_id", "b_id", F.round("_cos", round_digits).alias("cos")
+    )

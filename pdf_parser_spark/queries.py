@@ -1212,6 +1212,74 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_topk_pairs(emb, top_n=20)
 
 
+_IVF_CELLS = 16
+
+# codebook memo per (session, sf_dir): the medoid fit is a bounded
+# 16-row collect, but it launches a Spark job — hoist it so repeated
+# query construction (bench trials, notebook re-runs) pays it once
+_CODEBOOK_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CODEBOOK_CACHE.get(key)
+    if cached is None:
+        cached = similarity.medoid_centroids(
+            _read(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS
+        )
+        _CODEBOOK_CACHE[key] = cached
+    return cached
+
+
+_NEARDUP_OFFSET = 10_000
+_DUCK_UNION_CELLS = (
+    "u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings "
+    f"UNION ALL SELECT vec_id + {_NEARDUP_OFFSET}, "
+    "list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01) FROM embeddings), "
+    f"cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings "
+    f"WHERE vec_id < {_IVF_CELLS}), "
+    "cdist AS (SELECT u.vec_id, u.e, c.cid, "
+    "list_dot_product(c.ce, c.ce) - 2 * list_dot_product(u.e, c.ce) AS d "
+    "FROM u, cent c), "
+    "cells AS (SELECT vec_id, e, cid AS cell FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+    "FROM cdist) WHERE rn = 1)"
+)
+
+
+@q(
+    "dedup_embedding_bucketed",
+    f"WITH {_DUCK_UNION_CELLS} "
+    "SELECT a_id, b_id, round(_c, 4) AS cos FROM (SELECT a.vec_id AS a_id, "
+    "b.vec_id AS b_id, list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS _c "
+    "FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id) "
+    "WHERE _c >= 0.95",
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the SCALE path: nearest-centroid cell
+    bucketing (broadcast medoid codebook) replaces the O(n²) pair scan
+    with an equi-join on cell id. Deterministic noisy clones
+    (x·0.9 + 0.01, id + 10000) are injected so real near-dup pairs
+    exist (cos ≈ 0.99 with their source; unrelated pairs peak ≈ 0.38 on
+    this corpus) — the oracle reconstructs clones, cells, and cosines
+    in SQL, so cross-cell misses count identically in both engines."""
+    base = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    clones = _read(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.01
+        ).alias("embedding"),
+    )
+    cents = _ivf_codebook(spark, sf_dir)
+    return dedup.embedding_neardup_bucketed(
+        base.unionAll(clones), cents, threshold=0.95
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1242,24 +1310,6 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 10), emb, k=5
     )
 
-
-_IVF_CELLS = 16
-
-# codebook memo per (session, sf_dir): the medoid fit is a bounded
-# 16-row collect, but it launches a Spark job — hoist it so repeated
-# query construction (bench trials, notebook re-runs) pays it once
-_CODEBOOK_CACHE: dict[tuple[str, str], list[list[float]]] = {}
-
-
-def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CODEBOOK_CACHE.get(key)
-    if cached is None:
-        cached = similarity.medoid_centroids(
-            _read(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS
-        )
-        _CODEBOOK_CACHE[key] = cached
-    return cached
 
 _DUCK_CELLS = (
     f"cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "

@@ -510,3 +510,44 @@ def test_ivf_recall_perf_curve(spark):
             assert prev_recall >= 0.8, prev_recall
     # finer codebook at fixed nprobe → fewer candidates per query
     assert cand_at[(64, 1)] < cand_at[(16, 1)]
+
+
+def test_embedding_neardup_bucketed(spark, emb):
+    """Scale-path near-dup: injected noisy clones are found inside
+    their cell; results are a subset of the exact O(n²) pairs at the
+    same threshold (bucketing can only MISS, never invent)."""
+    from pdf_parser_spark.functions import similarity
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).limit(100)
+    clones = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * 0.9 + 0.01
+        ).alias("embedding"),
+    )
+    u = base.unionAll(clones).localCheckpoint(eager=True)
+    cents = similarity.medoid_centroids(emb, n_cells=16)
+    got = dedup.embedding_neardup_bucketed(u, cents, threshold=0.95).collect()
+    assert got, "no near-dup pairs found"
+    found_pairs = {(r["a_id"], r["b_id"]) for r in got}
+    # every found pair is a (source, its clone) pair with high cosine
+    assert all(b == a + 10_000 for a, b in found_pairs)
+    assert all(r["cos"] >= 0.95 for r in got)
+    # subset of the exact path at the same threshold
+    from pdf_parser_spark.functions.similarity import cosine_expr
+
+    a = u.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = u.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= 0.95)
+        .collect()
+    )
+    exact_pairs = {(r["a_id"], r["b_id"]) for r in exact}
+    assert found_pairs <= exact_pairs
+    # recall on this corpus: most clones share their source's cell
+    assert len(found_pairs) >= 0.6 * len(exact_pairs)
