@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "windowed_host_stats",
     "host_running_totals",
+    "dedup_stream_twin",
     "token_count",
     "lang_id",
     "quality_score",

@@ -489,19 +489,41 @@ def embedding_neardup_bucketed(
     Returns (a_id, b_id, cos) for same-cell pairs with cosine ≥
     *threshold* (compared pre-rounding; output rounded for the oracle).
     """
-    from .similarity import centroid_cell_expr, cosine_expr
+    from .similarity import centroid_cell_expr, dot_expr
 
     cell = centroid_cell_expr(vec_col, centroids)
-    side = emb.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    # compute each vector's norm ONCE (n rows, materialized at the join
+    # exchange) so the per-pair work inside the join is a single dot
+    # product + one divide — cosine_expr would recompute both norms per
+    # pair, tripling the O(pairs × dim) cost. (Not normalized via
+    # F.transform(x / norm): a higher-order lambda re-evaluates the
+    # norm subtree per ELEMENT — O(dim²) per row.)
+    vec = F.col(vec_col)
+    side = emb.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.sqrt(dot_expr(vec, vec)).alias("_n"),
+        cell.alias("cell"),
+    )
     a = side.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("a_id"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        "cell",
     )
     b = side.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("b_id"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        "cell",
     )
     pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
     scored = pairs.select(
-        "a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("_cos")
+        "a_id",
+        "b_id",
+        (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "_cos"
+        ),
     )
     return scored.where(F.col("_cos") >= threshold).select(
         "a_id", "b_id", F.round("_cos", round_digits).alias("cos")

@@ -50,14 +50,16 @@ def ws_token_count(col: Column | str) -> Column:
 
 
 def bpe_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count via the BPE pre-tokenizer regex."""
+    """Sub-word-ish token count via the BPE pre-tokenizer regex.
+    ``regexp_count`` (not ``size(regexp_extract_all(...))``) — counting
+    matches must not materialize every token string into an array."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0)).cast("int")
+    return F.regexp_count(c, F.lit(BPE_REGEX)).cast("int")
 
 
 def punct_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_REGEX), 0)).cast("int")
+    return F.regexp_count(c, F.lit(PUNCT_REGEX)).cast("int")
 
 
 def word_occurrences(col: Column | str, word: str) -> Column:

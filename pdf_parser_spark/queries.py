@@ -381,6 +381,39 @@ def host_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_OFF = 300_000
+
+
+@q(
+    "dedup_stream_twin",
+    f"WITH w AS (SELECT doc_id, md5(text) AS content_hash, "
+    f"{_EPOCH_S} + doc_id % 86400 AS ts FROM documents "
+    f"UNION ALL SELECT doc_id + {_STREAM_OFF}, md5(text), "
+    f"{_EPOCH_S} + doc_id % 86400 + 3600 FROM documents) "
+    "SELECT doc_id, content_hash FROM (SELECT doc_id, content_hash, "
+    "row_number() OVER (PARTITION BY content_hash ORDER BY ts, doc_id) "
+    "AS rn FROM w) WHERE rn = 1",
+)
+def dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked streaming dedup
+    (streaming/ingest.streaming_dedup — dropDuplicatesWithinWatermark
+    keyed on md5(text)): first-seen row per content hash, with clones
+    injected one event-time hour later so every original wins and every
+    clone is suppressed. The cross-micro-batch/state-eviction semantics
+    are pinned by tests/test_sinks_streaming.py."""
+    from .streaming.ingest import first_seen_per_hash
+
+    w = synthesize_webdocs(spark, sf_dir).select("doc_id", "warc_ts", "text")
+    clones = w.select(
+        (F.col("doc_id") + _STREAM_OFF).alias("doc_id"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "text",
+    )
+    return first_seen_per_hash(w.unionAll(clones)).select(
+        "doc_id", "content_hash"
+    )
+
+
 @q(
     "fallback_extract",
     f"WITH exp AS (SELECT {URL_SQL} AS url, {CHUNKS_SQL} AS chunks "

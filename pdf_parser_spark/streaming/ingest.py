@@ -149,6 +149,96 @@ def run_windowed_stats(
 
 
 # ---------------------------------------------------------------------------
+# cross-micro-batch exact dedup (watermark-bounded state)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """First-arriving row per content hash across micro-batches, via
+    Spark's built-in ``dropDuplicatesWithinWatermark`` streaming state
+    (Spark-first: the engine's dedicated streaming-dedup operator, not a
+    hand-rolled state function). The first row of each md5(text) group
+    is emitted immediately in append mode; later duplicates are
+    suppressed while their hash is in state, and state entries are
+    EVICTED once the event-time watermark passes them — so state is
+    bounded by the duplicate-arrival window (*delay*), not by corpus
+    size. A plain streaming ``dropDuplicates`` would grow state by one
+    entry per distinct document forever — unusable on an unbounded
+    crawl feed.
+
+    Contract: duplicates separated by more than *delay* of event time
+    may BOTH survive (the standard watermarked-dedup trade-off);
+    downstream batch compaction (functions.dedup.exact_dedup) removes
+    stragglers. The deterministic batch twin is
+    :func:`first_seen_per_hash`, oracle-checked as the
+    ``dedup_stream_twin`` registry query."""
+    from pyspark.sql import functions as F
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def first_seen_per_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic batch twin of :func:`streaming_dedup`: keep the
+    (ts, id)-min row per content hash — exactly what the stream emits
+    when arrival order follows event time. Hash-partitioned window (no
+    global sort); the shuffle carries only the columns of *df*."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(ts_col, id_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    delay: str = "2 hours",
+):
+    """Drive :func:`streaming_dedup` into a parquet sink (append mode,
+    checkpointed — a restart resumes both source progress AND the
+    dedup state store, so a duplicate arriving after a crash is still
+    suppressed)."""
+    stream = (
+        spark.readStream.schema(WEBDOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    deduped = streaming_dedup(stream, delay=delay).select(
+        "doc_id", "url", "host", "warc_ts", "content_hash"
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 
 

@@ -182,3 +182,84 @@ def test_stateful_host_totals_accumulate(spark, tmp_path):
         r["host"] == "ha" and r["batch_docs"] == 1 and r["total_docs"] == 3
         for r in rows
     )
+
+
+def _mini_docs_text(spark, rows):
+    """rows: (doc_id, ts_str, text) — fixed host, payload irrelevant."""
+    from datetime import datetime
+
+    from pdf_parser_spark.engine.corpus import WEBDOCS_SCHEMA
+
+    data = [
+        (
+            did,
+            f"https://h1.example/doc/{did}",
+            "h1.example",
+            datetime.fromisoformat(ts),
+            bytearray(b"x"),
+            text,
+            "en",
+        )
+        for did, ts, text in rows
+    ]
+    return spark.createDataFrame(data, WEBDOCS_SCHEMA)
+
+
+def test_streaming_dedup_cross_batch_and_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark surface: first-arriving row per
+    content hash survives within AND across micro-batches; the
+    checkpoint restores dedup state across restarts; and state is
+    EVICTED once the watermark passes a hash's expiry, after which the
+    same content is emitted again (the bounded-state contract)."""
+    import time as _time
+
+    from pdf_parser_spark.streaming.ingest import run_streaming_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows, mode):
+        _mini_docs_text(spark, rows).coalesce(1).write.mode(mode).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → one file per micro-batch
+
+    drop(
+        [
+            (1, "2024-01-01 12:00:00", "aaa"),
+            (2, "2024-01-01 12:00:10", "bbb"),
+            (3, "2024-01-01 12:10:00", "aaa"),  # same-run duplicate
+        ],
+        "overwrite",
+    )
+    drop(
+        [
+            (4, "2024-01-01 12:30:00", "aaa"),  # cross-batch duplicate
+            (5, "2024-01-01 12:31:00", "ccc"),
+        ],
+        "append",
+    )
+    q = run_streaming_dedup(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 5}
+
+    # restart: the checkpoint restores source progress AND dedup state,
+    # so a duplicate arriving after the restart is still suppressed
+    drop([(6, "2024-01-01 12:40:00", "bbb")], "append")
+    q2 = run_streaming_dedup(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 5}
+
+    # eviction: doc 7 advances the watermark to 18:00 (> every earlier
+    # hash's 2h expiry). Physical eviction happens at the END of a
+    # batch that RUNS with the advanced watermark (the watermark
+    # propagates one batch behind the event that moved it), so doc 9
+    # provides that intermediate batch; the fresh "aaa" of doc 8 then
+    # finds no state and is emitted AGAIN — the bounded-state contract.
+    drop([(7, "2024-01-01 20:00:00", "zzz")], "append")
+    drop([(9, "2024-01-01 20:01:00", "yyy")], "append")
+    drop([(8, "2024-01-01 19:00:00", "aaa")], "append")
+    q3 = run_streaming_dedup(spark, src, out, ckpt)
+    q3.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert {1, 2, 5, 7, 9}.issubset(got)
+    assert 8 in got, "state must be evicted after the watermark passes"
