@@ -55,6 +55,7 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "repetition_score",
     "vocab_census",
     "pricing_summary",
     "top_customers",

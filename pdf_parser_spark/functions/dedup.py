@@ -476,20 +476,23 @@ def embedding_neardup_bucketed(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_digits: int = 4,
+    probes: int = 1,
 ) -> DataFrame:
     """Scale-path embedding near-dup: nearest-centroid cell bucketing
     (broadcast codebook, pure expressions) turns the O(n²) pair scan of
     :func:`embedding_topk_pairs` into an equi-join on cell id — per-cell
     work is n²/cells², summed n²/cells, and the join hash-partitions /
     AQE-skew-splits like any other equi-join. Standard recall caveat: a
-    near-dup pair straddling a cell boundary is missed (raise cells'
-    nprobe analog by coarsening the codebook, or run the exact path on
-    a suspect subset).
+    near-dup pair straddling a cell boundary is missed — raise *probes*
+    to probe each vector's top-p cells (one side explodes to p rows;
+    a pair is found when either member's primary cell is among the
+    other's top-p; straddling pairs may score twice and are
+    de-duplicated after the threshold, when the survivor set is small).
 
     Returns (a_id, b_id, cos) for same-cell pairs with cosine ≥
     *threshold* (compared pre-rounding; output rounded for the oracle).
     """
-    from .similarity import centroid_cell_expr, dot_expr
+    from .similarity import centroid_cell_expr, centroid_cells_expr, dot_expr
 
     cell = centroid_cell_expr(vec_col, centroids)
     # compute each vector's norm ONCE (n rows, materialized at the join
@@ -505,19 +508,45 @@ def embedding_neardup_bucketed(
         F.sqrt(dot_expr(vec, vec)).alias("_n"),
         cell.alias("cell"),
     )
-    a = side.select(
-        F.col(id_col).alias("a_id"),
-        F.col("_v").alias("va"),
-        F.col("_n").alias("na"),
-        "cell",
-    )
     b = side.select(
         F.col(id_col).alias("b_id"),
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
         "cell",
     )
-    pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
+    if probes <= 1:
+        a = side.select(
+            F.col(id_col).alias("a_id"),
+            F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+            "cell",
+        )
+        pairs = a.join(b, "cell").where(F.col("a_id") < F.col("b_id"))
+    else:
+        # multi-probe: explode ONE side to its top-p cells (the probe
+        # side); the build side stays at its primary cell, so the join
+        # input grows p×, not p²×. Both orderings are kept (a_id !=
+        # b_id, canonicalized below) so a pair is found when either
+        # member probes the other's primary cell.
+        probe_cells = centroid_cells_expr(vec_col, centroids, probes)
+        a = emb.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("va"),
+            F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("na"),
+            F.explode(probe_cells).alias("cell"),
+        )
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+                "va",
+                "na",
+                "vb",
+                "nb",
+            )
+        )
     scored = pairs.select(
         "a_id",
         "b_id",
@@ -525,6 +554,49 @@ def embedding_neardup_bucketed(
             "_cos"
         ),
     )
-    return scored.where(F.col("_cos") >= threshold).select(
+    out = scored.where(F.col("_cos") >= threshold).select(
         "a_id", "b_id", F.round("_cos", round_digits).alias("cos")
+    )
+    if probes > 1:
+        # a straddling pair can be found via both directions and via
+        # several probed cells; the cosine is bit-identical each time
+        # (same operands, same fold order), so a distinct on the small
+        # post-threshold set removes the duplicates
+        out = out.distinct()
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Within-document repetition: fraction of duplicate k-gram word
+    shingles per document — the boilerplate/spam signal used by
+    crawl-quality filters (high ratio ⇒ repeated template text).
+
+    Relational shape: one exploded-shingle pass (the same producer the
+    MinHash/fingerprint family uses), then a per-doc count /
+    count-distinct aggregation — map-side partial aggs, shuffle keyed
+    on id. Documents with fewer than k tokens have no shingles and get
+    ratio 0.0 via the left join back to the input."""
+    sh = exploded_shingles(df, text_col=text_col, id_col=id_col, k=k)
+    counts = sh.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_shingles"),
+        F.countDistinct("shingle").cast("int").alias("n_distinct"),
+    )
+    joined = df.select(id_col).join(counts, id_col, "left")
+    return joined.select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.when(
+            F.col("n_shingles").isNull() | (F.col("n_shingles") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                (F.col("n_shingles") - F.col("n_distinct"))
+                / F.col("n_shingles").cast("double"),
+                4,
+            )
+        )
+        .alias("rep_ratio"),
     )

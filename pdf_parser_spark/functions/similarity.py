@@ -121,6 +121,44 @@ def centroid_cell_expr(
     return F.least(*candidates).getField("cid").cast("int")
 
 
+def centroid_cells_expr(
+    vec: Column | str, centroids: list[list[float]], probes: int
+) -> Column:
+    """Top-*probes* nearest cells as an ``array<int>`` — the multi-probe
+    generalization of :func:`centroid_cell_expr` (probes=1 ≡ [argmin]).
+    Same distance score (cc_i − 2·dot(v,c_i), sequential double folds),
+    ranked by ``array_sort`` over (d, cid) structs so ties break on the
+    lower centroid index, exactly like the single-cell least() and the
+    DuckDB row_number() twin."""
+    if probes >= len(centroids):
+        probes = len(centroids)
+    if isinstance(vec, str):
+        cands = []
+        for i, c in enumerate(centroids):
+            cc = 0.0
+            for x in c:
+                cc += float(x) * float(x)
+            cands.append(
+                f"named_struct('d', {_sql_double(cc)} - 2.0D * "
+                f"{_dot_sql(vec, c)}, 'cid', {i})"
+            )
+        return F.expr(
+            f"transform(slice(array_sort(array({', '.join(cands)})), 1, "
+            f"{int(probes)}), s -> CAST(s.cid AS INT))"
+        )
+    candidates = []
+    for i, c in enumerate(centroids):
+        cc = 0.0
+        for x in c:
+            cc += float(x) * float(x)
+        d = F.lit(cc).cast("double") - 2.0 * _dot_lit(vec, c)
+        candidates.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    ranked = F.array_sort(F.array(*candidates))
+    return F.transform(
+        F.slice(ranked, 1, int(probes)), lambda s: s.getField("cid").cast("int")
+    )
+
+
 def centroid_cells_topn(
     vec_sql: str, centroids: list[list[float]], nprobe: int
 ) -> Column:

@@ -1313,6 +1313,58 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_PROBES = 2
+_DUCK_PROBED_CELLS = (
+    _DUCK_UNION_CELLS.replace(
+        "cells AS (SELECT vec_id, e, cid AS cell FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM cdist) WHERE rn = 1)",
+        "ranked AS (SELECT vec_id, e, cid AS cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn "
+        "FROM cdist), "
+        f"probed AS (SELECT vec_id, e, cell FROM ranked WHERE rn <= {_NEARDUP_PROBES}), "
+        "prim AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1)",
+    )
+)
+assert "probed AS" in _DUCK_PROBED_CELLS  # replace() must have matched
+
+
+@q(
+    "dedup_embedding_multiprobe",
+    f"WITH {_DUCK_PROBED_CELLS} "
+    "SELECT DISTINCT least(p.vec_id, q.vec_id) AS a_id, "
+    "greatest(p.vec_id, q.vec_id) AS b_id, "
+    "round(list_dot_product(p.e, q.e) / "
+    "(sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(q.e, q.e))), 4) "
+    "AS cos FROM probed p JOIN prim q ON p.cell = q.cell "
+    "AND p.vec_id <> q.vec_id "
+    "WHERE list_dot_product(p.e, q.e) / "
+    "(sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(q.e, q.e))) "
+    ">= 0.95",
+)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of ``dedup_embedding_bucketed``: each vector
+    probes its top-2 cells (probe side explodes 2×, build side stays at
+    its primary cell), recovering near-dup pairs that straddle a cell
+    boundary. The oracle reconstructs the probed/primary join and the
+    post-threshold DISTINCT in SQL, so recall gains count identically
+    in both engines."""
+    base = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    clones = _read(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.01
+        ).alias("embedding"),
+    )
+    cents = _ivf_codebook(spark, sf_dir)
+    return dedup.embedding_neardup_bucketed(
+        base.unionAll(clones), cents, threshold=0.95, probes=_NEARDUP_PROBES
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1461,3 +1513,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the relational exploded-shingle path."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.fingerprint_table(docs, k=5)
+
+
+@q(
+    "repetition_score",
+    f"WITH tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM documents), "
+    f"sh AS (SELECT doc_id, {duck_shingles('toks', 3)} AS s3 FROM tok) "
+    "SELECT doc_id, len(s3)::INT AS n_shingles, "
+    "len(list_distinct(s3))::INT AS n_distinct, "
+    "CASE WHEN len(s3) = 0 THEN 0.0 ELSE "
+    "round((len(s3) - len(list_distinct(s3))) / len(s3), 4) END AS rep_ratio "
+    "FROM sh",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate 3-gram fraction) — the
+    boilerplate/template-spam quality signal (cf. the Gopher repetition
+    filters): one exploded-shingle pass + per-doc count/count-distinct
+    aggregation."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.repetition_stats(docs, k=3)

@@ -551,3 +551,62 @@ def test_embedding_neardup_bucketed(spark, emb):
     assert found_pairs <= exact_pairs
     # recall on this corpus: most clones share their source's cell
     assert len(found_pairs) >= 0.6 * len(exact_pairs)
+
+
+def test_embedding_neardup_multiprobe_recall(spark, emb):
+    """probes=2 finds every single-probe pair PLUS boundary-straddling
+    ones, and stays a subset of the exact O(n²) result."""
+    from pdf_parser_spark.functions import similarity
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).limit(150)
+    clones = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    u = base.unionAll(clones).localCheckpoint(eager=True)
+    cents = similarity.medoid_centroids(emb, n_cells=16)
+    p1 = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.embedding_neardup_bucketed(u, cents, probes=1).collect()
+    }
+    rows2 = dedup.embedding_neardup_bucketed(u, cents, probes=2).collect()
+    p2 = {(r["a_id"], r["b_id"]) for r in rows2}
+    assert len(rows2) == len(p2), "multi-probe must de-duplicate pairs"
+    assert p1 <= p2
+    from pdf_parser_spark.functions.similarity import cosine_expr
+
+    a = u.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = u.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("c"))
+            .where(F.col("c") >= 0.95)
+        ).collect()
+    }
+    assert p2 <= exact
+    assert len(p2) >= len(p1)
+
+
+def test_repetition_stats(spark):
+    """Known repetition ratios: a 3× repeated trigram text, a unique
+    text, and a too-short text (no shingles → ratio 0)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 shingles, 3 distinct
+            (2, "one two three four"),  # 2 shingles, both distinct
+            (3, "hi there"),            # < 3 tokens
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in dedup.repetition_stats(df, k=3).collect()}
+    assert (got[1]["n_shingles"], got[1]["n_distinct"]) == (7, 3)
+    assert got[1]["rep_ratio"] == round((7 - 3) / 7, 4)
+    assert (got[2]["n_shingles"], got[2]["n_distinct"]) == (2, 2)
+    assert got[2]["rep_ratio"] == 0.0
+    assert (got[3]["n_shingles"], got[3]["n_distinct"]) == (0, 0)
+    assert got[3]["rep_ratio"] == 0.0
