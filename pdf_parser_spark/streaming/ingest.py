@@ -248,7 +248,9 @@ TOTALS_SCHEMA = (
 )
 
 
-def stateful_host_totals(stream: DataFrame) -> DataFrame:
+def stateful_host_totals(
+    stream: DataFrame, dormant_timeout_ms: int | None = None
+) -> DataFrame:
     """Running per-host totals across micro-batches via
     ``applyInPandasWithState`` — the arbitrary-stateful-operator path
     for semantics windows can't express (monotone running totals that
@@ -256,13 +258,22 @@ def stateful_host_totals(stream: DataFrame) -> DataFrame:
 
     State per host = (total_docs, total_bytes); each trigger emits one
     row per active host with the batch delta and the running totals.
-    State is O(distinct hosts) — bounded; at crawl scale add a
-    ProcessingTimeTimeout eviction for dormant hosts."""
+    State is O(distinct ACTIVE hosts): with *dormant_timeout_ms* set, a
+    host seen no new docs for that long (processing time) has its state
+    EVICTED via ProcessingTimeTimeout — the crawl-scale memory bound
+    for the long tail of one-visit hosts. An evicted host reappearing
+    later restarts its totals from zero (the documented trade-off; keep
+    the timeout above the revisit horizon you care about). Default
+    ``None`` keeps state forever (exact totals, O(all hosts ever))."""
 
     def update(key, pdfs, state):
         import pandas as pd
 
         host = key[0]
+        if dormant_timeout_ms is not None and state.hasTimedOut:
+            # dormant-host eviction: drop the state, emit nothing
+            state.remove()
+            return
         batch_docs = 0
         batch_bytes = 0
         for pdf in pdfs:
@@ -275,6 +286,8 @@ def stateful_host_totals(stream: DataFrame) -> DataFrame:
         total_docs += batch_docs
         total_bytes += batch_bytes
         state.update((total_docs, total_bytes))
+        if dormant_timeout_ms is not None:
+            state.setTimeoutDuration(dormant_timeout_ms)
         yield pd.DataFrame(
             {
                 "host": [host],
@@ -292,7 +305,11 @@ def stateful_host_totals(stream: DataFrame) -> DataFrame:
             outputStructType=TOTALS_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf=(
+                "NoTimeout"
+                if dormant_timeout_ms is None
+                else "ProcessingTimeTimeout"
+            ),
         )
     )
 
@@ -304,6 +321,7 @@ def run_stateful_totals(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    dormant_timeout_ms: int | None = None,
 ):
     """Drive ``stateful_host_totals`` into an in-memory sink. The state
     store is checkpointed per trigger, but the memory sink itself
@@ -314,7 +332,7 @@ def run_stateful_totals(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
-    totals = stateful_host_totals(stream)
+    totals = stateful_host_totals(stream, dormant_timeout_ms=dormant_timeout_ms)
     writer = (
         totals.writeStream.format("memory")
         .queryName(query_name)

@@ -70,3 +70,37 @@ def test_scalar_chain_prunes_scan_columns(spark):
     schema_line = plan[start : plan.find("\n", start)]
     assert "l_comment" not in schema_line
     assert schema_line.count(",") <= 3
+
+
+def test_bucketed_neardup_equi_join_no_cartesian(spark):
+    """The scale-path near-dup must stay an equi-join on cell id — a
+    plan regression to a cartesian/broadcast-nested-loop product is the
+    100 TB failure mode this query exists to avoid."""
+    for name in ("dedup_embedding_bucketed", "dedup_embedding_multiprobe"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        ), name
+
+
+def test_repetition_score_partial_agg_and_pruned_scan(spark):
+    plan = _plan(spark, "repetition_score")
+    # count/count-distinct per doc: partial aggregation before the
+    # exchange; both documents scans are pruned — the id-join side to
+    # doc_id alone, the shingle side to (doc_id, text)
+    assert plan.count("HashAggregate") >= 2
+    schema_lines = [
+        l for l in plan.splitlines() if l.strip().startswith("ReadSchema")
+    ]
+    assert schema_lines
+    assert all("lang" not in l for l in schema_lines)
+    assert any("text" in l for l in schema_lines)
+    assert any("text" not in l for l in schema_lines)  # id-only side
+
+
+def test_stream_twin_no_global_sort(spark):
+    plan = _plan(spark, "dedup_stream_twin")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()

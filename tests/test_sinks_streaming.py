@@ -263,3 +263,39 @@ def test_streaming_dedup_cross_batch_and_eviction(spark, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert {1, 2, 5, 7, 9}.issubset(got)
     assert 8 in got, "state must be evicted after the watermark passes"
+
+
+def test_stateful_totals_dormant_eviction(spark, tmp_path):
+    """ProcessingTimeTimeout: a host absent from a micro-batch (after
+    its 1 ms timeout elapsed) has its state evicted, so its totals
+    restart from zero when it reappears — the bounded-state mode for
+    the long tail of one-visit hosts."""
+    import time as _time
+
+    from pdf_parser_spark.streaming.ingest import run_stateful_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = _mini_webdocs(spark, [(1, "ha", "2024-01-01 00:00:00", b"12345")])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    # ha absent here → its 1 ms timeout fires during this batch → evict
+    b2 = _mini_webdocs(spark, [(2, "hb", "2024-01-01 00:01:00", b"22")])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    b3 = _mini_webdocs(spark, [(3, "ha", "2024-01-01 00:02:00", b"666666")])
+    b3.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_stateful_totals(
+        spark, src, "host_totals_evict_t", ckpt, dormant_timeout_ms=1
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_totals_evict_t").collect()
+    ha = sorted(
+        (r for r in rows if r["host"] == "ha"), key=lambda r: r["batch_docs"]
+    )
+    # two emissions for ha, and the SECOND one restarted from zero:
+    # totals reflect only doc 3 (6 bytes), not 5+6
+    assert len(ha) == 2
+    assert all(r["total_docs"] == 1 for r in ha)
+    assert {r["total_bytes"] for r in ha} == {5, 6}
