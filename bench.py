@@ -56,6 +56,7 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "repetition_score",
+    "sample_split",
     "vocab_census",
     "pricing_summary",
     "top_customers",

@@ -1,0 +1,109 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 10^12-document corpus cannot be sampled with an RNG-based
+`df.sample()`/`sampleBy()`: the draw differs per run, per Spark
+version, and per partition layout, so the sample is unreproducible and
+resume/backfill jobs disagree about membership. The scale-correct
+primitive is CONTENT-KEYED hashing — a pure filter expression over
+md5(key || salt), no shuffle, no state, identical in every engine:
+
+- membership is a property of the ROW, not of the run: re-running,
+  resuming, or recomputing on a different cluster selects the same
+  documents;
+- fractions compose: a 1% sample of a 10% sample (different salts) is
+  an unbiased 0.1% sample;
+- the same arithmetic runs in any SQL engine (md5 hex prefix compared
+  lexicographically), so a DuckDB oracle verifies membership exactly.
+
+Granularity is 16 bits (4 hex chars, 1/65536 ≈ 0.0015%); fractions are
+rounded down to that grid, and the helpers expose the exact realized
+fraction so callers can account for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 1 << 16  # 4 hex chars
+
+
+def realized_fraction(fraction: float) -> float:
+    """The exact fraction the 16-bit grid realizes for *fraction*."""
+    return int(fraction * _GRID) / _GRID
+
+
+def _threshold_hex(fraction: float) -> str:
+    t = int(fraction * _GRID)
+    t = max(0, min(_GRID, t))
+    return format(t, "04x")
+
+
+def hash_prefix(key: Column | str, salt: str = "") -> Column:
+    """First 4 hex chars of md5(key || salt) — the 16-bit sampling
+    coordinate. *key* is cast to string, so any stable id column works;
+    *salt* decorrelates independent draws over the same keys."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 4)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash coordinate falls below the fraction
+    threshold — a pure filter (pushes past projections, costs no
+    shuffle, prunes at the scan when *key_col* is a file-level
+    predicate target)."""
+    return df.where(
+        hash_prefix(key_col, salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the `sampleBy` twin, but
+    reproducible): each stratum value gets its own threshold; strata
+    not listed get *default_fraction*. One CASE expression, still a
+    pure filter — the standard tool for rebalancing language mixes in
+    a training corpus."""
+    c = F.col(strat_col)
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(c == value, F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.where(hash_prefix(key_col, salt) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one split (train/val/test…) by
+    consecutive ranges of the hash coordinate — disjoint, exhaustive,
+    and stable under re-runs and corpus growth (a document's split
+    never changes when other documents are added). Splits are assigned
+    in sorted-name order; the last split absorbs the rounding
+    remainder. Weights must sum to ~1."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = sorted(weights)
+    coord = hash_prefix(key_col, salt)
+    # first-match-wins CASE over cumulative thresholds, built inside-out
+    cum = 0.0
+    conds: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((name, _threshold_hex(cum)))
+    out: Column = F.lit(names[-1])
+    for name, t in reversed(conds):
+        out = F.when(coord < F.lit(t), F.lit(name)).otherwise(out)
+    return df.withColumn(split_col, out)

@@ -1532,3 +1532,66 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.repetition_stats(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting (functions/sampling.py)
+
+_SPLIT_SALT = "v1"
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_STRATA = {"en": 0.5, "zh": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+def _split_case_sql() -> str:
+    from .functions import sampling
+
+    names = sorted(_SPLIT_WEIGHTS)
+    coord = f"substr(md5(doc_id::VARCHAR || '{_SPLIT_SALT}'), 1, 4)"
+    cum, arms = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_WEIGHTS[name]
+        arms.append(f"WHEN {coord} < '{sampling._threshold_hex(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+@q(
+    "sample_split",
+    f"SELECT doc_id, {_split_case_sql()} AS split FROM documents",
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-hash ranges —
+    membership is a property of the row (key + salt), not of the run,
+    so resumes/backfills and a DuckDB oracle agree exactly; a pure
+    expression, no shuffle, no RNG."""
+    from .functions import sampling
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+
+
+def _strata_thr_sql() -> str:
+    from .functions import sampling
+
+    arms = "".join(
+        f"WHEN lang = '{v}' THEN '{sampling._threshold_hex(f)}' "
+        for v, f in sorted(_STRATA.items())
+    )
+    return f"CASE {arms}ELSE '{sampling._threshold_hex(_STRATA_DEFAULT)}' END"
+
+
+@q(
+    "stratified_sample",
+    f"SELECT doc_id, lang FROM documents WHERE "
+    f"substr(md5(doc_id::VARCHAR || '{_SPLIT_SALT}'), 1, 4) < {_strata_thr_sql()}",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (the reproducible `sampleBy`
+    twin): rebalance the corpus language mix with per-stratum hash
+    thresholds — one CASE expression, still a pure filter."""
+    from .functions import sampling
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, _STRATA, default_fraction=_STRATA_DEFAULT, salt=_SPLIT_SALT
+    )

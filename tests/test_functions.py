@@ -610,3 +610,53 @@ def test_repetition_stats(spark):
     assert got[2]["rep_ratio"] == 0.0
     assert (got[3]["n_shingles"], got[3]["n_distinct"]) == (0, 0)
     assert got[3]["rep_ratio"] == 0.0
+
+
+def test_deterministic_sampling(spark):
+    """Hash sampling: reproducible, fraction-accurate, composable."""
+    from pdf_parser_spark.functions import sampling
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    s1 = sampling.deterministic_sample(df, 0.3, salt="a")
+    n1 = s1.count()
+    # same draw twice → identical membership
+    assert s1.collect() == sampling.deterministic_sample(df, 0.3, salt="a").collect()
+    # fraction within 3 sigma of binomial expectation
+    exp = sampling.realized_fraction(0.3) * 20_000
+    assert abs(n1 - exp) < 3 * (20_000 * 0.3 * 0.7) ** 0.5
+    # different salt → a (near-)independent draw
+    s2 = sampling.deterministic_sample(df, 0.3, salt="b")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    inter = len(ids1 & ids2)
+    assert abs(inter - 0.09 * 20_000) < 3 * (20_000 * 0.09 * 0.91) ** 0.5
+    # nested draws compose: 50% of 30% ≈ 15%
+    nested = sampling.deterministic_sample(s1, 0.5, salt="c").count()
+    assert abs(nested - 0.15 * 20_000) < 4 * (20_000 * 0.15 * 0.85) ** 0.5
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from pdf_parser_spark.functions import sampling
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # exhaustive, one split per row
+    assert abs(counts["train"] - 8000) < 3 * (10_000 * 0.8 * 0.2) ** 0.5
+    assert abs(counts["val"] - 1000) < 3 * (10_000 * 0.1 * 0.9) ** 0.5
+    # membership is stable under corpus growth: the same doc keeps its
+    # split when the table doubles
+    big = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out_big = sampling.hash_split(
+        big, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in out_big.collect()}
+    assert all(b[k] == v for k, v in a.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.hash_split(df, {"train": 0.5, "val": 0.1})
