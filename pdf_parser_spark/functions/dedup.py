@@ -600,3 +600,63 @@ def repetition_stats(
         )
         .alias("rep_ratio"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) per node of the candidate-pair graph, comp = min node
+    id in the node's connected component — the step between pair
+    generation (LSH / SimHash / embedding buckets) and keeper election
+    in a dedup pipeline: keep ``id == comp``, drop the rest, and a
+    whole near-dup CLUSTER (not just each pair) collapses to one doc.
+
+    Iterative relational min-label propagation: each round joins the
+    current labels onto the symmetrized edge list and takes the min
+    label over {self} ∪ neighbors — one equi-join plus one
+    map-side-combined groupBy per round, labels localCheckpointed so
+    lineage (and plan size) stays constant across rounds. Converges in
+    O(component diameter) rounds; dedup clusters are near-cliques with
+    tiny diameters, so this beats the O(log n)-round star algorithms
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
+    in practice — swap one in if components with large diameters
+    appear. The per-round driver work is a single scalar count
+    (convergence check); shuffles carry only (id, comp) longs.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(new_labels, "id")
+            .where(F.col("old") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

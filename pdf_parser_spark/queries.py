@@ -1534,6 +1534,45 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repetition_stats(docs, k=3)
 
 
+_CC_M = 1_000_000
+
+
+@q(
+    "dedup_components",
+    "WITH RECURSIVE "
+    f"e AS (SELECT doc_id AS src, doc_id + {_CC_M} AS dst FROM documents "
+    f"UNION ALL SELECT doc_id + {_CC_M}, doc_id + {2 * _CC_M} FROM documents "
+    f"UNION ALL SELECT doc_id + {3 * _CC_M}, doc_id FROM documents "
+    "WHERE doc_id % 7 = 0), "
+    "ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(id, comp) AS (SELECT src, src FROM ue "
+    "UNION SELECT ue.dst, r.comp FROM reach r JOIN ue ON ue.src = r.id) "
+    "SELECT id, min(comp)::BIGINT AS comp FROM reach GROUP BY id",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic candidate-pair graph
+    (chained clone generations: x—x+1M—x+2M paths, plus x+3M spokes on
+    every 7th doc — multi-hop paths force real label propagation, not
+    just a one-round min). The oracle recomputes components from the
+    SAME edge list with a recursive CTE, so the iterative Spark
+    propagation is verified against an independent algorithm."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    p1 = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + _CC_M).alias("b_id"),
+    )
+    p2 = docs.select(
+        (F.col("doc_id") + _CC_M).alias("a_id"),
+        (F.col("doc_id") + 2 * _CC_M).alias("b_id"),
+    )
+    p3 = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3 * _CC_M).alias("a_id"),
+        F.col("doc_id").alias("b_id"),
+    )
+    pairs = p1.unionAll(p2).unionAll(p3)
+    return dedup.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / splitting (functions/sampling.py)
 

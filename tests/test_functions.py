@@ -612,6 +612,34 @@ def test_repetition_stats(spark):
     assert got[3]["rep_ratio"] == 0.0
 
 
+def test_connected_components_multihop(spark):
+    """Label propagation over a 5-node path (forces multi-round
+    propagation: min label must travel the diameter), a 3-clique, an
+    isolated edge, and a dedup keeper election on top."""
+    pairs = spark.createDataFrame(
+        # path 10-11-12-13-14, clique {20,21,22}, lone edge 30-31
+        [(11, 10), (11, 12), (13, 12), (13, 14),
+         (20, 21), (21, 22), (20, 22), (31, 30)],
+        "a_id BIGINT, b_id BIGINT",
+    )
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert {comp[n] for n in (10, 11, 12, 13, 14)} == {10}
+    assert {comp[n] for n in (20, 21, 22)} == {20}
+    assert {comp[n] for n in (30, 31)} == {30}
+    keepers = sorted(k for k, c in comp.items() if k == c)
+    assert keepers == [10, 20, 30]
+
+
+def test_connected_components_converges_early(spark):
+    """max_iter far above the diameter must not change the result and
+    must stop on the convergence check (same labels back)."""
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a_id INT, b_id INT")
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs, max_iter=50).collect()}
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
 def test_deterministic_sampling(spark):
     """Hash sampling: reproducible, fraction-accurate, composable."""
     from pdf_parser_spark.functions import sampling
