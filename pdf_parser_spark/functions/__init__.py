@@ -7,4 +7,11 @@ needs. All hot paths are Spark built-ins (JVM/whole-stage-codegen);
 Python appears only in clearly-marked multimodal decode stubs.
 """
 
-from . import dedup, multimodal, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    filtering,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)

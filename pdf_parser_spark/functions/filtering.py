@@ -1,0 +1,118 @@
+"""Corpus-level filtering for training-data pipelines: per-host
+frequency caps and a composite quality gate (C4/Gopher-style rule
+chain with a per-document drop reason).
+
+Everything here is built-in-expression Spark (windows, joins, string
+expressions) — no Python UDFs — so the plans stay inside whole-stage
+codegen and shuffle only slim (id, key) projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+
+
+def hash_order_key(id_col: Column | str) -> Column:
+    """Deterministic pseudo-random ordering key: md5 of the id —
+    reproducible across runs and engines, uncorrelated with insertion
+    or crawl order (so a cap keeps a uniform sample, not a prefix)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string"))
+
+
+def host_cap(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``k`` documents per host, chosen by deterministic
+    hash order — the crawl-balance cap that stops one mirror/spam host
+    from dominating a training mix.
+
+    Two-phase so a hot host never lands on one reducer: phase 1 ranks
+    within (host, salt) — ≤ ``salts`` subgroups per host — and keeps k
+    per subgroup; phase 2 ranks the ≤ k·salts survivors per host. Any
+    row in a host's global top-k is also in the top-k of whichever
+    subgroup contains it, so the result is IDENTICAL to a single
+    global window for every salt assignment, but the first (big)
+    shuffle spreads a skewed host over ``salts`` reducers and the
+    second shuffle sees a bounded row count per host regardless of
+    input skew. Output: the kept rows plus their final rank ``rk``
+    (1-based within host).
+    """
+    ord_ = hash_order_key(id_col)
+    # salt choice never changes the output (see above) — xxhash64 is
+    # fine here even though oracle-visible hashes are md5-only
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    w1 = Window.partitionBy(F.col(host_col), F.col("_salt")).orderBy(
+        ord_.asc(), F.col(id_col).asc()
+    )
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(F.col(host_col)).orderBy(
+        ord_.asc(), F.col(id_col).asc()
+    )
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    min_tokens: int = 10,
+    rep_num: int = 1,
+    rep_den: int = 5,
+) -> DataFrame:
+    """Composite keep/drop decision with a first-failing-rule reason,
+    the C4/Gopher filter-chain shape:
+
+    1. ``too_short``    — fewer than ``min_tokens`` whitespace tokens
+    2. ``repetitive``   — duplicate 3-gram fraction > rep_num/rep_den
+                          (integer cross-multiplied, engine-exact)
+    3. ``low_quality``  — the stopword/punctuation/length bucket from
+                          :func:`textstats.with_quality` says 'low'
+    4. ``lang_mismatch``— marker-word language ID disagrees with the
+                          declared ``lang_col`` (skipped if None)
+    5. ``kept``
+
+    One exploded-shingle aggregation (the repetition signal) plus one
+    slim equi-join back to the per-row expression signals; everything
+    else is codegen'd string math. Output: (id, reason, keep).
+    """
+    signals = textstats.with_lang_id(
+        textstats.with_quality(df, text_col=text_col), text_col=text_col
+    )
+    rep = dedup.repetition_stats(
+        df, text_col=text_col, id_col=id_col, k=3
+    ).select(id_col, "n_shingles", "n_distinct")
+    j = signals.join(rep, id_col)
+    repetitive = (
+        (F.col("n_shingles") - F.col("n_distinct")) * rep_den
+        > F.col("n_shingles") * rep_num
+    )
+    reason = F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")).when(
+        repetitive, F.lit("repetitive")
+    ).when(F.col("quality") == "low", F.lit("low_quality"))
+    if lang_col is not None:
+        reason = reason.when(
+            F.col("pred_lang") != F.col(lang_col), F.lit("lang_mismatch")
+        )
+    reason = reason.otherwise(F.lit("kept"))
+    return j.select(
+        id_col,
+        reason.alias("reason"),
+        (reason == "kept").cast("int").alias("keep"),
+    )

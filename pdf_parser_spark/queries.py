@@ -36,7 +36,7 @@ from .engine.corpus import (
     webdocs_salt_map,
 )
 from .engine.extractor import items_view, parse_webdocs, spans_view
-from .functions import dedup, multimodal, similarity, textstats
+from .functions import dedup, filtering, multimodal, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # registry plumbing
@@ -1163,10 +1163,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_sql() -> str:
-    # one-permutation hashing, mirroring dedup._oph_bucket: one md5 per
-    # shingle, slot = leading byte (2 hex digits) mod 8, min per slot,
-    # '~empty' sentinel for unfilled slots
+def _duck_lsh_ctes() -> str:
+    """CTE chain ending in ``lsh_pairs`` — one-permutation hashing,
+    mirroring dedup._oph_bucket: one md5 per shingle, slot = leading
+    byte (2 hex digits) mod 8, min per slot, '~empty' sentinel for
+    unfilled slots. Shared by the pair oracle and the pipeline oracle."""
     sh = f"list_distinct({duck_shingles('toks')})"
     slot = (
         "(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + "
@@ -1182,15 +1183,20 @@ def _duck_minhash_sql() -> str:
         for b in range(4)
     )
     return (
-        f"WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
         f"{_TRUNC_CLONES_SQL}), "
         f"tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM docs2), "
         f"shin AS (SELECT doc_id, {sh} AS sh FROM tok WHERE len(toks) >= 3), "
         f"sig AS (SELECT doc_id, {sigs} FROM shin), "
-        f"bands AS ({bands}) "
-        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a "
-        "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        f"bands AS ({bands}), "
+        "lsh_pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM bands a JOIN bands b ON a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id)"
     )
+
+
+def _duck_minhash_sql() -> str:
+    return f"WITH {_duck_lsh_ctes()} SELECT a_id, b_id FROM lsh_pairs"
 
 
 @q("dedup_minhash_lsh", _duck_minhash_sql())
@@ -1199,6 +1205,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated clones — shingle→signature→band→equi-self-join."""
     docs2 = _with_clones(_read(spark, sf_dir, "documents"), truncate=True)
     return dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
+
+
+@q(
+    "dedup_pipeline",
+    f"WITH RECURSIVE {_duck_lsh_ctes()}, "
+    "ue AS (SELECT a_id AS src, b_id AS dst FROM lsh_pairs "
+    "UNION SELECT b_id, a_id FROM lsh_pairs), "
+    "reach(id, comp) AS (SELECT src, src FROM ue "
+    "UNION SELECT ue.dst, r.comp FROM reach r JOIN ue ON ue.src = r.id), "
+    "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) "
+    "SELECT d.doc_id, coalesce(l.comp, d.doc_id)::BIGINT AS comp, "
+    "(CASE WHEN coalesce(l.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END)::INT "
+    "AS keep FROM docs2 d LEFT JOIN labels l ON l.id = d.doc_id",
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision table: MinHash+LSH candidate
+    pairs → connected components (so CLUSTERS collapse, not just
+    pairs) → keeper election (min doc_id per component; docs outside
+    the pair graph are their own keeper). This is the full shape a
+    training-data pipeline runs at crawl scale — the oracle recomputes
+    the identical pair set and components with a recursive CTE."""
+    docs2 = _with_clones(_read(spark, sf_dir, "documents"), truncate=True)
+    pairs = dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
+    labels = dedup.connected_components(pairs)
+    decided = docs2.select("doc_id").join(
+        labels, docs2["doc_id"] == labels["id"], "left"
+    )
+    comp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return decided.select(
+        "doc_id",
+        comp.alias("comp"),
+        (comp == F.col("doc_id")).cast("int").alias("keep"),
+    )
 
 
 def _duck_simhash_sql() -> str:
@@ -1634,3 +1673,72 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         docs, _STRATA, default_fraction=_STRATA_DEFAULT, salt=_SPLIT_SALT
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus filtering (functions/filtering.py)
+
+_CAP_K = 10
+
+
+@q(
+    "host_cap",
+    "SELECT doc_id, source, rk FROM (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) "
+    f"WHERE rk <= {_CAP_K}",
+)
+def host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frequency cap: at most k docs per source, picked by
+    deterministic md5 order (a uniform per-host sample, not a crawl
+    prefix). The engine runs the two-phase salted form — rank within
+    (host, salt) first, then rank the bounded survivors — which is
+    provably identical to the oracle's single global window but never
+    funnels a hot host through one reducer."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return filtering.host_cap(docs, host_col="source", k=_CAP_K)
+
+
+def _duck_pred_lang() -> str:
+    score = {
+        lang: " + ".join(duck_occ(w) for w in words)
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    return (
+        f"CASE WHEN ({score['en']}) >= ({score['de']}) AND "
+        f"({score['en']}) >= ({score['fr']}) THEN 'en' "
+        f"WHEN ({score['de']}) >= ({score['fr']}) THEN 'de' "
+        "ELSE 'fr' END"
+    )
+
+
+def _duck_quality_gate_sql() -> str:
+    stops = " + ".join(duck_occ(w) for w in textstats.STOPWORDS_EN)
+    s3 = duck_shingles("toks", 3)
+    return (
+        f"WITH tok AS (SELECT doc_id, lang, text, {duck_toks('text')} AS toks "
+        "FROM documents), "
+        "base AS (SELECT doc_id, lang, len(toks)::INT AS n_tokens, "
+        "length(text)::INT AS n_chars, "
+        f"len(regexp_extract_all(text, '{textstats.PUNCT_REGEX}'))::INT AS n_punct, "
+        f"({stops})::INT AS n_stop, {_duck_pred_lang()} AS pred_lang, "
+        f"len({s3})::INT AS ns, len(list_distinct({s3}))::INT AS nd FROM tok) "
+        "SELECT doc_id, reason, (reason = 'kept')::INT AS keep FROM ("
+        "SELECT doc_id, CASE WHEN n_tokens < 10 THEN 'too_short' "
+        "WHEN (ns - nd) * 5 > ns * 1 THEN 'repetitive' "
+        "WHEN NOT (n_tokens >= 10 AND n_tokens <= 100000 AND "
+        "n_stop * 100 >= n_tokens * 2 AND n_punct * 100 <= n_chars * 10) "
+        "THEN 'low_quality' WHEN pred_lang <> lang THEN 'lang_mismatch' "
+        "ELSE 'kept' END AS reason FROM base)"
+    )
+
+
+@q("corpus_filter", _duck_quality_gate_sql())
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: first-failing-rule
+    reason per document (too_short → repetitive → low_quality →
+    lang_mismatch → kept) plus a keep flag — the decision table a
+    training-data mix is built from. One shingle aggregation + one
+    slim equi-join; every other signal is codegen'd string math."""
+    docs = _read(spark, sf_dir, "documents")
+    return filtering.quality_gate(docs)

@@ -688,3 +688,59 @@ def test_hash_split_disjoint_exhaustive(spark):
 
     with _pytest.raises(ValueError):
         sampling.hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+# --------------------------------------------------------------- filtering
+
+
+def test_host_cap_matches_single_window(spark):
+    """The two-phase salted cap must equal a plain single-window cap
+    on a skewed input (one hot host), for every salt assignment."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.functions import filtering
+
+    rows = [(i, "hot") for i in range(250)] + [
+        (1000 + i, f"cold{i % 3}") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    got = {
+        (r["doc_id"], r["rk"])
+        for r in filtering.host_cap(df, k=7, salts=8).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        filtering.hash_order_key("doc_id"), "doc_id"
+    )
+    want = {
+        (r["doc_id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .collect()
+    }
+    assert got == want
+    assert len({d for d, _ in got if d < 1000}) == 7  # hot host capped
+
+
+def test_quality_gate_reasons(spark):
+    """One document per rule, checking first-failing-rule precedence."""
+    from pdf_parser_spark.functions import filtering
+
+    good = "the cat and the dog ran to a tree in the park today ."
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there", "en"),                       # too_short
+            (2, "a b c a b c a b c a b c", "en"),        # repetitive
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             "en"),                                      # low_quality (no stopwords)
+            (4, good, "de"),                             # lang_mismatch
+            (5, good, "en"),                             # kept
+        ],
+        "doc_id INT, text STRING, lang STRING",
+    )
+    got = {r["doc_id"]: (r["reason"], r["keep"])
+           for r in filtering.quality_gate(docs).collect()}
+    assert got[1] == ("too_short", 0)
+    assert got[2] == ("repetitive", 0)
+    assert got[3] == ("low_quality", 0)
+    assert got[4] == ("lang_mismatch", 0)
+    assert got[5] == ("kept", 1)

@@ -104,3 +104,18 @@ def test_stream_twin_no_global_sort(spark):
     plan = _plan(spark, "dedup_stream_twin")
     assert "Window" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dedup_pipeline_final_plan_constant_size(spark):
+    """The iterative connected-components collapse must leave a final
+    plan that reads only the localCheckpointed (id, comp) labels — no
+    shingle explosion (Generate) or band self-join may leak into the
+    decision-table plan, whatever the iteration count. At 100 TB this
+    is the difference between a keeper election that joins two slim
+    tables and one that re-runs the whole LSH DAG per downstream use."""
+    plan = _plan(spark, "dedup_pipeline")
+    assert "Generate" not in plan  # shingle/band explode collapsed
+    assert "Scan ExistingRDD" in plan  # checkpointed labels
+    # keeper election: docs2 ⋈ labels is a single equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
