@@ -56,6 +56,8 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "repetition_score",
+    "host_cap",
+    "corpus_filter",
     "sample_split",
     "vocab_census",
     "pricing_summary",

@@ -660,3 +660,37 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Flag each incoming document as a duplicate of the already-
+    committed corpus — the snapshot-incremental ingestion shape: at
+    crawl scale the ``seen`` side is the previous snapshot's
+    fingerprint column (a metadata-only read), and only the new batch
+    is fingerprinted from raw text.
+
+    One fingerprint projection per side (min-md5 shingle fingerprint,
+    same as :func:`fingerprint_table`), a distinct on the seen side,
+    and a left equi-join on the 32-char fingerprint — the shuffle
+    carries only (fp) / (id, fp). Output: incoming ids + ``is_dup``.
+    """
+    from . import textstats
+
+    new_fp = incoming.select(
+        id_col, textstats.fingerprint(text_col, k=k).alias("fp")
+    )
+    seen_fp = (
+        seen.select(textstats.fingerprint(text_col, k=k).alias("fp"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return new_fp.join(seen_fp, "fp", "left").select(
+        id_col,
+        F.when(F.col("_seen").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )

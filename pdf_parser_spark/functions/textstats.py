@@ -153,3 +153,56 @@ def fingerprint(col: Column | str, k: int = 5) -> Column:
     return F.when(
         F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
     ).otherwise(F.md5(c))
+
+def top_terms_by_lang(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k salient terms per language by tf-idf — the corpus-level
+    vocabulary report a data-mix dashboard is built from.
+
+    Relational shape: one token explode feeding two map-side-combined
+    aggregations (term frequency per (lang, term); document frequency
+    per term), a slim equi-join between them, a broadcast of the
+    single-row corpus count, and a per-lang window over the vocabulary
+    (orders of magnitude smaller than the corpus — the explode never
+    reaches the window). The idf factor is rounded to 1e-6 BEFORE the
+    tf multiply so the ranking key is integer-exact and engine-stable:
+    score = tf * round(ln(1 + N/df) * 1e6).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        id_col, lang_col, F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(lang_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    total = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            lang_col,
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.lit(1.0) + F.col("n_docs") / F.col("doc_freq"))
+                    * 1e6
+                ).cast("bigint")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )

@@ -1742,3 +1742,66 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim equi-join; every other signal is codegen'd string math."""
     docs = _read(spark, sf_dir, "documents")
     return filtering.quality_gate(docs)
+
+
+_TT_K = 5
+
+
+@q(
+    "top_terms",
+    f"WITH tok AS (SELECT doc_id, lang, unnest({duck_toks('text')}) AS term "
+    "FROM documents), "
+    "tf AS (SELECT lang, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+    "FROM tok GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS (SELECT lang, term, tf, doc_freq, "
+    "tf * round(ln(1 + n_docs / doc_freq) * 1000000)::BIGINT AS score "
+    "FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+    "ranked AS (SELECT lang, term, tf, doc_freq, score, "
+    "row_number() OVER (PARTITION BY lang ORDER BY score DESC, term)::INT "
+    f"AS rk FROM scored) SELECT * FROM ranked WHERE rk <= {_TT_K}",
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms by tf-idf (integer-exact ranking key:
+    tf × round(ln(1 + N/df)·1e6)) — explode feeds two partial-agg
+    rollups; only the vocabulary reaches the per-lang window."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.top_terms_by_lang(docs, k=_TT_K)
+
+
+def _duck_fp(src: str) -> str:
+    s5 = duck_shingles("toks", 5)
+    return (
+        f"SELECT doc_id, CASE WHEN len({s5}) > 0 THEN "
+        f"list_min(list_transform({s5}, x -> md5(x))) ELSE md5(text) END AS fp "
+        f"FROM (SELECT doc_id, text, {duck_toks('text')} AS toks FROM {src})"
+    )
+
+
+@q(
+    "incremental_dedup",
+    f"WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+    f"UNION ALL SELECT doc_id + {CLONE_OFFSET}, text FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), "
+    f"fp_inc AS ({_duck_fp('inc')}), fp_seen AS ({_duck_fp('seen')}) "
+    "SELECT i.doc_id, (CASE WHEN i.fp IN (SELECT fp FROM fp_seen) "
+    "THEN 1 ELSE 0 END)::INT AS is_dup FROM fp_inc i",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup: a new batch (odd docs + exact
+    clones of the committed evens) is flagged against the committed
+    snapshot by fingerprint equi-join — at crawl scale the seen side
+    is the previous snapshot's fingerprint column, so only the new
+    batch touches raw text."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    ).unionAll(
+        old.select(
+            (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    return dedup.incremental_dedup(incoming, old)

@@ -744,3 +744,46 @@ def test_quality_gate_reasons(spark):
     assert got[3] == ("low_quality", 0)
     assert got[4] == ("lang_mismatch", 0)
     assert got[5] == ("kept", 1)
+
+
+def test_top_terms_by_lang_ranking(spark):
+    """Hand-computed tf-idf order: tf=2/df=1 beats tf=2/df=2 beats
+    tf=1/df=1 within a language; languages rank independently."""
+    df = spark.createDataFrame(
+        [
+            (1, "en", "apple apple banana"),
+            (2, "en", "banana cherry"),
+            (3, "de", "apfel apfel banane"),
+        ],
+        "doc_id INT, lang STRING, text STRING",
+    )
+    rows = textstats.top_terms_by_lang(df, k=3).collect()
+    en = [r["term"] for r in sorted(
+        (r for r in rows if r["lang"] == "en"), key=lambda r: r["rk"])]
+    assert en == ["apple", "banana", "cherry"]
+    de = [r["term"] for r in sorted(
+        (r for r in rows if r["lang"] == "de"), key=lambda r: r["rk"])]
+    assert de == ["apfel", "banane"]
+    byterm = {(r["lang"], r["term"]): r for r in rows}
+    assert byterm[("en", "apple")]["tf"] == 2
+    assert byterm[("en", "banana")]["doc_freq"] == 2
+
+
+def test_incremental_dedup_flags(spark):
+    """Exact clone of a committed doc → dup (shingle path); identical
+    short text → dup (md5(text) fallback path); fresh doc → not dup."""
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "tiny doc")],
+        "doc_id INT, text STRING",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "tiny doc"),
+            (12, "completely different fresh new content here today"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r["is_dup"]
+           for r in dedup.incremental_dedup(incoming, seen).collect()}
+    assert got == {10: 1, 11: 1, 12: 0}
