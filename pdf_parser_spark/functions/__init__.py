@@ -8,9 +8,11 @@ Python appears only in clearly-marked multimodal decode stubs.
 """
 
 from . import (  # noqa: F401
+    chunking,
     dedup,
     filtering,
     multimodal,
+    pii,
     sampling,
     similarity,
     textstats,

@@ -694,3 +694,60 @@ def incremental_dedup(
         id_col,
         F.when(F.col("_seen").isNotNull(), 1).otherwise(0).alias("is_dup"),
     )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard for an ARBITRARY candidate-pair table — the
+    verify stage of a two-stage (candidates → confirm) dedup: LSH /
+    SimHash / embedding buckets propose, exact Jaccard disposes.
+
+    One distinct exploded-shingle table serves both sides; |∩| comes
+    from routing each pair's a-side shingles to the b-side equi-join,
+    |∪| = |A| + |B| − |∩| from per-doc sizes. Candidate pairs are
+    sparse by construction, so the pair⋈shingle joins stay linear in
+    (pairs × shingles-per-doc), never corpus².
+    """
+    sh = exploded_shingles(docs, text_col, id_col, shingle_k).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
+    a_sh = pairs.join(
+        sh.withColumnRenamed(id_col, a_col), a_col
+    )  # (a, b, shingle)
+    inter = (
+        a_sh.join(
+            sh.select(F.col(id_col).alias(b_col), "shingle"),
+            [b_col, "shingle"],
+        )
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").cast("int").alias("inter_n"))
+    )
+    return (
+        pairs.join(inter, [a_col, b_col], "left")
+        .join(
+            sizes.select(F.col(id_col).alias(a_col), F.col("n_sh").alias("_na")),
+            a_col,
+            "left",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(b_col), F.col("n_sh").alias("_nb")),
+            b_col,
+            "left",
+        )
+        .select(
+            a_col,
+            b_col,
+            F.coalesce("inter_n", F.lit(0)).alias("inter_n"),
+            (
+                F.coalesce("_na", F.lit(0))
+                + F.coalesce("_nb", F.lit(0))
+                - F.coalesce("inter_n", F.lit(0))
+            ).alias("union_n"),
+        )
+    )

@@ -1805,3 +1805,129 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.incremental_dedup(incoming, old)
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 40, 8
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def _duck_chunk_sql() -> str:
+    sl = f"toks[1 + i * {_CHUNK_STRIDE} : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]"
+    return (
+        f"WITH tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM documents), "
+        "nc AS (SELECT doc_id, toks, CASE WHEN len(toks) = 0 THEN 0 ELSE "
+        f"(greatest(len(toks) - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE} - 1) "
+        f"// {_CHUNK_STRIDE} + 1 END AS n_chunks FROM tok), "
+        "ex AS (SELECT doc_id, toks, "
+        "unnest(generate_series(0, n_chunks - 1)) AS i FROM nc "
+        "WHERE n_chunks > 0) "
+        f"SELECT doc_id, i::INT AS chunk_id, len({sl})::INT AS n_chunk_tokens, "
+        f"array_to_string({sl}, ' ') AS chunk_text FROM ex"
+    )
+
+
+@q("chunk_docs", _duck_chunk_sql())
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows (size 40, overlap 8) — the
+    pretraining-loader unit. Tokenize once, slice per window; integer
+    ceil math keeps chunk counts engine-exact."""
+    from .functions import chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunking.chunk_tokens(
+        docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+def _pii_query_pair():
+    """(spark_fn, oracle_sql) for the PII scrub over deterministically
+    augmented text (the corpus itself is synthetic and PII-free, so a
+    per-doc email/phone/ip suffix makes the scrub non-vacuous)."""
+    from .functions import pii as piimod
+
+    aug_sql = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com or +1-555-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    )
+    counts, scrub = [], "text"
+    for name, pat, repl in piimod.PII_PATTERNS:
+        counts.append(
+            "len(regexp_extract_all(text, '" + pat + "'))::INT AS n_" + name
+        )
+        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '" + repl + "', 'g')"
+    sql = (
+        "WITH aug AS (SELECT doc_id, " + aug_sql + " AS text FROM documents) "
+        "SELECT doc_id, " + ", ".join(counts) + ", " + scrub
+        + " AS scrubbed FROM aug"
+    )
+
+    def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Regex PII scrub (emails, phones, IPv4) over augmented text:
+        JVM-side regexp_count + chained regexp_replace, patterns
+        restricted to the Java∩RE2 regex subset."""
+        docs = _read(spark, sf_dir, "documents")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+                F.lit(" ip 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".7"),
+            ).alias("text"),
+        )
+        out = piimod.with_pii_scrub(aug)
+        return out.select(
+            "doc_id",
+            *[f"n_{name}" for name, _, _ in piimod.PII_PATTERNS],
+            "scrubbed",
+        )
+
+    return pii_scrub, sql
+
+
+_pii_fn, _pii_sql = _pii_query_pair()
+q("pii_scrub", _pii_sql)(_pii_fn)
+
+
+@q(
+    "neardup_verified",
+    f"WITH {_duck_lsh_ctes()}, "
+    f"sh2 AS (SELECT doc_id, list_distinct({duck_shingles(duck_toks('text'))}) "
+    "AS s FROM docs2) "
+    "SELECT p.a_id, p.b_id, len(list_intersect(a.s, b.s))::INT AS inter_n, "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::INT AS union_n, "
+    "(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 AND "
+    "len(list_intersect(a.s, b.s)) * 5 >= "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4 "
+    "THEN 1 ELSE 0 END)::INT AS confirmed "
+    "FROM lsh_pairs p JOIN sh2 a ON a.doc_id = p.a_id "
+    "JOIN sh2 b ON b.doc_id = p.b_id",
+)
+def neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: LSH candidates verified by exact n-gram
+    Jaccard (J ≥ 0.8 cross-multiplied) — buckets propose, exact
+    similarity disposes; only the sparse candidate set ever pays the
+    exact computation."""
+    docs2 = _with_clones(_read(spark, sf_dir, "documents"), truncate=True)
+    pairs = dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
+    jac = dedup.jaccard_for_pairs(pairs, docs2)
+    return jac.select(
+        "a_id",
+        "b_id",
+        "inter_n",
+        "union_n",
+        F.when(
+            (F.col("union_n") > 0)
+            & (F.col("inter_n") * 5 >= F.col("union_n") * 4),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("confirmed"),
+    )

@@ -787,3 +787,67 @@ def test_incremental_dedup_flags(spark):
     got = {r["doc_id"]: r["is_dup"]
            for r in dedup.incremental_dedup(incoming, seen).collect()}
     assert got == {10: 1, 11: 1, 12: 0}
+
+
+# ------------------------------------------------------- chunking / pii
+
+
+def test_chunk_tokens_windows(spark):
+    """12 tokens, size 5, overlap 2 (stride 3): ceil(7/3)+1 = 4 chunks,
+    starts 1/4/7/10, last truncated to 3 tokens; empty doc → no rows."""
+    from pdf_parser_spark.functions import chunking
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12))), (2, "")],
+        "doc_id INT, text STRING",
+    )
+    rows = sorted(
+        chunking.chunk_tokens(df, size=5, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3 t4",
+        "t3 t4 t5 t6 t7",
+        "t6 t7 t8 t9 t10",
+        "t9 t10 t11",
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [5, 5, 5, 3]
+    # consecutive windows share exactly `overlap` tokens
+    assert rows[0]["chunk_text"].split()[-2:] == rows[1]["chunk_text"].split()[:2]
+    with pytest.raises(ValueError):
+        chunking.chunk_tokens(df, size=3, overlap=3)
+
+
+def test_pii_scrub_patterns(spark):
+    from pdf_parser_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-y.org twice x@y.io call +1-555-0199 from 10.0.0.7 ok")],
+        "doc_id INT, text STRING",
+    )
+    r = pii.with_pii_scrub(df).head()
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> twice <EMAIL> call <PHONE> from <IP> ok"
+
+
+def test_jaccard_for_pairs_arbitrary_pairs(spark):
+    """Pair-table Jaccard: known shingle overlaps, including a pair
+    with zero intersection and an unpaired doc that never appears."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shingles {abc,bcd,cde}
+            (2, "a b c d"),     # {abc,bcd}
+            (3, "x y z w"),     # {xyz,yzw}
+            (4, "unused doc here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a_id INT, b_id INT"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter_n"], r["union_n"])
+        for r in dedup.jaccard_for_pairs(pairs, docs).collect()
+    }
+    assert got == {(1, 2): (2, 3), (1, 3): (0, 5)}

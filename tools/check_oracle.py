@@ -84,9 +84,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -114,7 +116,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name} ({len(sdf)} rows, {t_spark:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok; failed: {failed}")
+    print(f"\n{attempted - len(failed)}/{attempted} ok; failed: {failed}")
     spark.stop()
     return 1 if failed else 0
 
