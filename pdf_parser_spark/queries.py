@@ -1931,3 +1931,30 @@ def neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("confirmed"),
     )
+
+
+@q(
+    "corpus_report",
+    "SELECT s.n_docs, s.n_langs, s.total_tokens, s.total_chars, g.n_kept "
+    "FROM (SELECT count(*)::BIGINT AS n_docs, "
+    "count(DISTINCT lang)::BIGINT AS n_langs, "
+    f"sum(len({duck_toks('text')}))::BIGINT AS total_tokens, "
+    "sum(length(text))::BIGINT AS total_chars FROM documents) s, "
+    f"(SELECT sum(keep)::BIGINT AS n_kept FROM ({_duck_quality_gate_sql()})) g",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: doc/lang/token/char totals plus the
+    kept-count under the composite quality gate — two single-row
+    aggregates cross-joined (both sides collapse before the join, so
+    the 'cross' is 1×1)."""
+    docs = _read(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(textstats.ws_token_count("text")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    kept = filtering.quality_gate(docs).agg(
+        F.sum("keep").cast("bigint").alias("n_kept")
+    )
+    return stats.crossJoin(kept)

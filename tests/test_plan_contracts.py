@@ -119,3 +119,34 @@ def test_dedup_pipeline_final_plan_constant_size(spark):
     # keeper election: docs2 ⋈ labels is a single equi-join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_cap_no_global_sort_two_scoped_windows(spark):
+    """Both cap phases sort only within hash partitions — a global
+    orderBy (rangepartitioning) would serialize the corpus through one
+    range exchange at 100 TB."""
+    plan = _plan(spark, "host_cap")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
+    schema_lines = [
+        l for l in plan.splitlines() if l.strip().startswith("ReadSchema")
+    ]
+    # scan pruned to (doc_id, source) — never ships text into the cap
+    assert schema_lines and all("text" not in l for l in schema_lines)
+
+
+def test_chunk_docs_shuffle_free(spark):
+    """Chunking is projection + explode only: any Exchange here means
+    a regression copied the corpus across the wire to slice arrays."""
+    plan = _plan(spark, "chunk_docs")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_top_terms_vocab_only_window(spark):
+    """tf/df aggregations partially aggregate map-side; the corpus
+    count joins as a broadcast; no rangepartitioning anywhere."""
+    plan = _plan(spark, "top_terms")
+    assert plan.count("HashAggregate") >= 4  # partial+final × two rollups
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower()
