@@ -177,3 +177,22 @@ def test_cid_range_increments_last_unit():
     )
     assert cm.multi[b"\x81\x50"] == "一"
     assert cm.multi[b"\x81\x52"] == "丂"
+
+
+def test_cid_three_and_four_byte_codespaces():
+    """Codespace widths beyond 2 bytes decode code-by-code: a 3-byte
+    space consumes 3 bytes per code ('?' per unmapped CODE, not per
+    byte); a 4-byte space with a bfrange walks in 4-byte steps."""
+    src3 = (
+        "1 begincodespacerange\n<000000> <FFFFFF>\nendcodespacerange\n"
+        "1 beginbfchar\n<010203> <0041>\nendbfchar"
+    )
+    cm3 = parse_cmap(src3, multibyte=True)
+    assert cm3.decode(b"\x01\x02\x03") == "A"
+    assert cm3.decode(b"\x01\x02\x03\x09\x08\x07") == "A?"
+    src4 = (
+        "1 begincodespacerange\n<00000000> <FFFFFFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<00010000> <00010002> <0061>\nendbfrange"
+    )
+    cm4 = parse_cmap(src4, multibyte=True)
+    assert cm4.decode(b"\x00\x01\x00\x02") == "c"
