@@ -851,3 +851,36 @@ def test_jaccard_for_pairs_arbitrary_pairs(spark):
         for r in dedup.jaccard_for_pairs(pairs, docs).collect()
     }
     assert got == {(1, 2): (2, 3), (1, 3): (0, 5)}
+
+
+def test_chunk_tokens_reconstruction_exhaustive(spark):
+    """For every token count 0..90 (straddling size=13/overlap=4
+    boundaries): dropping each later chunk's first `overlap` tokens
+    and concatenating reconstructs the document exactly, every chunk
+    except the last is full-size, and chunk counts match the integer
+    formula."""
+    from pdf_parser_spark.functions import chunking
+
+    size, overlap = 13, 4
+    stride = size - overlap
+    df = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(91)],
+        "doc_id INT, text STRING",
+    )
+    rows = chunking.chunk_tokens(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # empty doc → no rows
+    for n in range(1, 91):
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        want_chunks = (max(n - size, 0) + stride - 1) // stride + 1
+        assert len(chunks) == want_chunks, n
+        toks = []
+        for j, c in enumerate(chunks):
+            part = c["chunk_text"].split()
+            assert len(part) == c["n_chunk_tokens"]
+            if j < len(chunks) - 1:
+                assert len(part) == size, (n, j)
+            toks.extend(part if j == 0 else part[overlap:])
+        assert toks == [f"w{i}" for i in range(n)], n

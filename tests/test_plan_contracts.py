@@ -150,3 +150,46 @@ def test_top_terms_vocab_only_window(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final × two rollups
     assert "BroadcastExchange" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with matching bucket counts
+    must join with NO Exchange on either side (and, being sortBy'd, no
+    extra Sort) — the co-located-join guarantee that removes the
+    dominant shuffle of a 100 TB key-key join."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine.bucketing import (
+        cogrouped_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 37).cast("string").alias("host"), F.col("id").alias("l")
+    )
+    right = spark.range(0, 500).select(
+        (F.col("id") % 37).cast("string").alias("host"), F.col("id").alias("r")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df in (("bkt_left", left), ("bkt_right", right)):
+            write_bucketed(
+                df, name, "host", buckets=8, path=str(tmp_path / name)
+            )
+        joined = cogrouped_join(spark, "bkt_left", "bkt_right", "host")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is actually right
+        assert joined.count() == sum(
+            (1000 // 37 + (1 if h < 1000 % 37 else 0))
+            * (500 // 37 + (1 if h < 500 % 37 else 0))
+            for h in range(37)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
