@@ -1958,3 +1958,45 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").cast("bigint").alias("n_kept")
     )
     return stats.crossJoin(kept)
+
+
+_SESSION_GAP_S = 14_400  # 4 hours
+
+
+@q(
+    "sessionize",
+    "WITH lagd AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+    f"epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_S * 1_000_000} "
+    "THEN 1 ELSE 0 END AS brk FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM lagd) "
+    "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
+    "(epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_micros "
+    "FROM s GROUP BY user_id, sid",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4-hour inactivity timeout) via Spark's
+    native session_window — the merging-interval aggregation that plain
+    SQL needs a lag+cumsum window chain to express (which is exactly
+    what the oracle does, so the two independent formulations check
+    each other). One shuffle keyed on user_id; the same expression runs
+    under readStream for live sessionization."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            (
+                # ts is TIMESTAMP_NTZ; the UTC-pinned cast offsets
+                # cancel in the difference
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("span_micros"),
+        )
+        .select("user_id", "session_start", "n_events", "span_micros")
+    )
