@@ -342,3 +342,76 @@ def run_stateful_totals(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (merging session_window state)
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "4 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Live gap-based sessionization: session_window state MERGES as
+    events arrive (unlike tumbling windows, a session's extent isn't
+    known until the gap elapses), and a session emits exactly once —
+    when the watermark passes its end (last event + gap). The
+    watermark also bounds the session store: dormant keys' sessions
+    close and evict, which is what keeps per-user state finite on an
+    unbounded feed.
+
+    Works unchanged on a batch frame (withWatermark no-ops) — the
+    oracle-checked `sessionize` registry query is the batch twin of
+    exactly this aggregation."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("span_micros"),
+        )
+        .select(key_col, "session_start", "n_events", "span_micros")
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    schema: str,
+    gap: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Session stream into an in-memory sink, append mode (one
+    emission per closed session). ``maxFilesPerTrigger=1`` advances
+    the watermark file-by-file so session closing is deterministic in
+    tests."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    sessions = streaming_sessions(
+        stream, gap=gap, watermark_delay=watermark_delay
+    )
+    writer = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

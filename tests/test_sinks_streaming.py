@@ -299,3 +299,68 @@ def test_stateful_totals_dormant_eviction(spark, tmp_path):
     assert len(ha) == 2
     assert all(r["total_docs"] == 1 for r in ha)
     assert {r["total_bytes"] for r in ha} == {5, 6}
+
+
+def test_streaming_sessions_emit_on_watermark_close(spark, tmp_path):
+    """Session windows MERGE across micro-batches and emit exactly
+    once, when the watermark passes last-event+gap; the still-open
+    final session never emits; the emitted rows agree with the batch
+    twin of the same aggregation."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.streaming.ingest import (
+        run_streaming_sessions,
+        streaming_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id BIGINT, ts TIMESTAMP"
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id BIGINT, ts STRING"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"))
+
+    # session A: 12:00+12:05 (one session — 5min gap < 10min);
+    # 12:40 starts session B and advances the watermark to 12:35 > A's
+    # end (12:15)
+    b1 = _batch([(1, "2024-01-01 12:00:00"),
+                 (1, "2024-01-01 12:05:00"),
+                 (1, "2024-01-01 12:40:00")])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    # processed with watermark 12:35 → A emits; watermark → 13:25 > B end
+    b2 = _batch([(1, "2024-01-01 13:30:00")])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # processed with watermark 13:25 → B emits; session C stays open
+    b3 = _batch([(1, "2024-01-01 14:30:00")])
+    b3.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_streaming_sessions(spark, src, "sess_t", ckpt, schema)
+    q.awaitTermination(120)
+    emitted = {
+        (str(r["session_start"]), r["n_events"], r["span_micros"])
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+    # availableNow runs a final flush trigger after the last file, so
+    # the watermark from b3 (14:25) also closes session C (end 13:40);
+    # only the genuinely-open last session (14:30, end 14:40) stays in
+    # state and never emits
+    assert emitted == {
+        ("2024-01-01 12:00:00", 2, 300_000_000),  # A: two events, 5 min
+        ("2024-01-01 12:40:00", 1, 0),            # B: singleton
+        ("2024-01-01 13:30:00", 1, 0),            # C: closed by the flush
+    }
+    # batch twin on the full input contains every session incl. open ones
+    full = _batch([(1, "2024-01-01 12:00:00"), (1, "2024-01-01 12:05:00"),
+                   (1, "2024-01-01 12:40:00"), (1, "2024-01-01 13:30:00"),
+                   (1, "2024-01-01 14:30:00")])
+    batch = {
+        (str(r["session_start"]), r["n_events"], r["span_micros"])
+        for r in streaming_sessions(full, gap="10 minutes").collect()
+    }
+    assert emitted < batch and len(batch) == 4
