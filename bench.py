@@ -58,6 +58,8 @@ HEADLINE = [
     "repetition_score",
     "host_cap",
     "corpus_filter",
+    "top_terms",
+    "sessionize",
     "sample_split",
     "vocab_census",
     "pricing_summary",
