@@ -44,10 +44,34 @@ _SHELL_BOTTOM = """</article>
 <footer>
 <p>Copyright 2024 Example Site. All rights reserved. Terms of service apply.</p>
 <nav><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a> | <a href="/rss">RSS</a></nav>
+<nav class="partners">{partners}</nav>
 </footer>
 </body>
 </html>
 """
+
+
+def _host_of(x: int) -> str:
+    """Same host formula as engine.corpus.host_for (kept inline —
+    importing engine from htmlcore would be circular)."""
+    if x % 10 < 4:
+        return "heavy.example.org"
+    return f"site-{x % 97}.example.com"
+
+
+def related_targets(doc_id: int) -> list[int]:
+    """Deterministic cross-document outlink target ids for a page.
+    Shared contract with the linkgraph oracle SQL (queries.py): the
+    k-th footer partner link of page ``doc_id`` points at document
+    ``doc_id * 31 + k`` on that document's host."""
+    return [doc_id * 31 + k for k in (1, 2, 3)]
+
+
+def related_links(doc_id: int) -> list[str]:
+    """Absolute cross-host partner URLs emitted in the page footer —
+    the only ``https?://`` hrefs in a generated page, so outlink
+    extraction over the raw payload recovers exactly these."""
+    return [f"https://{_host_of(t)}/doc/{t}" for t in related_targets(doc_id)]
 
 
 def text_to_html(text: str, lang: str = "en", doc_id: int = 0) -> str:
@@ -55,11 +79,14 @@ def text_to_html(text: str, lang: str = "en", doc_id: int = 0) -> str:
     lines = text.split("\n")
     title = _html.escape(lines[0][:60]) if lines and lines[0] else "Untitled"
     body = "\n".join(f"<p>{_html.escape(line)}</p>" for line in lines)
+    partners = " | ".join(
+        f'<a href="{u}">Partner site</a>' for u in related_links(doc_id)
+    )
     return (
         _SHELL_TOP.format(lang=lang, title=title, tid=f"tid-{doc_id}")
         + body
         + "\n"
-        + _SHELL_BOTTOM
+        + _SHELL_BOTTOM.format(partners=partners)
     )
 
 

@@ -36,7 +36,14 @@ from .engine.corpus import (
     webdocs_salt_map,
 )
 from .engine.extractor import items_view, parse_webdocs, spans_view
-from .functions import dedup, filtering, multimodal, similarity, textstats
+from .functions import (
+    dedup,
+    filtering,
+    linkgraph,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 # ---------------------------------------------------------------------------
 # registry plumbing
@@ -2000,3 +2007,90 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "span_micros")
     )
+
+
+# ---------------------------------------------------------------------------
+# link-graph queries (web-graph quality priors; functions/linkgraph.py)
+
+# The generator's footer emits exactly three absolute partner links per
+# HTML page (htmlcore/gen.py related_links): page doc_id → documents
+# doc_id*31+k, k ∈ {1,2,3}, each on host_for(target). The oracle
+# reconstructs the edge list arithmetically from doc_id; the Spark side
+# recovers it from the raw payload bytes — two independent routes to
+# the same graph.
+_LINK_TARGETS_SQL = (
+    "unnest([doc_id * 31 + 1, doc_id * 31 + 2, doc_id * 31 + 3])"
+)
+
+
+def _host_sql_for(col: str) -> str:
+    return (
+        f"CASE WHEN {col} % 10 < 4 THEN 'heavy.example.org' "
+        f"ELSE 'site-' || ({col} % 97) || '.example.com' END"
+    )
+
+
+_EDGES_SQL = (
+    f"SELECT {_host_sql_for('doc_id')} AS src_host, "
+    f"{_host_sql_for('t')} AS dst_host, count(*)::BIGINT AS w "
+    f"FROM (SELECT doc_id, {_LINK_TARGETS_SQL} AS t FROM documents "
+    "WHERE doc_id % 2 = 1) GROUP BY src_host, dst_host"
+)
+
+
+@q("host_outlinks", _EDGES_SQL)
+def host_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from raw HTML payloads → weighted host→host
+    edge list. Pure JVM path (regexp_extract_all + explode inside
+    codegen next to the synthesis scan), one hash shuffle with map-side
+    partial counts — the pages→host-pairs reducer that makes 10^12-page
+    link graphs tractable (~10^8 host pairs)."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    return linkgraph.host_edges(linkgraph.extract_outlinks(webdocs))
+
+
+def _duck_pagerank_sql(iters: int = 4, total: int = linkgraph.PR_TOTAL) -> str:
+    """Unrolled-CTE integer PageRank — the DuckDB twin of
+    linkgraph.pagerank. One (dangling, rank) CTE pair per iteration;
+    all arithmetic int64 with ``//`` (truncating on positives, matching
+    Spark ``div``), every sum cast back to BIGINT so DuckDB's HUGEINT
+    sums never reach the output schema."""
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}), ",
+        "outw AS (SELECT src_host AS src, sum(w)::BIGINT AS outw "
+        "FROM e GROUP BY src_host), ",
+        "nodes AS (SELECT DISTINCT src_host AS host FROM e "
+        "UNION SELECT DISTINCT dst_host FROM e), ",
+        f"p AS (SELECT count(*)::BIGINT AS n, "
+        f"({total} // count(*))::BIGINT AS base FROM nodes), ",
+        "r0 AS (SELECT host, p.base AS pr FROM nodes CROSS JOIN p)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", d{i} AS (SELECT coalesce(sum(pr), 0)::BIGINT AS dang "
+            f"FROM r{i - 1} WHERE host NOT IN (SELECT src FROM outw))"
+            f", r{i} AS (SELECT n.host, "
+            f"((15 * p.base + 85 * (coalesce(inf.inflow, 0::BIGINT) "
+            f"+ d{i}.dang // p.n)) // 100)::BIGINT AS pr "
+            f"FROM nodes n CROSS JOIN p CROSS JOIN d{i} "
+            f"LEFT JOIN (SELECT e.dst_host AS host, "
+            f"sum((r.pr * e.w) // o.outw)::BIGINT AS inflow "
+            f"FROM e JOIN r{i - 1} r ON r.host = e.src_host "
+            f"JOIN outw o ON o.src = e.src_host "
+            f"GROUP BY e.dst_host) inf ON inf.host = n.host)"
+        )
+    parts.append(f" SELECT host, pr FROM r{iters}")
+    return "".join(parts)
+
+
+@q("host_pagerank", _duck_pagerank_sql())
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank quality prior (CCNet/RefinedWeb style) over
+    the payload-extracted link graph: 4 damped iterations in pure int64
+    so the unrolled-CTE oracle matches bit-for-bit. Per iteration one
+    equi-join shuffle + one map-side-combined sum over the *host* graph
+    (already reduced ~10^4× from pages), ranks localCheckpointed to
+    keep lineage flat."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    edges = linkgraph.host_edges(linkgraph.extract_outlinks(webdocs))
+    return linkgraph.pagerank(edges, iters=4)

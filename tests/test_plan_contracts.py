@@ -193,3 +193,20 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_host_outlinks_single_shuffle_partial_agg(spark):
+    plan = _plan(spark, "host_outlinks")
+    # extract → explode → one hash shuffle with map-side partials
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_host_pagerank_constant_plan_after_checkpoint(spark):
+    # ranks are localCheckpointed per iteration: the returned frame's
+    # plan must be flat (scan of the checkpoint), not a 4-iteration
+    # join tree — the property that keeps lineage bounded at any iters
+    plan = _plan(spark, "host_pagerank")
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
