@@ -3,11 +3,12 @@
 The build brief's multimodal requirement: image/audio/video travel as
 opaque ``binary`` columns with typed metadata; decode / feature-extract
 steps are Pandas UDFs over ``mapInPandas``. The image/audio libraries
-are not in this container, so PNG (this module), baseline JPEG
-(:mod:`.jpegcore`) and GIF (:mod:`.gifcore`) carry real from-the-spec
-pure-Python decoders; formats without a decoder (audio, video) degrade
-to a clearly labeled deterministic byte-histogram feature. Everything
-Spark-side —
+are not in this container, so every modality carries a real
+from-the-spec pure-Python decoder: PNG (this module), baseline JPEG
+(:mod:`.jpegcore`), GIF (:mod:`.gifcore`), WAV PCM audio and
+AVI-MJPEG video (:mod:`.riffcore`). Compressed audio/video codecs
+(mp3/ogg/webm) degrade to a clearly labeled deterministic
+byte-histogram feature. Everything Spark-side —
 schema, batch iteration, partition-pruned metadata extraction, UDF
 signature — is real and tested.
 
@@ -36,6 +37,23 @@ _MAGIC = [
     ("1a45dfa3", "video/webm"),
 ]
 
+# RIFF containers disambiguate on the form fourcc at bytes 9-12.
+_RIFF_FORMS = [(b"WAVE", "audio/x-wav"), (b"AVI ", "video/x-msvideo")]
+
+
+def _sniff_bytes(raw: bytes) -> str:
+    """Python twin of content_type_expr (extract_features runs it
+    inside the Arrow batch loop, already next to the payload)."""
+    head = raw[:8].hex()
+    if raw[:4] == b"RIFF":
+        for form, ct in _RIFF_FORMS:
+            if raw[8:12] == form:
+                return ct
+    for prefix, ct in _MAGIC:
+        if head.startswith(prefix):
+            return ct
+    return "application/octet-stream"
+
 FEATURE_SCHEMA = (
     "url STRING, content_type STRING, payload_bytes BIGINT, "
     "feature ARRAY<FLOAT>, decode_error STRING"
@@ -49,6 +67,12 @@ def content_type_expr(bin_col: Column | str) -> Column:
     out = F.lit("application/octet-stream")
     for prefix, ctype in reversed(_MAGIC):
         out = F.when(head.startswith(prefix), F.lit(ctype)).otherwise(out)
+    is_riff = head.startswith("52494646")  # 'RIFF'; form fourcc at 9-12
+    form = F.decode(F.substring(c, 9, 4), "UTF-8")
+    for form_cc, ctype in _RIFF_FORMS:
+        out = F.when(
+            is_riff & (form == form_cc.decode()), F.lit(ctype)
+        ).otherwise(out)
     return out
 
 
@@ -208,8 +232,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     All three crawl raster formats have real pure-Python decoders:
     PNG (:func:`decode_png`), baseline JPEG (:mod:`.jpegcore` —
     huffman + IDCT + YCbCr from the public T.81 spec), and GIF
-    (:mod:`.gifcore` — LZW + palettes + interlace). Audio/video raise
-    NotImplementedError; the pipeline surface (``extract_features``)
+    (:mod:`.gifcore` — LZW + palettes + interlace). Audio/video live
+    in :mod:`.riffcore` (WAV, AVI-MJPEG); compressed codecs raise
+    NotImplementedError and the pipeline surface (``extract_features``)
     degrades to the deterministic byte-histogram feature for them.
     """
     if payload[:8] == _PNG_SIG:
@@ -245,16 +270,21 @@ def extract_features(
             for payload in pdf[bin_col]:
                 raw = bytes(payload) if payload is not None else b""
                 sizes.append(len(raw))
-                head = raw[:8].hex()
-                ct = "application/octet-stream"
-                for prefix, c in _MAGIC:
-                    if head.startswith(prefix):
-                        ct = c
-                        break
+                ct = _sniff_bytes(raw)
                 ctypes.append(ct)
                 try:
                     if ct in ("image/png", "image/jpeg", "image/gif"):
                         feats.append(raster_feature(raw, dim))
+                        errs.append(None)
+                    elif ct == "audio/x-wav":
+                        from .riffcore import audio_feature
+
+                        feats.append(audio_feature(raw, dim))
+                        errs.append(None)
+                    elif ct == "video/x-msvideo":
+                        from .riffcore import video_feature
+
+                        feats.append(video_feature(raw, dim))
                         errs.append(None)
                     else:
                         feats.append(_fake_feature(raw, dim))

@@ -2094,3 +2094,140 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     webdocs = synthesize_webdocs(spark, sf_dir)
     edges = linkgraph.host_edges(linkgraph.extract_outlinks(webdocs))
     return linkgraph.pagerank(edges, iters=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio/video queries (functions/riffcore.py)
+
+# Synthesis contract shared with the oracles below — every parameter
+# derives from doc_id, every feature is integer-exact:
+#   audio: mono 16-bit square wave, amplitude a = 500 + 37*(doc_id%13),
+#     half-period h = 2 + doc_id%7, n = 400 + doc_id%211 samples,
+#     rate = 8000 + 100*(doc_id%5). RMS of a ±a square wave is exactly
+#     a; zero crossings = (n-1) div h (sign flips at multiples of h).
+#   video: 16×16 MJPEG AVI, fps 10, nf = 3 + doc_id%4 frames, frame f
+#     solid gray v = 128 + 5*(((doc_id*7 + f) % 44) - 25) — DC-exact
+#     under the repo's own baseline-JPEG codec at quality 85 (q_dc = 5
+#     divides 8·(v−128)/8; exactness pinned in test_riffcore), so
+#     decoded mean luma equals v bit-for-bit.
+
+
+@q(
+    "audio_features",
+    "SELECT "
+    f"{URL_SQL} AS url, "
+    "(8000 + 100 * (doc_id % 5))::BIGINT AS sample_rate, "
+    "1::BIGINT AS channels, "
+    "(400 + doc_id % 211)::BIGINT AS n_samples, "
+    "((400 + doc_id % 211) * 1000 // (8000 + 100 * (doc_id % 5)))::BIGINT "
+    "AS duration_ms, "
+    "(500 + 37 * (doc_id % 13))::BIGINT AS peak, "
+    "(500 + 37 * (doc_id % 13))::BIGINT AS rms, "
+    "((400 + doc_id % 211 - 1) // (2 + doc_id % 7))::BIGINT "
+    "AS zero_crossings "
+    "FROM documents",
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: synthesize a real RIFF/WAVE PCM
+    payload per document (square wave parameterized by doc_id), then
+    recover every descriptor from the BYTES via the from-scratch WAV
+    decoder — rate/size from the fmt chunk, peak/RMS/zero-crossings
+    from the actual samples. The oracle recomputes all of them
+    arithmetically from doc_id, so a decoder that misreads even one
+    sample fails the hash."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.engine.corpus import host_for
+        from pdf_parser_spark.functions.riffcore import (
+            audio_stats,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                a, h = 500 + 37 * (d % 13), 2 + d % 7
+                n, rate = 400 + d % 211, 8000 + 100 * (d % 5)
+                wav = encode_wav(
+                    [a if (i // h) % 2 == 0 else -a for i in range(n)], rate
+                )
+                st = audio_stats(wav)
+                st["url"] = f"https://{host_for(d)}/doc/{d}"
+                rows.append(st)
+            yield _pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "sample_rate BIGINT, channels BIGINT, n_samples BIGINT, "
+            "duration_ms BIGINT, peak BIGINT, rms BIGINT, "
+            "zero_crossings BIGINT, url STRING"
+        ),
+    ).select(
+        "url", "sample_rate", "channels", "n_samples", "duration_ms",
+        "peak", "rms", "zero_crossings",
+    )
+
+
+@q(
+    "video_frames",
+    "SELECT "
+    f"{URL_SQL} AS url, "
+    "f::BIGINT AS frame_idx, 16::BIGINT AS width, 16::BIGINT AS height, "
+    "(3 + doc_id % 4)::BIGINT AS n_frames, "
+    "(128 + 5 * (((doc_id * 7 + f) % 44) - 25))::BIGINT AS mean_luma "
+    "FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS f "
+    "FROM documents)",
+)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end: synthesize a real AVI-MJPEG container
+    per document (solid-gray baseline-JPEG frames, values chosen
+    DC-exact), then recover per-frame stats from the BYTES — container
+    walk via the from-scratch RIFF/AVI parser, pixels via the real
+    T.81 JPEG decoder, mean luma as an integer pixel fold. One output
+    row per (document, frame); the oracle recomputes the gray value
+    arithmetically."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.engine.corpus import host_for
+        from pdf_parser_spark.functions.jpegcore import encode_jpeg
+        from pdf_parser_spark.functions.riffcore import (
+            encode_avi_mjpeg,
+            video_frame_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                frames = [
+                    encode_jpeg(
+                        bytes([128 + 5 * (((d * 7 + f) % 44) - 25)]) * 256,
+                        16, 16, 1, quality=85,
+                    )
+                    for f in range(3 + d % 4)
+                ]
+                avi = encode_avi_mjpeg(frames, 16, 16, fps=10)
+                for st in video_frame_stats(avi):
+                    st["url"] = f"https://{host_for(d)}/doc/{d}"
+                    rows.append(st)
+            yield _pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "frame_idx BIGINT, width BIGINT, height BIGINT, "
+            "n_frames BIGINT, mean_luma BIGINT, url STRING"
+        ),
+    ).select("url", "frame_idx", "width", "height", "n_frames", "mean_luma")
