@@ -60,6 +60,9 @@ HEADLINE = [
     "corpus_filter",
     "top_terms",
     "sessionize",
+    "host_pagerank",
+    "url_canonicalize",
+    "audio_features",
     "sample_split",
     "vocab_census",
     "pricing_summary",

@@ -151,3 +151,46 @@ def pagerank_reference(
             for h in nodes
         }
     return r
+
+
+ANCHOR_RE = 'href="(https?://[^"]+)">([^<]*)<'
+
+
+def extract_anchors(
+    webdocs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, outlink, anchor) per absolute link — anchor text is the
+    classic web-graph training signal (a human-written label for the
+    TARGET page). Two regexp_extract_all passes over the same pattern
+    zipped positionally, exploded once; all JVM-side."""
+    html = webdocs.where(
+        F.decode(F.substring(html_col, 1, 5), "UTF-8") != "%PDF-"
+    )
+    page = F.decode(F.col(html_col), "UTF-8")
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(page, F.lit(ANCHOR_RE), F.lit(1)).alias(
+                "outlink"
+            ),
+            F.regexp_extract_all(page, F.lit(ANCHOR_RE), F.lit(2)).alias(
+                "anchor"
+            ),
+        )
+    ).alias("p")
+    return html.select(F.col(url_col).alias("url"), pair).select(
+        "url", F.col("p.outlink").alias("outlink"), F.col("p.anchor").alias("anchor")
+    )
+
+
+def anchor_text_for_targets(anchors: DataFrame) -> DataFrame:
+    """Aggregate anchor text BY TARGET url — the 'what the web calls
+    this page' signal joined onto documents at training time. One hash
+    shuffle keyed on the target; count carries the dominant-label
+    weight."""
+    return (
+        anchors.groupBy(
+            F.col("outlink").alias("target_url"),
+            F.col("anchor").alias("anchor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )

@@ -79,8 +79,13 @@ def text_to_html(text: str, lang: str = "en", doc_id: int = 0) -> str:
     lines = text.split("\n")
     title = _html.escape(lines[0][:60]) if lines and lines[0] else "Untitled"
     body = "\n".join(f"<p>{_html.escape(line)}</p>" for line in lines)
+    # anchor text carries the target id ("Partner <t>") so anchor-text
+    # extraction (functions/linkgraph.py extract_anchors) has real,
+    # target-derived content to recover — still an all-link nav block,
+    # so the boilerplate stripper drops it from extracted text
     partners = " | ".join(
-        f'<a href="{u}">Partner site</a>' for u in related_links(doc_id)
+        f'<a href="{u}">Partner {u.rsplit("/", 1)[1]}</a>'
+        for u in related_links(doc_id)
     )
     return (
         _SHELL_TOP.format(lang=lang, title=title, tid=f"tid-{doc_id}")

@@ -2231,3 +2231,106 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames BIGINT, mean_luma BIGINT, url STRING"
         ),
     ).select("url", "frame_idx", "width", "height", "n_frames", "mean_luma")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/urlnorm.py)
+
+# Messy-URL construction shared by both sides (same SQL text runs in
+# Spark and DuckDB): scheme case + default/explicit ports + trailing
+# slash + tracking params + duplicate-key params + fragment, all keyed
+# off doc_id so every rule fires on a deterministic slice.
+_MESSY_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' "
+    "WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END, "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':8080' "
+    "WHEN doc_id % 5 = 2 THEN ':80' ELSE '' END, "
+    "'/doc/', cast(doc_id AS string), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "WHEN doc_id % 6 = 1 THEN '?z=9&fbclid=xyz' "
+    "WHEN doc_id % 6 = 2 THEN '?b=1&a=2&a=10' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END)"
+)
+_HOST_ONLY_SQL = (
+    "CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE concat('site-', cast(doc_id % 97 AS string), '.example.com') END"
+)
+
+# Independent DuckDB formulation of the canonicalization rules
+# (list_filter/list_sort vs Spark's filter/array_sort; substring
+# arithmetic vs Column.substr) — two implementations, one contract.
+_DUCK_CANON_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS messy
+  FROM (SELECT doc_id, {_HOST_ONLY_SQL} AS h FROM documents)
+), p1 AS (
+  SELECT doc_id, messy,
+    lower(regexp_extract(messy, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(messy, '#.*', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM m
+), p2 AS (
+  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth FROM p1
+), p3 AS (
+  SELECT *,
+    lower(regexp_extract(auth, '^([^:]*)', 1)) AS hst,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+    substring(rest, length(auth) + 1) AS pathq
+  FROM p2
+), p4 AS (
+  SELECT *,
+    CASE WHEN prt = '' OR (scheme = 'http' AND prt = '80')
+              OR (scheme = 'https' AND prt = '443')
+         THEN '' ELSE ':' || prt END AS portpart,
+    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+         THEN '/' ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+    END AS path,
+    list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)')))
+      AS params
+  FROM p3
+)
+SELECT messy AS url,
+  scheme || '://' || hst || portpart || path ||
+  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+       ELSE '' END AS canonical
+FROM p4
+"""
+
+
+@q("url_canonicalize", _DUCK_CANON_SQL)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986-style URL canonicalization as one codegen'd expression
+    chain (no UDF): fragment strip, scheme/host lowercase, default-port
+    drop, trailing-slash collapse, tracking-param removal + param sort.
+    The oracle is an independent DuckDB implementation of the same
+    rules over the same deterministically-messied inputs."""
+    from .functions.urlnorm import canonicalize_url
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HOST_ONLY_SQL).alias("h")
+    )
+    return docs.select(F.expr(_MESSY_URL_SQL).alias("url")).select(
+        "url", canonicalize_url("url").alias("canonical")
+    )
+
+
+@q(
+    "anchor_text",
+    f"SELECT {URL_SQL} AS url, "
+    f"'https://' || {_host_sql_for('t')} || '/doc/' || t AS outlink, "
+    "'Partner ' || t AS anchor "
+    f"FROM (SELECT doc_id, {_LINK_TARGETS_SQL} AS t FROM documents "
+    "WHERE doc_id % 2 = 1)",
+)
+def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction from raw HTML payloads: (source url,
+    outlink, anchor) — the human-written target label used as a
+    training signal. Positional zip of two regexp_extract_all passes,
+    one explode, all inside codegen; the oracle reconstructs every
+    triple arithmetically from doc_id."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    return linkgraph.extract_anchors(webdocs)
