@@ -2049,12 +2049,15 @@ def host_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.host_edges(linkgraph.extract_outlinks(webdocs))
 
 
-def _duck_pagerank_sql(iters: int = 4, total: int = linkgraph.PR_TOTAL) -> str:
+def _duck_pagerank_sql(
+    iters: int = 4, total: int = linkgraph.PR_TOTAL, final: str | None = None
+) -> str:
     """Unrolled-CTE integer PageRank — the DuckDB twin of
     linkgraph.pagerank. One (dangling, rank) CTE pair per iteration;
     all arithmetic int64 with ``//`` (truncating on positives, matching
     Spark ``div``), every sum cast back to BIGINT so DuckDB's HUGEINT
-    sums never reach the output schema."""
+    sums never reach the output schema. ``final`` overrides the
+    terminal SELECT (it may reference r{iters})."""
     parts = [
         f"WITH e AS ({_EDGES_SQL}), ",
         "outw AS (SELECT src_host AS src, sum(w)::BIGINT AS outw "
@@ -2079,7 +2082,7 @@ def _duck_pagerank_sql(iters: int = 4, total: int = linkgraph.PR_TOTAL) -> str:
             f"JOIN outw o ON o.src = e.src_host "
             f"GROUP BY e.dst_host) inf ON inf.host = n.host)"
         )
-    parts.append(f" SELECT host, pr FROM r{iters}")
+    parts.append(" " + (final or f"SELECT host, pr FROM r{iters}"))
     return "".join(parts)
 
 
@@ -2334,3 +2337,31 @@ def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple arithmetically from doc_id."""
     webdocs = synthesize_webdocs(spark, sf_dir)
     return linkgraph.extract_anchors(webdocs)
+
+
+@q(
+    "host_quality_prior",
+    _duck_pagerank_sql(
+        final=(
+            f"SELECT {URL_SQL} AS url, r4.pr AS host_pr FROM documents "
+            f"JOIN r4 ON r4.host = {_host_sql_for('doc_id')}"
+        )
+    ),
+)
+def host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link graph's end use: the host-level PageRank joined onto
+    every document as a per-doc quality prior (the CCNet/RefinedWeb
+    filtering feature). The rank table is tiny relative to the corpus
+    (~10^8 hosts vs 10^12 docs → here 98 vs 500), so it broadcasts and
+    the document side never shuffles — pinned by a plan contract."""
+    webdocs = synthesize_webdocs(spark, sf_dir)
+    ranks = linkgraph.pagerank(
+        linkgraph.host_edges(linkgraph.extract_outlinks(webdocs)), iters=4
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr(URL_SQL).alias("url"),
+        F.expr(_HOST_ONLY_SQL).alias("host"),
+    )
+    return docs.join(F.broadcast(ranks), "host").select(
+        "url", F.col("pr").alias("host_pr")
+    )

@@ -210,3 +210,10 @@ def test_host_pagerank_constant_plan_after_checkpoint(spark):
     plan = _plan(spark, "host_pagerank")
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_host_quality_prior_broadcasts_rank_table(spark):
+    # the doc side must not shuffle: rank table broadcasts
+    plan = _plan(spark, "host_quality_prior")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
