@@ -9,6 +9,7 @@ Python appears only in clearly-marked multimodal decode stubs.
 
 from . import (  # noqa: F401
     chunking,
+    cleaning,
     dedup,
     filtering,
     multimodal,

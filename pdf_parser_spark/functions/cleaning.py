@@ -1,0 +1,176 @@
+"""Corpus-cleaning operators: line-level dedup, decontamination, NFC.
+
+The post-extraction cleanup stages a Common-Crawl training pipeline
+runs between extraction and tokenization (cf. CCNet's per-paragraph
+dedup and Dolma/DCLM benchmark decontamination; public pipeline
+descriptions only — everything here is built from pyspark.sql
+primitives):
+
+- ``line_dedup``: cross-document frequent-line removal. Lines whose
+  corpus-wide document frequency reaches a threshold are boilerplate
+  (nav bars, cookie banners, footers) and are struck from every
+  document; the surviving lines are reassembled in order. The frequent
+  set is tiny relative to the corpus (boilerplate is by definition
+  repeated), so it BROADCASTS and the corpus side is never shuffled by
+  the join — the only wide exchange is the per-line count and the
+  final per-document reassembly.
+- ``decontaminate``: n-gram-overlap flagging of documents that quote a
+  benchmark/eval set. The benchmark shingle table is small (even "all
+  public benchmarks" is millions of rows, not billions) and
+  broadcasts; the corpus streams through one exploded-shingle pass.
+- ``nfc_normalize_col``: Unicode NFC via an Arrow-batched pandas UDF
+  (Spark has no built-in normalizer; unicodedata is stdlib and the
+  batch transfer keeps it off the per-row slow path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles, tokens
+
+__all__ = [
+    "wrap_chunks",
+    "line_dedup",
+    "benchmark_shingles",
+    "decontaminate",
+    "nfc_normalize_col",
+]
+
+
+def wrap_chunks(col: Column | str, wrap: int = 12) -> Column:
+    """Tokens grouped ``wrap`` at a time, space-joined — the Spark twin
+    of engine.corpus.wrap_lines (and of CHUNKS_SQL on the DuckDB side).
+    Pure array expressions: sequence + slice + concat_ws, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    # newline-only fold (NOT tabs) — exactly engine.corpus.wrap_lines /
+    # CHUNKS_SQL; textstats.tokens() would also fold tabs
+    toks = F.filter(
+        F.split(F.replace(c, F.lit("\n"), F.lit(" ")), " "),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(toks)
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(wrap)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * wrap + 1).cast("int"), wrap)
+        ),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """CCNet-style cross-document line deduplication.
+
+    Input: one row per document with an ordered ``array<string>`` of
+    lines. A line whose document frequency (count of DISTINCT docs
+    containing it) is >= ``min_doc_freq`` is boilerplate and removed
+    everywhere. Returns (id, clean_text, n_kept, n_dropped) with the
+    surviving lines rejoined by '\\n' in original order.
+
+    Scale shape (the 100 TB argument): the frequent-line table only
+    holds lines repeated across >= min_doc_freq documents — boilerplate
+    vocabulary, bounded by the number of distinct templates, not by
+    corpus size — so it broadcasts. The corpus-side plan is one
+    map-side-combined count shuffle to build that table, then a
+    broadcast left join + one groupBy(doc) reassembly shuffle; the
+    exploded line stream is never sort-merge joined.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .where(F.col("line_df") >= min_doc_freq)
+        .withColumn("boiler", F.lit(1))
+        .select("line", "boiler")
+    )
+    flagged = lines.join(F.broadcast(frequent), "line", "left")
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(F.col("boiler").isNull(), F.struct("pos", "line"))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(kept_struct, lambda s: s["line"])
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("boiler").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.coalesce(F.col("boiler"), F.lit(0))).cast("int").alias("n_dropped"),
+    )
+
+
+def benchmark_shingles(phrases: list[str], k: int = 5) -> list[str]:
+    """Word k-gram shingle set of a benchmark/eval corpus (driver-side:
+    benchmarks are small by construction). Sorted for determinism."""
+    out: set[str] = set()
+    for p in phrases:
+        toks = [t for t in p.split() if t]
+        for i in range(len(toks) - k + 1):
+            out.add(" ".join(toks[i : i + k]))
+    return sorted(out)
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the number of word
+    k-grams shared with the benchmark shingle table ``bench`` (one
+    ``gram`` string column) and a 0/1 contamination flag.
+
+    The benchmark side broadcasts; the corpus side is one exploded-
+    shingle pass with a map-side-combined groupBy(doc) — matched rows
+    collapse to a single count per document before the exchange.
+    explode_outer keeps sub-k-token documents in the output (0 hits).
+    """
+    sh = df.select(
+        *id_cols,
+        F.explode_outer(F.array_distinct(shingles(tokens(text_col), k))).alias(
+            "gram"
+        ),
+    )
+    marked = sh.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    return marked.groupBy(*id_cols).agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("bench_ngrams"),
+        F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("contaminated"),
+    )
+
+
+def _nfc_batch(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
+def nfc_normalize_col(col: Column | str) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Spark SQL has no normalizer built-in; unicodedata implements the
+    canonical composition tables from the Unicode standard, identical
+    to DuckDB's nfc_normalize (both track UAX #15), which the oracle
+    uses as the independent twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pandas_udf(_nfc_batch, "string")(c)

@@ -206,3 +206,82 @@ def top_terms_by_lang(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
         F.col("rk") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality model (fastText/DCLM-style scorer)
+
+_HEX_DIGITS = "0123456789abcdef"
+MQ_BUCKETS = 65536  # 4 md5 hex digits
+MQ_MOD = 997  # weight = bucket % MQ_MOD - MQ_MOD // 2  (symmetric around 0)
+
+
+def _hash_bucket(hash_col: Column) -> Column:
+    """First 4 hex digits of an md5 string as an int in [0, 65536)."""
+    out = F.lit(0)
+    for p in range(4):
+        d = F.instr(F.lit(_HEX_DIGITS), F.substring(hash_col, p + 1, 1)) - 1
+        out = out * 16 + d
+    return out.cast("bigint")
+
+
+def model_quality_score(col: Column | str) -> Column:
+    """Linear model score over hashed token features.
+
+    The shape of a fastText-style quality classifier (bag of tokens →
+    hashed embedding buckets → linear score) with a DETERMINISTIC
+    weight table: weight(token) = (bucket(md5(token)) % 997) - 498, so
+    both engines reproduce it bit-for-bit with no model file. The score
+    is a single `aggregate` fold over the token array — per-row
+    map-only, no explode, no shuffle, whole-stage codegen; at 100 TB
+    this is the cheapest possible plan (a real classifier swaps the
+    arithmetic weight for a broadcast lookup, same shape).
+    """
+    hashes = F.transform(tokens(col), F.md5)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: acc
+        + (_hash_bucket(h) % MQ_MOD - MQ_MOD // 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Term → posting-list construction (the search-index shape).
+
+    One distinct-token explode, one map-side-combined groupBy(term).
+    Postings are doc-id-sorted and CAPPED at ``max_postings`` per term
+    (real indexes shard or impact-order long posting lists — an
+    uncapped collect_list on a stopword term is a straight OOM at
+    corpus scale); ``doc_freq`` still reports the full count. Output is
+    flat (term, doc_freq, postings-as-CSV) — no array columns.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    # (id, term) pairs are distinct by construction (array_distinct
+    # before the explode), so plain count(*) IS the document frequency —
+    # no countDistinct, which would plan a second (expand) shuffle.
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list(id_col)), 1, max_postings),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )

@@ -37,6 +37,7 @@ from .engine.corpus import (
 )
 from .engine.extractor import items_view, parse_webdocs, spans_view
 from .functions import (
+    cleaning,
     dedup,
     filtering,
     linkgraph,
@@ -2364,4 +2365,217 @@ def host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(F.broadcast(ranks), "host").select(
         "url", F.col("pr").alias("host_pr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning: cross-document line dedup (CCNet-style)
+
+# Synthetic boilerplate: one line every document carries and one line
+# shared by every document on the same host. At sf0.01 the global line
+# (df=500) and the hot host's line (df≈200) cross the threshold and are
+# struck; tail-host lines (df≈3) survive — exactly the behavior the
+# operator exists for (template removal without harming rare text).
+_LD_GLOBAL = "subscribe to our newsletter for daily updates"
+_LD_MIN_DF = 5
+_LD_LINES_SQL = (
+    f"list_concat(['{_LD_GLOBAL}', 'contact us at ' || {_HOST_ONLY_SQL}], "
+    f"{CHUNKS_SQL})"
+)
+
+
+@q(
+    "line_dedup",
+    f"WITH d AS (SELECT doc_id, {_LD_LINES_SQL} AS ls FROM documents), "
+    "l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1), "
+    "i -> {'pos': i - 1, 'line': ls[i]}), recursive := true) FROM d), "
+    "f AS (SELECT line FROM l GROUP BY line "
+    f"HAVING count(DISTINCT doc_id) >= {_LD_MIN_DF}) "
+    f"SELECT {URL_SQL} AS url, "
+    "coalesce(string_agg(l.line, chr(10) ORDER BY l.pos) "
+    "FILTER (WHERE f.line IS NULL), '') AS clean_text, "
+    "(count(*) FILTER (WHERE f.line IS NULL))::INT AS n_kept, "
+    "count(f.line)::INT AS n_dropped "
+    "FROM l LEFT JOIN f ON f.line = l.line GROUP BY doc_id",
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: lines whose corpus-wide
+    document frequency reaches _LD_MIN_DF are boilerplate and removed
+    from every document; survivors are reassembled in order. The
+    frequent-line table is bounded by template vocabulary (not corpus
+    size) and BROADCASTS — pinned by a plan contract; the corpus side
+    pays one count shuffle + one reassembly shuffle and is never
+    sort-merge joined."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array(
+                F.lit(_LD_GLOBAL),
+                F.concat(F.lit("contact us at "), F.expr(_HOST_ONLY_SQL)),
+            ),
+            cleaning.wrap_chunks("text"),
+        ).alias("lines"),
+    )
+    out = cleaning.line_dedup(docs, min_doc_freq=_LD_MIN_DF)
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "clean_text", "n_kept", "n_dropped"
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+_BENCH_PHRASES = [
+    "the quick brown fox jumps over the lazy dog",
+    "to be or not to be that is the question",
+    "a journey of a thousand miles begins with a single step",
+]
+_BENCH_GRAMS = cleaning.benchmark_shingles(_BENCH_PHRASES, k=5)
+_DECON_TEXT_SQL = (
+    "text || CASE WHEN doc_id % 23 = 5 THEN ' ' || "
+    f"(CASE doc_id % 3 WHEN 0 THEN '{_BENCH_PHRASES[0]}' "
+    f"WHEN 1 THEN '{_BENCH_PHRASES[1]}' "
+    f"ELSE '{_BENCH_PHRASES[2]}' END) ELSE '' END"
+)
+_BENCH_LIST_SQL = "[" + ", ".join(f"'{g}'" for g in _BENCH_GRAMS) + "]"
+
+
+@q(
+    "decontaminate",
+    f"WITH t AS (SELECT doc_id, {_DECON_TEXT_SQL} AS text FROM documents), "
+    f"sh AS (SELECT doc_id, list_distinct("
+    f"{duck_shingles(duck_toks('text'), 5)}) AS g5 FROM t) "
+    f"SELECT {URL_SQL} AS url, "
+    f"len(list_filter(g5, g -> list_contains({_BENCH_LIST_SQL}, g)))::INT "
+    "AS bench_ngrams, "
+    f"(len(list_filter(g5, g -> list_contains({_BENCH_LIST_SQL}, g))) > 0)"
+    "::INT AS contaminated FROM sh",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the Dolma/DCLM eval-overlap gate):
+    flag documents sharing any word 5-gram with a benchmark set. A
+    deterministic fraction of the corpus gets a benchmark phrase
+    appended so the flag is non-vacuous. The benchmark shingle table
+    broadcasts (eval sets are tiny vs the corpus); the corpus side is
+    one exploded-shingle pass collapsing map-side to a per-doc count.
+    The oracle is a deliberately different formulation (list_filter
+    over a literal gram list) — two engines, two shapes, one answer."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_DECON_TEXT_SQL).alias("text"),
+    )
+    bench = spark.createDataFrame([(g,) for g in _BENCH_GRAMS], "gram string")
+    out = cleaning.decontaminate(docs, bench, id_cols=("doc_id",), k=5)
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "bench_ngrams", "contaminated"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality model
+
+_MQ_W_SQL = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 997 - 498"
+)
+
+
+@q(
+    "model_quality_score",
+    "WITH s AS (SELECT doc_id, coalesce(list_aggregate(list_transform("
+    f"list_transform({duck_toks('text')}, t -> md5(t)), "
+    f"h -> {_MQ_W_SQL}), 'sum'), 0)::BIGINT AS mq_score FROM documents) "
+    f"SELECT {URL_SQL} AS url, mq_score, "
+    "CASE WHEN mq_score > 0 THEN 'keep' ELSE 'drop' END AS mq_label FROM s",
+)
+def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the fastText/DCLM shape: bag of
+    tokens → hashed feature buckets → linear score → keep/drop label,
+    with a deterministic weight table (bucket % 997 - 498) standing in
+    for trained weights. Pure `aggregate` fold over the token array —
+    map-only, zero exchanges (pinned by a plan contract); a trained
+    model swaps the arithmetic for a broadcast weight lookup with the
+    same plan."""
+    docs = _read(spark, sf_dir, "documents")
+    score = textstats.model_quality_score("text")
+    return docs.select(
+        F.expr(URL_SQL).alias("url"),
+        score.alias("mq_score"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "mq_label"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+@q(
+    "inverted_index",
+    f"WITH tok AS (SELECT doc_id, unnest(list_distinct({duck_toks('text')})) "
+    "AS term FROM documents) "
+    "SELECT term, count(*)::BIGINT AS doc_freq, "
+    "array_to_string(list_sort(list(doc_id))[1:64], ',') AS postings "
+    "FROM tok GROUP BY term HAVING count(*) >= 2",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: term → (doc_freq, doc-id-sorted
+    posting list). One distinct-token explode + one map-side-combined
+    groupBy(term); postings capped at 64 per term (an uncapped
+    collect_list on a stopword is an OOM at corpus scale — doc_freq
+    still reports the full count)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.inverted_index(docs, min_doc_freq=2, max_postings=64)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization
+
+_NFC_SUFFIX = " cafe\u0301 nai\u0308ve"  # decomposed e+acute / i+diaeresis
+# DuckDB twin (duckdb chr() is a real codepoint; Spark's wraps mod 256,
+# so the Spark side uses the Python literal instead)
+_NFC_MARK_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769) || "
+    "' nai' || chr(776) || 've' ELSE '' END"
+)
+
+
+@q(
+    "nfc_normalize",
+    f"WITH t AS (SELECT doc_id, {_NFC_MARK_SQL} AS raw FROM documents) "
+    f"SELECT {URL_SQL} AS url, nfc_normalize(raw) AS norm_text, "
+    "length(raw)::INT AS n_before, length(nfc_normalize(raw))::INT AS n_after "
+    "FROM t",
+)
+def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (combining sequences composed to
+    precomposed forms — 'cafe'+U+0301 → 'café'). Spark has no built-in
+    normalizer, so this is the one sanctioned Python hot-path shape: an
+    Arrow-batched pandas UDF (unicodedata, stdlib) — vectorized batch
+    transfer, no per-row pickling. A deterministic fraction of docs
+    gets decomposed sequences appended so n_before > n_after genuinely
+    occurs. Oracle: DuckDB's independent nfc_normalize (both track
+    UAX #15)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_NFC_SUFFIX)).otherwise(
+                F.lit("")
+            ),
+        ).alias("raw"),
+    )
+    # two-step projection so the UDF runs exactly once per row
+    normed = docs.select(
+        F.expr(URL_SQL).alias("url"),
+        "raw",
+        cleaning.nfc_normalize_col("raw").alias("norm_text"),
+    )
+    return normed.select(
+        "url",
+        "norm_text",
+        F.length("raw").cast("int").alias("n_before"),
+        F.length("norm_text").cast("int").alias("n_after"),
     )

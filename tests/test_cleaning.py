@@ -1,0 +1,139 @@
+"""Unit tests for functions/cleaning.py and the textstats additions
+(hashed linear quality model, inverted index) against independent
+pure-Python recomputations."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.engine.corpus import wrap_lines
+from pdf_parser_spark.functions import cleaning, textstats
+
+
+def test_wrap_chunks_matches_corpus_wrap_lines(spark):
+    texts = [
+        "one two three",
+        " ".join(f"tok{i}" for i in range(30)),
+        "a\nb\tc   d",
+        "solo",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["c"]
+        for r in df.select(cleaning.wrap_chunks("text").alias("c")).collect()
+    ]
+    assert got == [wrap_lines(t) for t in texts]
+
+
+def test_line_dedup_strikes_frequent_lines_keeps_order(spark):
+    rows = [
+        (0, ["boiler", "alpha", "beta"]),
+        (1, ["boiler", "gamma"]),
+        (2, ["delta", "boiler"]),
+        (3, ["epsilon"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.line_dedup(df, min_doc_freq=3).collect()
+    }
+    assert out[0]["clean_text"] == "alpha\nbeta"
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "gamma"
+    assert out[2]["clean_text"] == "delta"  # order preserved, not 'boiler'
+    assert out[3]["clean_text"] == "epsilon" and out[3]["n_dropped"] == 0
+
+
+def test_line_dedup_doc_freq_is_distinct_docs(spark):
+    # the same line twice in ONE doc must not count as df=2
+    rows = [(0, ["dup", "dup"]), (1, ["other"])]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.line_dedup(df, min_doc_freq=2).collect()
+    }
+    assert out[0]["clean_text"] == "dup\ndup" and out[0]["n_dropped"] == 0
+
+
+def test_decontaminate_flags_quoting_docs(spark):
+    phrase = "the quick brown fox jumps over the lazy dog"
+    grams = cleaning.benchmark_shingles([phrase], k=5)
+    assert "the quick brown fox jumps" in grams
+    bench = spark.createDataFrame([(g,) for g in grams], "gram string")
+    docs = spark.createDataFrame(
+        [
+            (0, "clean document with ordinary words " * 2),
+            (1, f"prefix text {phrase} suffix text"),
+            (2, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.decontaminate(docs, bench).collect()
+    }
+    assert out[0]["contaminated"] == 0
+    assert out[1]["contaminated"] == 1 and out[1]["bench_ngrams"] == len(grams)
+    assert out[2]["contaminated"] == 0  # sub-k-token doc still present
+
+
+def test_nfc_normalize_composes(spark):
+    df = spark.createDataFrame(
+        [("café",), ("naïve",), ("ascii",), (None,)],
+        "raw string",
+    )
+    got = [
+        r["n"]
+        for r in df.select(
+            cleaning.nfc_normalize_col("raw").alias("n")
+        ).collect()
+    ]
+    assert got == ["café", "naïve", "ascii", None]
+
+
+def _py_mq_score(text: str) -> int:
+    toks = [t for t in text.replace("\n", " ").replace("\t", " ").split(" ") if t]
+    s = 0
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        s += int(h[:4], 16) % 997 - 498
+    return s
+
+
+def test_model_quality_score_matches_python_twin(spark):
+    texts = ["the quick brown fox", "zzz qqq", "", "one one one"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["s"]
+        for r in df.select(
+            textstats.model_quality_score("text").alias("s")
+        ).collect()
+    ]
+    assert got == [_py_mq_score(t) for t in texts]
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        [(10, "apple banana"), (3, "banana apple banana"), (7, "cherry")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["term"]: r
+        for r in textstats.inverted_index(
+            docs, min_doc_freq=1, max_postings=2
+        ).collect()
+    }
+    assert out["apple"]["postings"] == "3,10"
+    assert out["banana"]["doc_freq"] == 2  # within-doc repeat not counted
+    assert out["cherry"]["postings"] == "7"
+
+
+def test_inverted_index_caps_postings_reports_full_df(spark):
+    docs = spark.createDataFrame(
+        [(i, "common") for i in range(5)], "doc_id bigint, text string"
+    )
+    row = textstats.inverted_index(
+        docs, min_doc_freq=1, max_postings=2
+    ).collect()[0]
+    assert row["doc_freq"] == 5 and row["postings"] == "0,1"

@@ -217,3 +217,37 @@ def test_host_quality_prior_broadcasts_rank_table(spark):
     plan = _plan(spark, "host_quality_prior")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_broadcasts_frequent_lines(spark):
+    # the frequent-line (boilerplate) table is small → broadcast; the
+    # exploded corpus line stream must never be sort-merge joined
+    plan = _plan(spark, "line_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_model_quality_score_map_only(spark):
+    # hashed linear scorer: a pure per-row fold — zero exchanges
+    plan = _plan(spark, "model_quality_score")
+    assert "Exchange" not in plan
+
+
+def test_nfc_normalize_arrow_batched_map_only(spark):
+    plan = _plan(spark, "nfc_normalize")
+    assert "ArrowEvalPython" in plan  # pandas UDF, not row-at-a-time
+    assert "Exchange" not in plan
+
+
+def test_inverted_index_single_shuffle_no_expand(spark):
+    # count(*) over pre-distinct (doc, term) pairs — no countDistinct
+    # Expand, one hash shuffle with map-side partials
+    plan = _plan(spark, "inverted_index")
+    assert plan.count("Exchange") <= 2
+    assert "Expand" not in plan
