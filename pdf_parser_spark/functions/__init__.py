@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     dedup,
     filtering,
     multimodal,
+    packing,
     pii,
     sampling,
     similarity,

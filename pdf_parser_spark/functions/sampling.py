@@ -107,3 +107,63 @@ def hash_split(
     for name, t in reversed(conds):
         out = F.when(coord < F.lit(t), F.lit(name)).otherwise(out)
     return df.withColumn(split_col, out)
+
+
+def _bucket16(key: Column | str, salt: str = "") -> Column:
+    """hash_prefix as an integer in [0, 65536) — for integer-exact
+    threshold arithmetic (no float rates anywhere)."""
+    hx = hash_prefix(key, salt)
+    out = F.lit(0)
+    for p in range(4):
+        d = F.instr(F.lit("0123456789abcdef"), F.substring(hx, p + 1, 1)) - 1
+        out = out * 16 + d
+    return out.cast("bigint")
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, int],
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-proportional corpus mixing (the data-mix stage): sample
+    each stratum so the OUTPUT token mixture follows integer *weights*,
+    at the largest output size achievable without upsampling — the
+    stratum with the scarcest supply relative to its weight keeps 100%
+    and every other stratum is hash-downsampled to match.
+
+    All arithmetic is int64 (token counts, 16-bit hash buckets, weight
+    cross-multiplication) so membership is bit-stable across engines
+    and runs. Plan shape: one tiny per-stratum token-count aggregation
+    (rows = #strata), a driver-side min over it, a BROADCAST join of
+    the per-stratum keep-threshold back onto the corpus, then a pure
+    filter — the corpus is never shuffled.
+
+    Keep rule: bucket * W * L_g < 65536 * w_g * T_out, where
+    T_out = min_g(L_g * W // w_g). Strata not in *weights* are dropped.
+    """
+    from .textstats import ws_token_count
+
+    W = sum(weights.values())
+    totals = {
+        r[strat_col]: r["toks"]
+        for r in df.groupBy(strat_col)
+        .agg(F.sum(ws_token_count(text_col)).cast("bigint").alias("toks"))
+        .collect()
+        if r[strat_col] in weights
+    }
+    if not totals:
+        raise ValueError("no stratum in weights present in the corpus")
+    t_out = min(totals[g] * W // weights[g] for g in totals)
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(g, totals[g], weights[g]) for g in sorted(totals)],
+        f"{strat_col} string, strat_toks bigint, w bigint",
+    )
+    joined = df.join(F.broadcast(thr), strat_col)
+    return joined.where(
+        _bucket16(key_col, salt) * F.lit(W) * F.col("strat_toks")
+        < F.lit(65536) * F.col("w") * F.lit(t_out)
+    ).drop("strat_toks", "w")

@@ -42,6 +42,7 @@ from .functions import (
     filtering,
     linkgraph,
     multimodal,
+    packing,
     similarity,
     textstats,
 )
@@ -2578,4 +2579,84 @@ def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_text",
         F.length("raw").cast("int").alias("n_before"),
         F.length("norm_text").cast("int").alias("n_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (tokenizer-export placement)
+
+_PACK_SEQ_LEN = 2048
+_PACK_SHARDS = 16
+
+
+@q(
+    "pack_sequences",
+    f"WITH d AS (SELECT doc_id, {HOST_SQL} AS host, "
+    f"(doc_id % {_PACK_SHARDS})::INT AS shard, "
+    f"len({duck_toks('text')})::INT AS n_tokens FROM documents), "
+    "p AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY host, shard "
+    "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT "
+    "AS token_start FROM d) "
+    "SELECT doc_id, host, shard, n_tokens, token_start, "
+    f"(token_start // {_PACK_SEQ_LEN})::BIGINT AS seq_id, "
+    f"(token_start % {_PACK_SEQ_LEN})::INT AS seq_offset FROM p",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: each document's
+    (shard, sequence id, offset) placement from a per-(host, shard)
+    running token prefix-sum. Shard fanout bounds the window partition
+    (no global sort, no single-partition prefix-sum); `div`, not float
+    division, keeps seq ids exact past 2^53 tokens."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "host", F.expr(_HOST_ONLY_SQL)
+    )
+    return packing.pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-proportional corpus mixing
+
+_MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+_MIX_W = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES_SQL = ", ".join(f"('{g}', {w})" for g, w in sorted(_MIX_WEIGHTS.items()))
+_MIX_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
+)
+
+
+@q(
+    "mix_corpus",
+    "WITH tc AS (SELECT lang, "
+    f"sum(len({duck_toks('text')}))::BIGINT AS strat_toks "
+    "FROM documents GROUP BY lang), "
+    f"w AS (SELECT * FROM (VALUES {_MIX_VALUES_SQL}) AS t(lang, wt)), "
+    "j AS (SELECT tc.lang, strat_toks, wt FROM tc JOIN w USING (lang)), "
+    f"tout AS (SELECT min(strat_toks * {_MIX_W} // wt)::BIGINT AS t_out FROM j), "
+    "b AS (SELECT doc_id, lang, "
+    f"len({duck_toks('text')})::INT AS n_tokens, "
+    "substr(md5(doc_id::VARCHAR || 'mix'), 1, 4) AS h FROM documents) "
+    f"SELECT {URL_SQL} AS url, lang, n_tokens "
+    "FROM b JOIN j USING (lang), tout "
+    f"WHERE {_MIX_BUCKET_SQL} * {_MIX_W} * strat_toks < 65536 * wt * t_out",
+)
+def mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix sampling: downsample each language so the output token
+    mixture follows _MIX_WEIGHTS at the largest size achievable without
+    upsampling (the scarcest-supply language keeps 100%). Integer-only
+    arithmetic (token totals × weights × 16-bit hash buckets) makes
+    membership bit-stable; the per-language threshold table broadcasts
+    and the corpus side is a pure filter — never shuffled."""
+    from .functions import sampling as _sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = _sampling.mix_corpus(docs, _MIX_WEIGHTS)
+    return mixed.select(
+        F.expr(URL_SQL).alias("url"),
+        "lang",
+        textstats.ws_token_count("text").alias("n_tokens"),
     )

@@ -137,3 +137,52 @@ def test_inverted_index_caps_postings_reports_full_df(spark):
         docs, min_doc_freq=1, max_postings=2
     ).collect()[0]
     assert row["doc_freq"] == 5 and row["postings"] == "0,1"
+
+
+def test_pack_sequences_prefix_sum_and_straddle(spark):
+    from pdf_parser_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(0, "h", " ".join(["t"] * 6)), (16, "h", " ".join(["t"] * 5)),
+         (32, "h", " ".join(["t"] * 4)), (1, "h", " ".join(["t"] * 9))],
+        "doc_id bigint, host string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(docs, seq_len=8, n_shards=16).collect()
+    }
+    # shard 0 chain: doc 0 (6 toks) -> doc 16 starts at 6 (straddles the
+    # 8-token boundary: seq 0 offset 6) -> doc 32 starts at 11 (seq 1)
+    assert out[0]["token_start"] == 0 and out[0]["seq_id"] == 0
+    assert out[16]["token_start"] == 6
+    assert out[16]["seq_id"] == 0 and out[16]["seq_offset"] == 6
+    assert out[32]["token_start"] == 11
+    assert out[32]["seq_id"] == 1 and out[32]["seq_offset"] == 3
+    # doc 1 is shard 1: its own chain
+    assert out[1]["token_start"] == 0
+
+
+def test_mix_corpus_binding_stratum_keeps_all(spark):
+    from pdf_parser_spark.functions import sampling
+
+    rows = [(i, "en", "w " * 10) for i in range(40)] + [
+        (100 + i, "de", "w " * 10) for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    # weights want 1:1 but de has only 2 docs -> de binds: keep all de,
+    # downsample en toward ~2 docs (hash-grid rounding allowed)
+    out = sampling.mix_corpus(df, {"en": 1, "de": 1}).collect()
+    langs = [r["lang"] for r in out]
+    assert langs.count("de") == 2
+    assert 0 < langs.count("en") < 40
+
+
+def test_mix_corpus_drops_unlisted_strata(spark):
+    from pdf_parser_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, "xx", "a b c")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = sampling.mix_corpus(df, {"en": 1}).collect()
+    assert [r["lang"] for r in out] == ["en"]

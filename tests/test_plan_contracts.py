@@ -251,3 +251,17 @@ def test_inverted_index_single_shuffle_no_expand(spark):
     plan = _plan(spark, "inverted_index")
     assert plan.count("Exchange") <= 2
     assert "Expand" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    # per-(host, shard) prefix sum — a window sort, never a global
+    # rangepartitioning exchange
+    plan = _plan(spark, "pack_sequences")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_mix_corpus_broadcasts_thresholds(spark):
+    plan = _plan(spark, "mix_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
