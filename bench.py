@@ -61,7 +61,15 @@ HEADLINE = [
     "top_terms",
     "sessionize",
     "host_pagerank",
+    "host_quality_prior",
     "url_canonicalize",
+    "line_dedup",
+    "decontaminate",
+    "model_quality_score",
+    "inverted_index",
+    "nfc_normalize",
+    "pack_sequences",
+    "mix_corpus",
     "audio_features",
     "sample_split",
     "vocab_census",
