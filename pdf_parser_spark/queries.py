@@ -2096,9 +2096,30 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join shuffle + one map-side-combined sum over the *host* graph
     (already reduced ~10^4× from pages), ranks localCheckpointed to
     keep lineage flat."""
+    return _host_ranks(spark, sf_dir)
+
+
+# rank-table memo: pagerank's result is already localCheckpointed (the
+# constant-plan contract pins Scan ExistingRDD), so consumers within a
+# session (host_pagerank, host_quality_prior) share one computation —
+# the in-session analog of writing the rank table once per crawl.
+# Same keying/eviction discipline as _PARSED_CACHE.
+_RANKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _host_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _RANKS_CACHE if k[0] != app_id]:
+        del _RANKS_CACHE[key]
+    key = (app_id, sf_dir)
+    cached = _RANKS_CACHE.get(key)
+    if cached is not None:
+        return cached
     webdocs = synthesize_webdocs(spark, sf_dir)
     edges = linkgraph.host_edges(linkgraph.extract_outlinks(webdocs))
-    return linkgraph.pagerank(edges, iters=4)
+    ranks = linkgraph.pagerank(edges, iters=4)
+    _RANKS_CACHE[key] = ranks
+    return ranks
 
 
 # ---------------------------------------------------------------------------
@@ -2356,10 +2377,7 @@ def host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering feature). The rank table is tiny relative to the corpus
     (~10^8 hosts vs 10^12 docs → here 98 vs 500), so it broadcasts and
     the document side never shuffles — pinned by a plan contract."""
-    webdocs = synthesize_webdocs(spark, sf_dir)
-    ranks = linkgraph.pagerank(
-        linkgraph.host_edges(linkgraph.extract_outlinks(webdocs)), iters=4
-    )
+    ranks = _host_ranks(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents").select(
         F.expr(URL_SQL).alias("url"),
         F.expr(_HOST_ONLY_SQL).alias("host"),
