@@ -70,6 +70,8 @@ HEADLINE = [
     "nfc_normalize",
     "pack_sequences",
     "mix_corpus",
+    "substring_dup_spans",
+    "unigram_surprisal",
     "audio_features",
     "sample_split",
     "vocab_census",

@@ -751,3 +751,56 @@ def jaccard_for_pairs(
             ).alias("union_n"),
         )
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document repeated substrings (token units) — the
+    exact-substring dedup primitive of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), relationally: a token
+    k-gram shared by >= ``min_docs`` distinct documents marks its
+    positions duplicated; runs of consecutive duplicated positions
+    coalesce into maximal spans via the islands pattern
+    (pos - row_number() is constant within a consecutive run).
+
+    Returns (id, span_start, span_len) per maximal duplicated span;
+    span_len is in tokens (last shingle's end = max(pos) + k).
+
+    Scale shape: the duplicated-gram table scales with the corpus (it
+    is NOT broadcastable — unlike boilerplate lines, quoted text grows
+    with data), so positions⋈dup-grams is an honest shuffle join on the
+    gram hash; both sides carry (hash, id, pos) slim rows. The island
+    window partitions per document — bounded by document length, never
+    a global sort.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
+    ).withColumn("gh", F.md5("gram")).drop("gram")
+    # distinct (gram, doc) first, then plain count — same answer as
+    # countDistinct without the Expand double-shuffle
+    dup = (
+        sh.select("gh", id_col)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    dpos = sh.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w)
+    return (
+        dpos.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+        )
+        .drop("grp")
+    )

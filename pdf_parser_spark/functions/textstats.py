@@ -285,3 +285,46 @@ def inverted_index(
         )
         .where(F.col("doc_freq") >= min_doc_freq)
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM surprisal (the CCNet perplexity-filter shape)
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram language-model surprisal — the shape of
+    CCNet's KenLM perplexity filter with the n-gram model trained on
+    the corpus itself and no external model file.
+
+    surprisal(doc) = Σ_tokens round(ln(N / tf(token)) · 1e6), an int64;
+    avg_surprisal = surprisal div n_tokens (micro-nats per token).
+    Rounding per TERM before the sum (the top_terms trick) keeps every
+    engine's answer identical — only one double-precision ln per vocab
+    entry, everything downstream integer.
+
+    Plan: one explode feeding a map-side-combined vocab count (vocab ≪
+    corpus → the (term, surprisal) table BROADCASTS back), a single-row
+    total crossJoin, then one groupBy(doc) sum. Low avg_surprisal =
+    high-probability (natural) text; spam/garbage scores high.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("tf"))
+    total = vocab.select(F.sum("tf").cast("bigint").alias("n_total"))
+    surp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("n_total") / F.col("tf")) * 1e6)
+        .cast("bigint")
+        .alias("surp"),
+    )
+    scored = tok.join(F.broadcast(surp), "term")
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum("surp").cast("bigint").alias("surprisal"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "surprisal",
+        F.expr("surprisal div n_tokens").cast("bigint").alias("avg_surprisal"),
+    )

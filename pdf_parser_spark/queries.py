@@ -2678,3 +2678,77 @@ def mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         textstats.ws_token_count("text").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup spans (Lee et al. 2022 shape)
+
+_QUOTE = (
+    "it was the best of times it was the worst of times "
+    "it was the age of wisdom"
+)
+_QUOTE_TEXT_SQL = (
+    f"text || CASE WHEN doc_id % 11 = 7 THEN ' {_QUOTE}' ELSE '' END"
+)
+
+
+@q(
+    "substring_dup_spans",
+    f"WITH t AS (SELECT doc_id, {_QUOTE_TEXT_SQL} AS text FROM documents), "
+    f"tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM t), "
+    "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(g) + 1), "
+    "i -> {'pos': i - 1, 'gram': g[i]}), recursive := true) "
+    f"FROM (SELECT doc_id, {duck_shingles('toks', 5)} AS g FROM tok)), "
+    "dg AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM sh) "
+    "GROUP BY gram HAVING count(*) >= 2), "
+    "dp AS (SELECT doc_id, pos, pos - row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN dg USING (gram)) "
+    f"SELECT {URL_SQL} AS url, min(pos)::INT AS span_start, "
+    "(max(pos) - min(pos) + 5)::INT AS span_len FROM dp GROUP BY doc_id, grp",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token runs (exact-substring
+    dedup, Lee et al. 2022): 5-gram positions shared by >=2 docs,
+    coalesced into maximal spans by the islands pattern. A fixed quote
+    is appended to doc_id % 11 == 7 so multi-document verbatim overlap
+    genuinely exists. The dup-gram table grows with the corpus (quoted
+    text is not boilerplate-bounded) so positions⋈dup-grams is an
+    honest shuffle join; the island window is per-document."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_QUOTE_TEXT_SQL).alias("text")
+    )
+    spans = dedup.duplicate_substring_spans(docs, k=5, min_docs=2)
+    return spans.select(
+        F.expr(URL_SQL).alias("url"), "span_start", "span_len"
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM surprisal (perplexity-filter shape)
+
+@q(
+    "unigram_surprisal",
+    f"WITH tok AS (SELECT doc_id, unnest({duck_toks('text')}) AS term "
+    "FROM documents), "
+    "vocab AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY term), "
+    "tot AS (SELECT sum(tf)::BIGINT AS n_total FROM vocab), "
+    "surp AS (SELECT term, round(ln(n_total / tf) * 1e6)::BIGINT AS surp "
+    "FROM vocab, tot), "
+    "agg AS (SELECT doc_id, count(*)::INT AS n_tokens, "
+    "sum(surp)::BIGINT AS surprisal FROM tok JOIN surp USING (term) "
+    "GROUP BY doc_id) "
+    f"SELECT {URL_SQL} AS url, n_tokens, surprisal, "
+    "(surprisal // n_tokens)::BIGINT AS avg_surprisal FROM agg",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering with the model trained on the
+    corpus itself: per-doc unigram surprisal Σ round(ln(N/tf)·1e6) and
+    its per-token average (micro-nats). The (term, surprisal) vocab
+    table broadcasts back onto the token stream; per-term rounding
+    before the sum keeps both engines integer-identical. Low average =
+    natural high-probability text; spam scores high."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.unigram_surprisal(docs)
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "n_tokens", "surprisal", "avg_surprisal"
+    )

@@ -186,3 +186,44 @@ def test_mix_corpus_drops_unlisted_strata(spark):
     )
     out = sampling.mix_corpus(df, {"en": 1}).collect()
     assert [r["lang"] for r in out] == ["en"]
+
+
+def test_duplicate_substring_spans_maximal_runs(spark):
+    from pdf_parser_spark.functions import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique0 words here {shared} tail0 x y"),
+            (1, f"{shared} other1 stuff1 here1 now1 too1"),
+            (2, "completely different text with no overlap at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): r["span_len"]
+        for r in dedup.duplicate_substring_spans(docs, k=5).collect()
+    }
+    # doc 0: shared run starts at token 3, doc 1: at token 0; both len 7
+    assert out == {(0, 3): 7, (1, 0): 7}
+
+
+def test_unigram_surprisal_matches_python(spark):
+    import math
+
+    from pdf_parser_spark.functions import textstats
+
+    corpus = {0: "a a b", 1: "a c"}
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    tf = {"a": 3, "b": 1, "c": 1}
+    n = 5
+    surp = {t: round(math.log(n / c) * 1e6) for t, c in tf.items()}
+    out = {
+        r["doc_id"]: r for r in textstats.unigram_surprisal(docs).collect()
+    }
+    exp0 = surp["a"] * 2 + surp["b"]
+    assert out[0]["surprisal"] == exp0
+    assert out[0]["avg_surprisal"] == exp0 // 3
+    assert out[1]["surprisal"] == surp["a"] + surp["c"]

@@ -265,3 +265,17 @@ def test_mix_corpus_broadcasts_thresholds(spark):
     plan = _plan(spark, "mix_corpus")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dup_spans_no_global_sort(spark):
+    # island detection is a per-document window; the dup-gram join is
+    # an honest shuffle join (the dup set scales with the corpus)
+    plan = _plan(spark, "substring_dup_spans")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_unigram_surprisal_broadcasts_vocab(spark):
+    plan = _plan(spark, "unigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
