@@ -17,5 +17,7 @@ from . import (  # noqa: F401
     pii,
     sampling,
     similarity,
+    sketches,
+    temporal,
     textstats,
 )

@@ -328,3 +328,112 @@ def unigram_surprisal(
         "surprisal",
         F.expr("surprisal div n_tokens").cast("bigint").alias("avg_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM surprisal (conditional next-token model, add-one smoothed)
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BIGRAM language-model surprisal — one Markov order
+    above :func:`unigram_surprisal`, the cheapest model that catches
+    shuffled-word salad a unigram filter scores as natural.
+
+    P(w2|w1) is add-one smoothed over the corpus vocabulary V:
+    surp(w1,w2) = round(ln((c(w1·)+V) / (c(w1,w2)+1)) · 1e6). Rounding
+    per bigram TYPE before the per-doc sum keeps both engines
+    integer-identical (one double ln per vocab entry).
+
+    Plan: bigram formation is ARRAY-level (transform over the token
+    array — zero shuffle); corpus counts are two map-side-combined
+    aggregations whose results BROADCAST back onto the bigram stream;
+    one final groupBy(doc). Documents need ≥ 2 tokens to emit a row.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    bg = toks.where(F.size("_t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(_t, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.bg")
+    vocab_size = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .agg(F.countDistinct("term").cast("bigint").alias("v"))
+    )
+    bg_counts = bg.groupBy("bg", "w1").agg(
+        F.count("*").cast("bigint").alias("c_bg")
+    )
+    ctx_counts = bg.groupBy("w1").agg(
+        F.count("*").cast("bigint").alias("c_ctx")
+    )
+    surp = (
+        bg_counts.join(F.broadcast(ctx_counts), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c_ctx") + F.col("v")) / (F.col("c_bg") + 1))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("surp"),
+        )
+    )
+    agg = bg.join(F.broadcast(surp), "bg").groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.sum("surp").cast("bigint").alias("surprisal"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "surprisal",
+        F.expr("surprisal div n_bigrams").cast("bigint").alias("avg_surprisal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer-training prep)
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 64
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies inside
+    whitespace words — the candidate table a byte-pair-encoding
+    tokenizer trainer scores on its first merge step. Returns the
+    ``top_n`` pairs as (rank, pair, cnt), ties broken by pair text so
+    the cut is deterministic.
+
+    Plan: pair formation is array-level per word (no join), the count
+    is one map-side-combined groupBy over a domain bounded by
+    |alphabet|² — partial state stays tiny no matter the corpus — and
+    the top-n is TakeOrderedAndProject, never a global sort.
+    """
+    pairs = df.select(F.explode(tokens(text_col)).alias("w")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "pair", "cnt"
+    )

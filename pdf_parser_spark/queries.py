@@ -44,6 +44,8 @@ from .functions import (
     multimodal,
     packing,
     similarity,
+    sketches,
+    temporal,
     textstats,
 )
 
@@ -2752,3 +2754,219 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.expr(URL_SQL).alias("url"), "n_tokens", "surprisal", "avg_surprisal"
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins over the events table (as-of, bounded range) and the
+# hypertable rollup — the fetch-log shapes around the extraction engine
+
+
+@q(
+    "asof_join",
+    "WITH clk AS (SELECT user_id, ts, event_id AS click_id FROM events "
+    "WHERE event_type = 'click'), "
+    "err AS (SELECT user_id, ts, event_id AS err_id FROM events "
+    "WHERE event_type = 'error'), "
+    "cand AS (SELECT e.err_id, c.click_id, c.ts AS clk_ts, "
+    "row_number() OVER (PARTITION BY e.err_id "
+    "ORDER BY c.ts DESC, c.click_id DESC) AS rn "
+    "FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts) "
+    "SELECT e.err_id, e.user_id, "
+    "coalesce(m.click_id, -1)::BIGINT AS click_id, "
+    "coalesce(epoch_us(e.ts) - epoch_us(m.clk_ts), -1)::BIGINT "
+    "AS micros_since_click "
+    "FROM err e LEFT JOIN (SELECT err_id, click_id, clk_ts FROM cand "
+    "WHERE rn = 1) m USING (err_id)",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every error event matched to the
+    latest click by the same user at or before it — the operator Spark
+    has no primitive for. The engine runs the union-merge formulation
+    (functions/temporal.py): ONE shuffle on user_id, a (ts, side)
+    sort, last(ignorenulls) carry-forward — |L|+|R| cost regardless of
+    history density. The oracle is the O(L·R) windowed theta-join
+    restatement, so the two formulations check each other."""
+    ev = _read(spark, sf_dir, "events")
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    j = temporal.asof_join(err, clk, keys=["user_id"], payload=["click_id", "ts"])
+    return j.select(
+        "err_id",
+        "user_id",
+        F.coalesce(F.col("asof.click_id"), F.lit(-1))
+        .cast("bigint")
+        .alias("click_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof.ts").cast("timestamp")),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("micros_since_click"),
+    )
+
+
+@q(
+    "range_join",
+    "WITH err AS (SELECT event_id AS err_id, user_id, ts FROM events "
+    "WHERE event_type = 'error'), "
+    "clk AS (SELECT user_id, ts, round(value * 100)::BIGINT AS cents "
+    "FROM events WHERE event_type = 'click'), "
+    "agg AS (SELECT e.err_id, count(*)::INT AS n_recent, "
+    "sum(c.cents)::BIGINT AS recent_cents "
+    "FROM err e JOIN clk c ON c.user_id = e.user_id "
+    "AND epoch_us(c.ts) < epoch_us(e.ts) "
+    "AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000 "
+    "GROUP BY e.err_id) "
+    "SELECT e.err_id, e.user_id, "
+    "coalesce(a.n_recent, 0)::INT AS n_recent, "
+    "coalesce(a.recent_cents, 0)::BIGINT AS recent_cents "
+    "FROM err e LEFT JOIN agg a USING (err_id)",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: clicks within the 10 minutes before each
+    error, per user (count + cents). The engine quantizes timestamps
+    to window-width buckets and explodes two candidate buckets on the
+    error side, so Catalyst plans a hash EQUI-join on (user_id,
+    bucket) with the interval predicate as a residual — the raw theta
+    join the oracle runs would be a nested-loop at scale."""
+    ev = _read(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    j = temporal.range_join(err, clk, keys=["user_id"], window_s=600)
+    agg = j.groupBy("err_id").agg(
+        F.count("*").cast("int").alias("n_recent"),
+        F.sum("match.cents").cast("bigint").alias("recent_cents"),
+    )
+    return err.join(agg, "err_id", "left").select(
+        "err_id",
+        "user_id",
+        F.coalesce(F.col("n_recent"), F.lit(0)).cast("int").alias("n_recent"),
+        F.coalesce(F.col("recent_cents"), F.lit(0))
+        .cast("bigint")
+        .alias("recent_cents"),
+    )
+
+
+@q(
+    "rollup_hypertable",
+    "WITH b AS (SELECT date_trunc('day', ts) AS db, "
+    "date_trunc('hour', ts) AS hb, event_type, "
+    "round(value * 100)::BIGINT AS cents FROM events) "
+    "SELECT CASE WHEN hb IS NULL THEN '1d' ELSE '1h' END AS granularity, "
+    "(epoch_us(coalesce(hb, db)) // 1000000)::BIGINT AS bucket_start, "
+    "event_type, count(*)::BIGINT AS n_events, "
+    "sum(cents)::BIGINT AS value_cents "
+    "FROM b GROUP BY GROUPING SETS ((db, event_type), (db, hb, event_type))",
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (day + hour per event_type) in
+    ONE shuffle via GROUPING SETS — the TimescaleDB continuous-
+    aggregate shape; a UNION of GROUP BYs would scan and shuffle the
+    events table once per granularity. Cents (per-row round before the
+    int64 sum) keep the aggregate engine-exact."""
+    ev = _read(spark, sf_dir, "events")
+    return temporal.rollup_hypertable(
+        ev, ts_col="ts", dims=["event_type"], value_col="value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic cardinality sketch (linear counting)
+
+
+@q(
+    "sketch_distinct",
+    f"WITH tok AS (SELECT source, unnest({duck_toks('text')}) AS term "
+    "FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_values, "
+    "count(DISTINCT substring(md5(term), 1, 4))::INT AS filled_slots, "
+    "round(-65536.0 * ln(1 - count(DISTINCT substring(md5(term), 1, 4)) "
+    "/ 65536.0))::BIGINT AS est_distinct, "
+    "count(DISTINCT term)::BIGINT AS exact_distinct "
+    "FROM tok GROUP BY source",
+)
+def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via LINEAR COUNTING (Whang
+    et al. 1990) built on the md5 primitive both engines share —
+    unlike HLL++'s engine-private registers, every bit is replayable
+    from ANSI SQL. Aggregation state is bounded by the 65536-slot
+    bitmap per group however many distinct values stream through (the
+    sketch property that matters at 100 TB); the exact count rides
+    along so the output shows the estimator's error."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(textstats.tokens("text")).alias("term")
+    )
+    return sketches.linear_count_distinct(tok, "source", "term")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM surprisal (order-2 perplexity filter)
+
+
+@q(
+    "bigram_surprisal",
+    f"WITH tokarr AS (SELECT doc_id, {duck_toks('text')} AS t FROM documents), "
+    "tok AS (SELECT unnest(t) AS term FROM tokarr), "
+    "v AS (SELECT count(DISTINCT term)::BIGINT AS vsz FROM tok), "
+    "bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> "
+    "{'w1': t[i], 'bg': t[i] || ' ' || t[i+1]}) "
+    "ELSE [] END, recursive := true) FROM tokarr), "
+    "bgc AS (SELECT bg, w1, count(*)::BIGINT AS c_bg FROM bgs "
+    "GROUP BY bg, w1), "
+    "ctx AS (SELECT w1, count(*)::BIGINT AS c_ctx FROM bgs GROUP BY w1), "
+    "surp AS (SELECT bg, round(ln((c_ctx + vsz) / (c_bg + 1)) * 1e6)::BIGINT "
+    "AS surp FROM bgc JOIN ctx USING (w1), v), "
+    "agg AS (SELECT doc_id, count(*)::INT AS n_bigrams, "
+    "sum(surp)::BIGINT AS surprisal FROM bgs JOIN surp USING (bg) "
+    "GROUP BY doc_id) "
+    f"SELECT {URL_SQL} AS url, n_bigrams, surprisal, "
+    "(surprisal // n_bigrams)::BIGINT AS avg_surprisal FROM agg",
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality filter: per-doc add-one-smoothed bigram
+    surprisal — catches shuffled-word salad that unigram_surprisal
+    scores as natural. Bigram formation is array-level (zero shuffle);
+    the count tables broadcast back onto the bigram stream; rounding
+    per bigram type keeps both engines integer-identical."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.bigram_surprisal(docs)
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "n_bigrams", "surprisal", "avg_surprisal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer-training prep)
+
+
+@q(
+    "bpe_pair_counts",
+    f"WITH words AS (SELECT unnest({duck_toks('text')}) AS word "
+    "FROM documents), "
+    "pos AS (SELECT word, unnest(range(1, length(word))) AS i FROM words), "
+    "c AS (SELECT substring(word, i, 2) AS pair, count(*)::BIGINT AS cnt "
+    "FROM pos GROUP BY pair ORDER BY cnt DESC, pair LIMIT 64) "
+    "SELECT row_number() OVER (ORDER BY cnt DESC, pair)::INT AS rank, "
+    "pair, cnt FROM c",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step of tokenizer training: the corpus's top-64
+    adjacent character pairs inside whitespace words. Pair formation
+    is array-level per word; the count's partial state is bounded by
+    |alphabet|²; the cut is TakeOrderedAndProject (never a global
+    sort), ties broken on pair text so the set is deterministic."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(docs, top_n=64)

@@ -279,3 +279,46 @@ def test_unigram_surprisal_broadcasts_vocab(spark):
     plan = _plan(spark, "unigram_surprisal")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_theta_join(spark):
+    """The as-of join must stay union-merge: one hash exchange on the
+    keys feeding a window sort — never the per-left-row range join
+    (BroadcastNestedLoop / cartesian) the naive formulation plans."""
+    plan = _plan(spark, "asof_join")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_hash_join(spark):
+    """Bucketized interval join must plan a hash equi-join on
+    (keys, bucket) with the interval predicate as a residual."""
+    plan = _plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_rollup_hypertable_single_expand_shuffle(spark):
+    """GROUPING SETS = one Expand feeding one hash aggregation — not a
+    union of per-granularity scans (which would double the exchanges)."""
+    plan = _plan(spark, "rollup_hypertable")
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    # exactly one scan (formatted output names each scan twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("ReadSchema") == 1
+
+
+def test_bigram_surprisal_broadcasts_count_tables(spark):
+    """The (bg → surprisal) vocab table must broadcast back onto the
+    bigram stream; the corpus side must never sort-merge."""
+    plan = _plan(spark, "bigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pair_counts_no_global_sort(spark):
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
