@@ -72,6 +72,12 @@ HEADLINE = [
     "mix_corpus",
     "substring_dup_spans",
     "unigram_surprisal",
+    "bigram_surprisal",
+    "asof_join",
+    "range_join",
+    "rollup_hypertable",
+    "sketch_distinct",
+    "bpe_pair_counts",
     "audio_features",
     "sample_split",
     "vocab_census",

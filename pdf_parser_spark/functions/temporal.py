@@ -100,8 +100,9 @@ def range_join(
     window_s: int,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: pairs (l, r) sharing ``keys`` with
+    """Interval join: pairs (l, r) sharing ``keys`` with
     ``l.ts - window_s <= r.ts < l.ts``. Right columns not in ``keys``
     come back under a struct column ``match``.
 
@@ -110,6 +111,13 @@ def range_join(
     before, so the left side explodes exactly those two candidates and
     the join is a hash EQUI-join on (keys, bucket) with the interval
     predicate as a residual — never a nested-loop theta join.
+
+    ``how='left'`` keeps unmatched left rows with a null ``match`` —
+    note each left row then appears once PER EMPTY CANDIDATE BUCKET
+    (up to 2 null rows), so aggregate with null-skipping functions
+    (count(match.x), sum) rather than counting rows. The left form
+    exists so "join + aggregate per left row" pipelines need no second
+    join back onto the left table (one shuffle fewer).
     """
     bucket_us = int(window_s) * 1_000_000
     r_cols = [c for c in right.columns if c not in keys]
@@ -127,14 +135,16 @@ def range_join(
             )
         ),
     )
-    return (
-        l_b.join(r_b, [*keys, "_b"])
-        .where(
-            (F.col("_r_us") < F.col("_l_us"))
-            & (F.col("_r_us") >= F.col("_l_us") - F.lit(bucket_us))
-        )
-        .drop("_b", "_l_us", "_r_us")
+    l_a, r_a = l_b.alias("_rj_l"), r_b.alias("_rj_r")
+    cond = (
+        (F.col("_rj_l._b") == F.col("_rj_r._b"))
+        & (F.col("_rj_r._r_us") < F.col("_rj_l._l_us"))
+        & (F.col("_rj_r._r_us") >= F.col("_rj_l._l_us") - F.lit(bucket_us))
     )
+    for k in keys:
+        cond = cond & (F.col(f"_rj_l.{k}") == F.col(f"_rj_r.{k}"))
+    out_cols = [F.col(f"_rj_l.{c}") for c in left.columns]
+    return l_a.join(r_a, cond, how).select(*out_cols, F.col("_rj_r.match"))
 
 
 def rollup_hypertable(

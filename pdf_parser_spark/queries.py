@@ -2843,16 +2843,12 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    j = temporal.range_join(err, clk, keys=["user_id"], window_s=600)
-    agg = j.groupBy("err_id").agg(
-        F.count("*").cast("int").alias("n_recent"),
-        F.sum("match.cents").cast("bigint").alias("recent_cents"),
-    )
-    return err.join(agg, "err_id", "left").select(
-        "err_id",
-        "user_id",
-        F.coalesce(F.col("n_recent"), F.lit(0)).cast("int").alias("n_recent"),
-        F.coalesce(F.col("recent_cents"), F.lit(0))
+    j = temporal.range_join(err, clk, keys=["user_id"], window_s=600, how="left")
+    # left form + null-skipping aggregates: zero-click errors survive
+    # without a second join back onto the error table
+    return j.groupBy("err_id", "user_id").agg(
+        F.count("match.cents").cast("int").alias("n_recent"),
+        F.coalesce(F.sum("match.cents"), F.lit(0))
         .cast("bigint")
         .alias("recent_cents"),
     )
