@@ -80,6 +80,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "audio_features",
     "sample_split",
+    "length_percentiles",
     "vocab_census",
     "pricing_summary",
     "top_customers",

@@ -2966,3 +2966,48 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), ties broken on pair text so the set is deterministic."""
     docs = _read(spark, sf_dir, "documents")
     return textstats.bpe_pair_counts(docs, top_n=64)
+
+
+# ---------------------------------------------------------------------------
+# exact per-group percentiles (corpus length profile)
+
+
+@q(
+    "length_percentiles",
+    "WITH r AS (SELECT lang, n_chars, "
+    "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+    "SELECT lang, max(n)::BIGINT AS n_docs, "
+    "max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END)::BIGINT AS p50, "
+    "max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END)::BIGINT AS p90, "
+    "max(CASE WHEN rn = ceil(0.99 * n) THEN n_chars END)::BIGINT AS p99 "
+    "FROM r GROUP BY lang",
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p50/p90/p99 of n_chars)
+    — the corpus profile a filtering threshold is calibrated against.
+    Exact nearest-rank definition (value at row ceil(p·n) of the
+    per-group sort) stated identically in both engines, so unlike
+    percentile_approx/quantile the result is engine-independent. The
+    window sort is PARTITIONED by lang — no global sort — and the
+    pivot to columns is one conditional aggregation."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        ).cast("bigint")
+
+    return r.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+    )

@@ -322,3 +322,9 @@ def test_bpe_pair_counts_no_global_sort(spark):
     plan = _plan(spark, "bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_length_percentiles_no_global_sort(spark):
+    plan = _plan(spark, "length_percentiles")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()
