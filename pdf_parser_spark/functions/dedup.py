@@ -782,6 +782,13 @@ def duplicate_substring_spans(
         F.col(id_col),
         F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
     ).withColumn("gh", F.md5("gram")).drop("gram")
+    # Materialize the slim (id, pos, gh) table once: the dup-gram count
+    # and the position join are divergent branches that would otherwise
+    # each re-run tokenize+shingle+md5 over the full corpus (measured 2x
+    # the query cost at sf0.1). At cluster scale the same role is played
+    # by writing the shingle table out before the self-consuming join;
+    # localCheckpoint so ContextCleaner frees the blocks with the frame.
+    sh = sh.localCheckpoint(eager=True)
     # distinct (gram, doc) first, then plain count — same answer as
     # countDistinct without the Expand double-shuffle
     dup = (
