@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -70,7 +71,13 @@ def build_session(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-        print(f"[pdf_parser_spark] spark.local.dir={local_dir}", flush=True)
+        # stderr, not stdout: bench.py's contract is ONE JSON line on
+        # stdout and this banner would prepend to it
+        print(
+            f"[pdf_parser_spark] spark.local.dir={local_dir}",
+            file=sys.stderr,
+            flush=True,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
