@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_bucketed",
     "ann_topk_bruteforce",
+    "ann_topk_int8",
     "ann_ivf_bucketed",
     "windowed_host_stats",
     "host_running_totals",
@@ -68,6 +69,7 @@ HEADLINE = [
     "model_quality_score",
     "inverted_index",
     "nfc_normalize",
+    "mojibake_score",
     "pack_sequences",
     "mix_corpus",
     "substring_dup_spans",
@@ -77,6 +79,7 @@ HEADLINE = [
     "range_join",
     "rollup_hypertable",
     "sketch_distinct",
+    "hll_distinct",
     "bpe_pair_counts",
     "audio_features",
     "sample_split",

@@ -38,7 +38,45 @@ __all__ = [
     "benchmark_shingles",
     "decontaminate",
     "nfc_normalize_col",
+    "MOJIBAKE_PAIRS",
+    "mojibake_count",
+    "demojibake",
 ]
+
+# UTF-8 bytes misread as cp1252 — the dominant encoding damage in web
+# crawls (ftfy's core case). Artifacts are DERIVED (not hand-typed —
+# the cp1252 renderings are visually confusable): each repaired char's
+# UTF-8 bytes decoded as cp1252. All chosen chars map cleanly.
+_MOJIBAKE_CHARS = "éèäöüñçáóúï—–’“…"
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    (ch.encode("utf-8").decode("cp1252"), ch) for ch in _MOJIBAKE_CHARS
+]
+
+
+def mojibake_count(col: Column | str) -> Column:
+    """Occurrences of known UTF-8-as-cp1252 artifacts, as a pure string
+    expression: Σ (len(s) − len(replace(s, artifact))) / len(artifact).
+    Substring counting (no regex) so both engines agree bit-for-bit —
+    regex '.'-vs-unicode semantics differ between engines; replace()
+    does not. Zero exchanges; one pass per artifact."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for bad, _good in MOJIBAKE_PAIRS:
+        total = total + (
+            F.length(c) - F.length(F.replace(c, F.lit(bad)))
+        ) / F.lit(len(bad))
+    return total.cast("int")
+
+
+def demojibake(col: Column | str) -> Column:
+    """Repair the fixed artifact list by sequential replacement in list
+    order. The order matters in pathological inputs (a replacement can
+    expose a later artifact), so the oracle must apply the SAME order —
+    parity holds because both engines run the identical chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
 
 
 def wrap_chunks(col: Column | str, wrap: int = 12) -> Column:

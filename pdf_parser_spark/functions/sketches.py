@@ -61,3 +61,96 @@ def linear_count_distinct(
         .alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# --- HyperLogLog (Flajolet et al. 2007), md5-replayable -------------------
+#
+# p = 12 → m = 4096 registers; register value ρ = leading-zero count of
+# the 52 hash bits after the bucket + 1, capped at RHO_CAP. The harmonic
+# mean is summed in EXACT INTEGER arithmetic — Σ 2^-ρ is computed as
+# Σ 2^(RHO_CAP-ρ) over bigints, scaled once at the end — because a
+# floating-point Σ is order-dependent (Spark's partial-aggregate order
+# is not deterministic) and would break oracle parity in the last ulp.
+# RHO_CAP = 47 keeps the scaled sum ≤ 4096·2^46 + 4096·2^47 < 2^60;
+# a register exceeding 47 requires 47 leading zero bits (P ≈ 2^-47 per
+# value) — both engines apply the identical cap, so parity holds even
+# in that astronomically rare case.
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers (first 3 md5 hex chars)
+RHO_CAP = 47
+# 0.7213/(1+1.079/m) · m² · 2^RHO_CAP, precomputed so both engines parse
+# the same decimal literal instead of each deriving it in their own fp.
+HLL_ALPHA_M2_SCALED = 1.7026729407717685e21
+
+# bits contributed by the first nonzero hex digit (4 - bit_length(d))
+_HEX_LZ_CASE = (
+    "CASE {c} WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+    "ELSE 0 END"
+)
+
+
+def hll_rho(hash_hex: Column) -> Column:
+    """Register value ρ for a 32-char md5 hex: leading-zero count of
+    bits 13..64 (hex chars 4..16) + 1, capped at RHO_CAP — pure string
+    ops (no numeric hex parse), identical SQL in Spark and DuckDB."""
+    w = F.substring(hash_hex, HLL_P // 4 + 1, 13)
+    lz_hex = F.length(F.regexp_extract(w, "^0*", 0))
+    first = F.substr(w, lz_hex + 1, F.lit(1))
+    head = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.least(lz_hex * 4 + head + 1, F.lit(RHO_CAP)).cast("int")
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count.
+
+    Two bounded aggregations: (group, bucket) → max ρ (at most m = 4096
+    register rows per group survive the map-side combine, however many
+    values stream through), then per group the integer-scaled harmonic
+    mean with the standard small-range correction (linear counting over
+    empty registers when the raw estimate ≤ 2.5m). Unlike Spark's
+    builtin approx_count_distinct (HLL++, engine-private registers),
+    every register here replays from ANSI SQL over md5.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    totals = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.countDistinct(value_col).cast("bigint").alias("exact_distinct"),
+    )
+    regs = (
+        df.select(
+            F.col(group_col),
+            F.substring(h, 1, HLL_P // 4).alias("bucket"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").cast("int").alias("filled_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - r)"))
+        .cast("bigint")
+        .alias("_s"),
+    )
+    z = F.lit(HLL_M) - F.col("filled_registers")
+    denom = F.col("_s") + z.cast("bigint") * F.lit(1 << RHO_CAP).cast("bigint")
+    raw = F.lit(HLL_ALPHA_M2_SCALED) / denom.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (z > 0),
+        F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / z.cast("double"))),
+    ).otherwise(F.round(raw))
+    return per_group.join(totals, group_col).select(
+        group_col,
+        "n_values",
+        "filled_registers",
+        est.cast("bigint").alias("est_distinct_hll"),
+        "exact_distinct",
+    )

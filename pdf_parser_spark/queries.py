@@ -1446,6 +1446,41 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_INT8 = (
+    "SELECT vec_id, CASE WHEN "
+    "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0 "
+    "THEN list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / "
+    "list_max(list_transform(embedding, y -> abs(y::DOUBLE))) + 0.5)::BIGINT) "
+    "ELSE list_transform(embedding, x -> 0::BIGINT) END AS qe "
+    "FROM embeddings"
+)
+
+
+@q(
+    "ann_topk_int8",
+    f"WITH qz AS ({_DUCK_INT8}), "
+    "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cos('q.qe', 'c.qe')} AS _cos "
+    "FROM qz q JOIN qz c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), "
+    "ranked AS (SELECT q_id, neighbor_id, _cos, "
+    "row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, neighbor_id) "
+    "AS rank FROM scored) SELECT q_id, rank::INT AS rank, neighbor_id, "
+    "round(_cos, 4) AS cos FROM ranked WHERE rank <= 5",
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized vectors — the 4×-compression
+    path a billion-vector corpus stores and scans (float32 kept only
+    for reranking, if at all). Scales cancel in the normalized dot, so
+    no dequantization happens at query time; integer dots are exact in
+    doubles, making the score — and therefore the ranking — replayable
+    bit-for-bit from SQL. floor(x+0.5) pins the quantizer's half-way
+    rule to a primitive both engines share."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_int8(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
 _DUCK_CELLS = (
     f"cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "
     f"WHERE vec_id < {_IVF_CELLS}), "
@@ -2563,6 +2598,62 @@ _NFC_MARK_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# mojibake detection/repair (encoding-damage cleanup, ftfy's core case)
+
+_MOJI_SNIPPET = (
+    " caf"
+    + cleaning.MOJIBAKE_PAIRS[0][0]  # é artifact
+    + " fran"
+    + cleaning.MOJIBAKE_PAIRS[6][0]  # ç artifact
+    + "ais "
+    + cleaning.MOJIBAKE_PAIRS[12][0]  # – artifact
+    + cleaning.MOJIBAKE_PAIRS[15][0]  # … artifact
+)
+_MOJI_TEXT_SQL = (
+    f"text || CASE WHEN doc_id % 13 = 3 THEN '{_MOJI_SNIPPET}' ELSE '' END"
+)
+_MOJI_COUNT_SQL = " + ".join(
+    f"(length(raw) - length(replace(raw, '{bad}', ''))) // {len(bad)}"
+    for bad, _ in cleaning.MOJIBAKE_PAIRS
+)
+
+
+def _moji_repair_sql(col: str) -> str:
+    out = col
+    for bad, good in cleaning.MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{bad}', '{good}')"
+    return out
+
+
+@q(
+    "mojibake_score",
+    f"WITH t AS (SELECT doc_id, {_MOJI_TEXT_SQL} AS raw FROM documents) "
+    f"SELECT {URL_SQL} AS url, ({_MOJI_COUNT_SQL})::INT AS n_mojibake, "
+    f"(({_MOJI_COUNT_SQL}) > 0)::INT AS mojibake_flag, "
+    f"{_moji_repair_sql('raw')} AS text_repaired FROM t",
+)
+def mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection and repair (UTF-8 read as cp1252 —
+    ftfy's dominant web-crawl case): count known artifact sequences and
+    emit the repaired text. Pure substring counting and sequential
+    replace() — no regex, whose unicode '.'-semantics differ between
+    engines — so both engines agree bit-for-bit. Map-only, zero
+    exchanges. A deterministic fraction of docs gets a mojibake snippet
+    appended so the flag is non-vacuous; the artifact list is derived
+    from the UTF-8→cp1252 byte mapping, not hand-typed."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MOJI_TEXT_SQL).alias("raw")
+    )
+    n = cleaning.mojibake_count("raw")
+    return docs.select(
+        F.expr(URL_SQL).alias("url"),
+        n.alias("n_mojibake"),
+        (n > 0).cast("int").alias("mojibake_flag"),
+        cleaning.demojibake("raw").alias("text_repaired"),
+    )
+
+
 @q(
     "nfc_normalize",
     f"WITH t AS (SELECT doc_id, {_NFC_MARK_SQL} AS raw FROM documents) "
@@ -2905,6 +2996,60 @@ def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(textstats.tokens("text")).alias("term")
     )
     return sketches.linear_count_distinct(tok, "source", "term")
+
+
+# HyperLogLog twin — DuckDB replays every register from md5 string ops.
+_HLL_W = "substring(h, 4, 13)"
+_HLL_LZ = f"length(regexp_extract({_HLL_W}, '^0*'))"
+_HLL_FIRST = f"substring({_HLL_W}, {_HLL_LZ} + 1, 1)"
+_HLL_RHO = (
+    f"least(4 * {_HLL_LZ} + (CASE {_HLL_FIRST} "
+    "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+    f"ELSE 0 END) + 1, {sketches.RHO_CAP})"
+)
+_HLL_DENOM = (
+    f"(s + (4096 - filled_registers)::BIGINT * (1::BIGINT << {sketches.RHO_CAP}))"
+)
+_HLL_RAW = f"({sketches.HLL_ALPHA_M2_SCALED!r} / {_HLL_DENOM})"
+
+
+@q(
+    "hll_distinct",
+    f"WITH tok AS (SELECT source, unnest({duck_toks('text')}) AS term "
+    "FROM documents), "
+    "hx AS (SELECT source, md5(term) AS h FROM tok), "
+    f"rr AS (SELECT source, substring(h, 1, 3) AS bucket, {_HLL_RHO} AS rho "
+    "FROM hx), "
+    "regs AS (SELECT source, bucket, max(rho) AS r FROM rr "
+    "GROUP BY source, bucket), "
+    "pg AS (SELECT source, count(*)::INT AS filled_registers, "
+    f"sum(1::BIGINT << ({sketches.RHO_CAP} - r))::BIGINT AS s FROM regs "
+    "GROUP BY source), "
+    "tot AS (SELECT source, count(*)::BIGINT AS n_values, "
+    "count(DISTINCT term)::BIGINT AS exact_distinct FROM tok GROUP BY source) "
+    "SELECT source, n_values, filled_registers, "
+    f"(CASE WHEN {_HLL_RAW} <= 10240.0 AND filled_registers < 4096 "
+    "THEN round(4096.0 * ln(4096.0 / (4096 - filled_registers))) "
+    f"ELSE round({_HLL_RAW}) END)::BIGINT AS est_distinct_hll, "
+    "exact_distinct FROM pg JOIN tot USING (source)",
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via HYPERLOGLOG (Flajolet et
+    al. 2007) with md5-replayable registers — the production sketch
+    shape (2 KB of state per group at m=4096 vs linear counting's 8 KB
+    bitmap, and accurate far past the bitmap's saturation point). The
+    harmonic mean is summed in exact integer arithmetic (Σ 2^(cap-ρ)
+    over bigints) because a floating-point Σ is partial-aggregate-order
+    dependent and would break cross-engine parity; the standard small-
+    range linear-counting correction applies below 2.5m. Spark's own
+    approx_count_distinct is the same algorithm with engine-private
+    registers — this one every engine can replay."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(textstats.tokens("text")).alias("term")
+    )
+    return sketches.hll_distinct(tok, "source", "term")
 
 
 # ---------------------------------------------------------------------------

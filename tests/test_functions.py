@@ -884,3 +884,82 @@ def test_chunk_tokens_reconstruction_exhaustive(spark):
                 assert len(part) == size, (n, j)
             toks.extend(part if j == 0 else part[overlap:])
         assert toks == [f"w{i}" for i in range(n)], n
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_hll_distinct_accuracy_and_smallrange(spark):
+    """HLL estimate within 3% at 20k distinct (m=4096 → σ ≈ 1.6%), and
+    the small-range correction path (linear counting over empty
+    registers) engages for tiny cardinalities."""
+    from pdf_parser_spark.functions import sketches
+
+    rows = [("big", f"val{i}") for i in range(20000)] + [
+        ("small", f"x{i % 150}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in sketches.hll_distinct(df, "g", "v").collect()}
+    big = out["big"]
+    assert big["exact_distinct"] == 20000 and big["n_values"] == 20000
+    assert abs(big["est_distinct_hll"] - 20000) / 20000 < 0.03
+    small = out["small"]
+    assert small["exact_distinct"] == 150 and small["n_values"] == 3000
+    # small range: raw ≤ 2.5m, so the estimate is m·ln(m/Z) — near-exact
+    assert abs(small["est_distinct_hll"] - 150) <= 5
+    # registers are duplicate-insensitive: feeding each value 20x more
+    # must not move a single register
+    df20 = spark.createDataFrame(rows * 3, "g string, v string")
+    out3 = {r["g"]: r for r in sketches.hll_distinct(df20, "g", "v").collect()}
+    assert out3["big"]["est_distinct_hll"] == big["est_distinct_hll"]
+    assert out3["big"]["filled_registers"] == big["filled_registers"]
+
+
+# ------------------------------------------------------------ int8 ANN
+
+
+def test_int8_quantize_and_topk(spark, emb):
+    """Quantization edge cases (zero vector → zeros, |q| ≤ 127, exact
+    127 at the max coordinate) and ranking fidelity: int8 top-5 recalls
+    ≥ 4 of the exact float top-5 on the test corpus."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25]), (3, [3.0, 4.0, 0.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["vec_id"]: list(r["q"])
+        for r in df.select(
+            "vec_id", similarity.int8_quantize_expr(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert got[1] == [0, 0, 0]
+    assert got[2] == [64, -127, 32]  # floor(±x·127/1.0 + 0.5)
+    assert got[3] == [95, 127, 0]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(q, emb, k=5).collect()
+    quant = similarity.cosine_topk_int8(q, emb, k=5).collect()
+    ex = {(r.q_id, r.neighbor_id) for r in exact}
+    qz = {(r.q_id, r.neighbor_id) for r in quant}
+    assert len(ex & qz) / len(ex) >= 0.8
+
+
+# ------------------------------------------------------------- mojibake
+
+
+def test_mojibake_count_and_repair(spark):
+    from pdf_parser_spark.functions import cleaning
+
+    # artifact derivation sanity: é's UTF-8 bytes read as cp1252
+    assert cleaning.MOJIBAKE_PAIRS[0] == ("Ã©", "é")
+    damaged = "cafÃ© â€“ franÃ§ais clean text â€¦"
+    df = spark.createDataFrame([(1, damaged), (2, "all clean"), (3, None)],
+                               "id INT, text STRING")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        cleaning.mojibake_count("text").alias("n"),
+        cleaning.demojibake("text").alias("fixed"),
+    ).collect()}
+    assert out[1]["n"] == 4
+    assert out[1]["fixed"] == "café – français clean text …"
+    assert out[2]["n"] == 0 and out[2]["fixed"] == "all clean"
+    assert out[3]["n"] is None and out[3]["fixed"] is None

@@ -328,3 +328,28 @@ def test_length_percentiles_no_global_sort(spark):
     plan = _plan(spark, "length_percentiles")
     assert "Window" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_mojibake_score_map_only(spark):
+    # substring counting + replace chain: pure projection, no exchange,
+    # no Python evaluator
+    plan = _plan(spark, "mojibake_score")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hll_distinct_bounded_aggregations(spark):
+    # register fold = (group, bucket) hash agg, per-group harmonic sum =
+    # second hash agg; partial state bounded by m=4096 per group. The
+    # exact-distinct ride-along adds its Expand; no global sort anywhere.
+    plan = _plan(spark, "hll_distinct")
+    assert "HashAggregate" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_topk_int8_broadcast_query_side(spark):
+    # quantized brute-force twin keeps the broadcast-queries/streaming-
+    # corpus shape: no shuffle of the corpus before scoring
+    plan = _plan(spark, "ann_topk_int8")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
