@@ -80,6 +80,7 @@ HEADLINE = [
     "rollup_hypertable",
     "sketch_distinct",
     "hll_distinct",
+    "countmin_freq",
     "bpe_pair_counts",
     "audio_features",
     "sample_split",

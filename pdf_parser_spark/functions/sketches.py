@@ -154,3 +154,79 @@ def hll_distinct(
         est.cast("bigint").alias("est_distinct_hll"),
         "exact_distinct",
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#
+# Frequency estimation in d·w bounded state: d independent hash rows of
+# w buckets; est(x) = min_j table[j][h_j(x)] ≥ true(x), with the
+# overestimate bounded by the collision mass. Hash rows are derived
+# from md5('<j>:' || value) and buckets stay HEX STRINGS (3 chars =
+# 4096 buckets) — no numeric hex parse, so any ANSI-SQL engine replays
+# the table bit-for-bit.
+
+CM_DEPTH = 4
+CM_BUCKET_HEX = 3  # 16^3 = 4096 buckets per row
+
+
+def cm_bucket(value: Column, j: int) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))),
+        1,
+        CM_BUCKET_HEX,
+    )
+
+
+def count_min_table(df: DataFrame, value_col: str) -> DataFrame:
+    """Build the sketch: (j, bucket, cnt) rows — at most CM_DEPTH·4096
+    rows survive the map-side combine however large the input. The
+    d-way replication happens AFTER the per-value pre-aggregation, so
+    the exploded stream is |distinct| · d, not |rows| · d."""
+    per_value = df.groupBy(value_col).agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    rows = per_value.select(
+        F.col("_c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cm_bucket(F.col(value_col), j).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    return rows.groupBy("p.j", "p.bucket").agg(
+        F.sum("_c").cast("bigint").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str
+) -> DataFrame:
+    """Estimate each probe value's frequency: min over the d rows of
+    its bucket counters. Probes broadcast (heavy-hitter candidate sets
+    are small); the sketch side is at most d·4096 rows."""
+    keyed = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cm_bucket(F.col(value_col), j).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select(value_col, "p.j", "p.bucket")
+    return (
+        F.broadcast(keyed)
+        .join(sketch, ["j", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").cast("bigint").alias("est_count"))
+    )

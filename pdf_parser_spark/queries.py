@@ -3052,6 +3052,47 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_distinct(tok, "source", "term")
 
 
+_CM_J = "(SELECT unnest([0, 1, 2, 3]) AS j)"
+
+
+@q(
+    "countmin_freq",
+    f"WITH tok AS (SELECT unnest({duck_toks('text')}) AS term "
+    "FROM documents), "
+    "pv AS (SELECT term, count(*)::BIGINT AS true_count FROM tok "
+    "GROUP BY term), "
+    f"rows_ AS (SELECT j, substring(md5(j::VARCHAR || ':' || term), 1, 3) "
+    f"AS bucket, true_count AS c FROM pv, {_CM_J}), "
+    "sk AS (SELECT j, bucket, sum(c)::BIGINT AS cnt FROM rows_ "
+    "GROUP BY j, bucket), "
+    "top AS (SELECT term, true_count FROM pv "
+    "ORDER BY true_count DESC, term LIMIT 20), "
+    "probe AS (SELECT term, true_count, j, "
+    "substring(md5(j::VARCHAR || ':' || term), 1, 3) AS bucket "
+    f"FROM top, {_CM_J}) "
+    "SELECT term, true_count, min(cnt)::BIGINT AS est_count "
+    "FROM probe JOIN sk USING (j, bucket) GROUP BY term, true_count",
+)
+def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency estimation via a COUNT-MIN sketch
+    (Cormode & Muthukrishnan 2005) with md5-replayable hash rows:
+    4×4096 bounded counters however many distinct terms stream through
+    — the frequency-side complement of the HLL cardinality sketch
+    (`hll_distinct`). est ≥ true always; the top-20 true terms ride
+    along so the overestimate is visible. Build = one bounded
+    aggregation (d-way replication AFTER the per-term pre-agg); probe =
+    a broadcast join of 80 rows against the ≤16k-row sketch."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(textstats.tokens("text")).alias("term"))
+    pv = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    top = pv.orderBy(F.desc("true_count"), "term").limit(20)
+    sketch = sketches.count_min_table(tok, "term")
+    est = sketches.count_min_estimate(sketch, top.select("term"), "term")
+    return top.join(est, "term").select("term", "true_count", "est_count")
+
+
 # ---------------------------------------------------------------------------
 # bigram LM surprisal (order-2 perplexity filter)
 

@@ -963,3 +963,27 @@ def test_mojibake_count_and_repair(spark):
     assert out[1]["fixed"] == "café – français clean text …"
     assert out[2]["n"] == 0 and out[2]["fixed"] == "all clean"
     assert out[3]["n"] is None and out[3]["fixed"] is None
+
+
+def test_count_min_overestimates_never_under(spark):
+    """CM guarantee: est(x) ≥ true(x) for every value, and exact when
+    no collision lands in any of the value's d buckets (near-certain
+    for a small distinct set vs 4×4096 counters)."""
+    from pdf_parser_spark.functions import sketches
+
+    rows = [(f"t{i % 97}",) for i in range(5000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = sketches.count_min_table(df, "term")
+    assert sk.count() <= sketches.CM_DEPTH * 4096
+    probes = df.distinct()
+    est = {
+        r["term"]: r["est_count"]
+        for r in sketches.count_min_estimate(sk, probes, "term").collect()
+    }
+    true = {r["term"]: r["c"] for r in df.groupBy("term").agg(
+        F.count("*").alias("c")).collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= true[t] for t in true)
+    # 98 distinct values in 16384 counters: expect almost all exact
+    exact = sum(1 for t in true if est[t] == true[t])
+    assert exact >= 90

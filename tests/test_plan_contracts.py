@@ -353,3 +353,11 @@ def test_ann_topk_int8_broadcast_query_side(spark):
     plan = _plan(spark, "ann_topk_int8")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_countmin_bounded_sketch_and_topk_cut(spark):
+    # sketch build = hash aggregations (bounded d·w state); the top-20
+    # probe cut is TakeOrderedAndProject, never a global sort exchange
+    plan = _plan(spark, "countmin_freq")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
