@@ -81,6 +81,7 @@ HEADLINE = [
     "sketch_distinct",
     "hll_distinct",
     "countmin_freq",
+    "hll_merge",
     "bpe_pair_counts",
     "audio_features",
     "sample_split",

@@ -107,6 +107,55 @@ def hll_rho(hash_hex: Column) -> Column:
     return F.least(lz_hex * 4 + head + 1, F.lit(RHO_CAP)).cast("int")
 
 
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """(group..., bucket, r) register rows — max ρ per bucket. max is
+    associative/commutative/idempotent, so registers built over any
+    partitioning of the data merge (by another max) into exactly the
+    registers of the whole — the property that lets every executor
+    sketch its split independently and a final reduce see the union."""
+    h = F.md5(F.col(value_col).cast("string"))
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.substring(h, 1, HLL_P // 4).alias("bucket"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def _fold_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    return gb.agg(
+        F.count("*").cast("int").alias("filled_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - r)"))
+        .cast("bigint")
+        .alias("_s"),
+    )
+
+
+def hll_estimate_expr(
+    filled_col: str = "filled_registers", s_col: str = "_s"
+) -> Column:
+    """The HLL estimate from (filled register count, integer-scaled
+    harmonic sum) — shared by the grouped sketch and the merge path so
+    the formula exists exactly once."""
+    z = F.lit(HLL_M) - F.col(filled_col)
+    denom = F.col(s_col) + z.cast("bigint") * F.lit(1 << RHO_CAP).cast(
+        "bigint"
+    )
+    raw = F.lit(HLL_ALPHA_M2_SCALED) / denom.cast("double")
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (z > 0),
+        F.round(
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / z.cast("double"))
+        ),
+    ).otherwise(F.round(raw))
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -120,39 +169,57 @@ def hll_distinct(
     builtin approx_count_distinct (HLL++, engine-private registers),
     every register here replays from ANSI SQL over md5.
     """
-    h = F.md5(F.col(value_col).cast("string"))
     totals = df.groupBy(group_col).agg(
         F.count("*").cast("bigint").alias("n_values"),
         F.countDistinct(value_col).cast("bigint").alias("exact_distinct"),
     )
-    regs = (
-        df.select(
-            F.col(group_col),
-            F.substring(h, 1, HLL_P // 4).alias("bucket"),
-            hll_rho(h).alias("rho"),
-        )
-        .groupBy(group_col, "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
-    per_group = regs.groupBy(group_col).agg(
-        F.count("*").cast("int").alias("filled_registers"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - r)"))
-        .cast("bigint")
-        .alias("_s"),
-    )
-    z = F.lit(HLL_M) - F.col("filled_registers")
-    denom = F.col("_s") + z.cast("bigint") * F.lit(1 << RHO_CAP).cast("bigint")
-    raw = F.lit(HLL_ALPHA_M2_SCALED) / denom.cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (z > 0),
-        F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / z.cast("double"))),
-    ).otherwise(F.round(raw))
+    regs = hll_registers(df, value_col, [group_col])
+    per_group = _fold_registers(regs, [group_col])
+    est = hll_estimate_expr()
     return per_group.join(totals, group_col).select(
         group_col,
         "n_values",
         "filled_registers",
         est.cast("bigint").alias("est_distinct_hll"),
         "exact_distinct",
+    )
+
+
+def hll_merge_invariant(
+    df: DataFrame, value_col: str, part_col: str
+) -> DataFrame:
+    """One row proving the sketch's distributive law ON THE DATA:
+    registers built per ``part_col`` split and merged by max equal the
+    registers of the whole, so the merged estimate equals the direct
+    estimate bit-for-bit. This is the property that makes HLL work
+    across executors, parquet files, and streaming micro-batches — the
+    merge is a 4096-row max, not a re-scan.
+
+    Output: (n_parts, est_direct, est_merged, merge_exact INT,
+    exact_distinct)."""
+    part_regs = hll_registers(df, value_col, [part_col])
+    merged = _fold_registers(
+        part_regs.groupBy("bucket").agg(F.max("r").alias("r")), []
+    ).select(hll_estimate_expr().cast("bigint").alias("est_merged"))
+    direct = _fold_registers(hll_registers(df, value_col, []), []).select(
+        hll_estimate_expr().cast("bigint").alias("est_direct")
+    )
+    totals = df.agg(
+        F.countDistinct(part_col).cast("int").alias("n_parts"),
+        F.countDistinct(value_col).cast("bigint").alias("exact_distinct"),
+    )
+    return (
+        totals.crossJoin(direct)
+        .crossJoin(merged)
+        .select(
+            "n_parts",
+            "est_direct",
+            "est_merged",
+            (F.col("est_merged") == F.col("est_direct"))
+            .cast("int")
+            .alias("merge_exact"),
+            "exact_distinct",
+        )
     )
 
 

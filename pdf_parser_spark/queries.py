@@ -3014,6 +3014,21 @@ _HLL_DENOM = (
 _HLL_RAW = f"({sketches.HLL_ALPHA_M2_SCALED!r} / {_HLL_DENOM})"
 
 
+def _hll_est_sql(filled: str, s: str) -> str:
+    """DuckDB twin of sketches.hll_estimate_expr for arbitrary column
+    references (used twice by the merge-invariant oracle)."""
+    denom = (
+        f"({s} + (4096 - {filled})::BIGINT * (1::BIGINT << "
+        f"{sketches.RHO_CAP}))"
+    )
+    raw = f"({sketches.HLL_ALPHA_M2_SCALED!r} / {denom})"
+    return (
+        f"(CASE WHEN {raw} <= 10240.0 AND {filled} < 4096 "
+        f"THEN round(4096.0 * ln(4096.0 / (4096 - {filled}))) "
+        f"ELSE round({raw}) END)::BIGINT"
+    )
+
+
 @q(
     "hll_distinct",
     f"WITH tok AS (SELECT source, unnest({duck_toks('text')}) AS term "
@@ -3050,6 +3065,47 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(textstats.tokens("text")).alias("term")
     )
     return sketches.hll_distinct(tok, "source", "term")
+
+
+@q(
+    "hll_merge",
+    "WITH tok AS (SELECT doc_id % 16 AS part, unnest("
+    f"{duck_shingles(duck_toks('text'), 3)}) AS term FROM documents), "
+    "hx AS (SELECT part, term, md5(term) AS h FROM tok), "
+    f"rr AS (SELECT part, substring(h, 1, 3) AS bucket, {_HLL_RHO} AS rho "
+    "FROM hx), "
+    "preg AS (SELECT part, bucket, max(rho) AS r FROM rr "
+    "GROUP BY part, bucket), "
+    "mreg AS (SELECT bucket, max(r) AS r FROM preg GROUP BY bucket), "
+    "dreg AS (SELECT bucket, max(rho) AS r FROM rr GROUP BY bucket), "
+    "mf AS (SELECT count(*)::INT AS mfill, "
+    f"sum(1::BIGINT << ({sketches.RHO_CAP} - r))::BIGINT AS ms FROM mreg), "
+    "dfold AS (SELECT count(*)::INT AS dfill, "
+    f"sum(1::BIGINT << ({sketches.RHO_CAP} - r))::BIGINT AS ds FROM dreg), "
+    "tot AS (SELECT count(DISTINCT part)::INT AS n_parts, "
+    "count(DISTINCT term)::BIGINT AS exact_distinct FROM tok) "
+    f"SELECT n_parts, {_hll_est_sql('dfill', 'ds')} AS est_direct, "
+    f"{_hll_est_sql('mfill', 'ms')} AS est_merged, "
+    f"({_hll_est_sql('mfill', 'ms')} = {_hll_est_sql('dfill', 'ds')})::INT "
+    "AS merge_exact, exact_distinct FROM tot, dfold, mf",
+)
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch distributive law proven on the data: HLL registers
+    built independently over 16 simulated partitions (doc_id % 16) and
+    merged by a 4096-row max equal the whole-corpus registers, so the
+    merged estimate matches the direct one bit-for-bit (merge_exact=1).
+    This is why sketches beat exact counts at 100 TB: every executor
+    sketches its split, the reduce merges registers — no value ever
+    crosses the wire twice, and streaming micro-batches merge the same
+    way."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 16).cast("int").alias("part"),
+        F.explode(
+            textstats.shingles(textstats.tokens("text"), 3)
+        ).alias("term"),
+    )
+    return sketches.hll_merge_invariant(tok, "term", "part")
 
 
 _CM_J = "(SELECT unnest([0, 1, 2, 3]) AS j)"

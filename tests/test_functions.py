@@ -987,3 +987,17 @@ def test_count_min_overestimates_never_under(spark):
     # 98 distinct values in 16384 counters: expect almost all exact
     exact = sum(1 for t in true if est[t] == true[t])
     assert exact >= 90
+
+
+def test_hll_merge_invariant_any_partitioning(spark):
+    """Registers merged from ANY split equal the whole's registers —
+    max is associative/commutative/idempotent — so the merged estimate
+    is bit-identical to the direct one."""
+    from pdf_parser_spark.functions import sketches
+
+    rows = [(i % 7, f"v{i % 3000}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "part int, v string")
+    r = sketches.hll_merge_invariant(df, "v", "part").collect()[0]
+    assert r["merge_exact"] == 1
+    assert r["n_parts"] == 7 and r["exact_distinct"] == 3000
+    assert abs(r["est_direct"] - 3000) / 3000 < 0.05
