@@ -72,6 +72,7 @@ HEADLINE = [
     "mojibake_score",
     "pack_sequences",
     "mix_corpus",
+    "mix_temperature",
     "substring_dup_spans",
     "unigram_surprisal",
     "bigram_surprisal",

@@ -120,6 +120,59 @@ def _bucket16(key: Column | str, salt: str = "") -> Column:
     return out.cast("bigint")
 
 
+def mix_temperature(
+    df: DataFrame,
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-smoothed corpus mixing at α = 0.5 (T = 2 — the
+    multilingual-LM standard for upweighting low-resource strata, cf.
+    mC4/XLM-R): the output token share of stratum g follows
+    supply^α / Σ supply^α instead of raw supply.
+
+    At α = 0.5 the per-stratum keep fraction collapses to
+    f_g = √(L_min / L_g) — the normalization Σ cancels — so membership
+    is EXACT INTEGER arithmetic: keep iff bucket² · L_g < 65536² ·
+    L_min (square both sides; bucket ≥ 0). No float enters the rule,
+    so no cross-engine ulp hazard and no order-dependent float Σ over
+    strata. The scarcest stratum keeps 100%; a stratum with 4× the
+    supply keeps 50% of it (2× the scarcest's tokens — smoothed, not
+    equalized).
+
+    Overflow bound: bucket² ≤ 2³², so the rule stays in int64 while
+    L_g < 2³¹ tokens per stratum; beyond that divide both L's by a
+    common power of two first (the comparison is scale-invariant).
+
+    Plan: one tiny per-stratum aggregation, driver-side min (#strata
+    rows), broadcast threshold join, pure corpus-side filter — the
+    corpus is never shuffled.
+    """
+    from .textstats import ws_token_count
+
+    totals = {
+        r[strat_col]: r["toks"]
+        for r in df.groupBy(strat_col)
+        .agg(F.sum(ws_token_count(text_col)).cast("bigint").alias("toks"))
+        .collect()
+    }
+    if not totals:
+        raise ValueError("empty corpus")
+    l_min = min(totals.values())
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(g, totals[g]) for g in sorted(totals)],
+        f"{strat_col} string, strat_toks bigint",
+    )
+    b = _bucket16(key_col, salt)
+    return (
+        df.join(F.broadcast(thr), strat_col)
+        .where(b * b * F.col("strat_toks") < F.lit(65536 * 65536 * l_min))
+        .drop("strat_toks")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, int],

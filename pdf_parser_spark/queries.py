@@ -2740,6 +2740,43 @@ _MIX_BUCKET_SQL = (
 )
 
 
+_TEMP_BUCKET_SQL = _MIX_BUCKET_SQL.replace("substr(h,", "substr(ht,")
+
+
+@q(
+    "mix_temperature",
+    "WITH tc AS (SELECT lang, "
+    f"sum(len({duck_toks('text')}))::BIGINT AS strat_toks "
+    "FROM documents GROUP BY lang), "
+    "lm AS (SELECT min(strat_toks)::BIGINT AS l_min FROM tc), "
+    "b AS (SELECT doc_id, lang, "
+    f"len({duck_toks('text')})::INT AS n_tokens, "
+    "substr(md5(doc_id::VARCHAR || 'temp'), 1, 4) AS ht FROM documents) "
+    f"SELECT {URL_SQL} AS url, lang, n_tokens "
+    "FROM b JOIN tc USING (lang), lm "
+    f"WHERE {_TEMP_BUCKET_SQL} * {_TEMP_BUCKET_SQL} * strat_toks "
+    "< 4294967296 * l_min",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixing at α = 0.5 (T = 2, the mC4/XLM-R
+    low-resource upweighting): output token share ∝ √supply. The
+    normalization cancels at α = 0.5, leaving keep-fraction
+    √(L_min/L_g), enforced as the exact integer rule bucket²·L_g <
+    65536²·L_min — no float in membership, so no cross-engine ulp
+    hazard. Broadcast threshold join + pure corpus-side filter."""
+    from .functions import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = sampling.mix_temperature(
+        docs.select("doc_id", "lang", "text")
+    )
+    return kept.select(
+        F.expr(URL_SQL).alias("url"),
+        "lang",
+        textstats.ws_token_count("text").alias("n_tokens"),
+    )
+
+
 @q(
     "mix_corpus",
     "WITH tc AS (SELECT lang, "

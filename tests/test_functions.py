@@ -1001,3 +1001,20 @@ def test_hll_merge_invariant_any_partitioning(spark):
     assert r["merge_exact"] == 1
     assert r["n_parts"] == 7 and r["exact_distinct"] == 3000
     assert abs(r["est_direct"] - 3000) / 3000 < 0.05
+
+
+def test_mix_temperature_sqrt_shares(spark):
+    """α=0.5 smoothing: the scarcest stratum keeps everything; a
+    stratum with 4× the supply keeps ~√(1/4) of it (2× the scarcest's
+    tokens); membership is the exact integer rule (no float)."""
+    from pdf_parser_spark.functions import sampling
+
+    rows = [(i, "lo", "w " * 10) for i in range(100)] + [
+        (1000 + i, "hi", "w " * 10) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = sampling.mix_temperature(df).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert by["lo"] == 100  # scarcest keeps 100%
+    # hi keeps √(1000/4000) = 0.5 in expectation over the 16-bit hash
+    assert 150 <= by["hi"] <= 250
