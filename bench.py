@@ -83,6 +83,7 @@ HEADLINE = [
     "hll_distinct",
     "countmin_freq",
     "hll_merge",
+    "hll_stream_twin",
     "bpe_pair_counts",
     "audio_features",
     "sample_split",

@@ -297,3 +297,54 @@ def count_min_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").cast("bigint").alias("est_count"))
     )
+
+
+# --- pure-Python register twins (streaming state + tests) ------------------
+#
+# The streaming operator keeps HLL registers AS ITS STATE (16 KB per
+# key however many values stream through), updating them per
+# micro-batch with exactly the same bucket/ρ/estimate rules as the SQL
+# expressions above — hashlib.md5 and F.md5 agree byte-for-byte, so a
+# streaming estimate equals the batch estimate over the same values.
+
+_HEAD_BITS = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def py_bucket_rho(value: str) -> tuple[int, int]:
+    """(bucket index, ρ) for a value — the Python twin of
+    (substring(md5,1,3), hll_rho)."""
+    import hashlib
+
+    h = hashlib.md5(value.encode("utf-8")).hexdigest()
+    bucket = int(h[: HLL_P // 4], 16)
+    w = h[HLL_P // 4 : HLL_P // 4 + 13]
+    lz = len(w) - len(w.lstrip("0"))
+    head = _HEAD_BITS.get(w[lz : lz + 1], 0)
+    return bucket, min(4 * lz + head + 1, RHO_CAP)
+
+
+def py_update_registers(regs: list[int], values) -> list[int]:
+    """Fold values into a dense m-register list (mutates and returns)."""
+    for v in values:
+        b, rho = py_bucket_rho(v)
+        if rho > regs[b]:
+            regs[b] = rho
+    return regs
+
+
+def py_estimate(regs: list[int]) -> tuple[int, int]:
+    """(filled_registers, estimate) from dense registers — integer-
+    scaled harmonic mean + small-range correction, the exact twin of
+    hll_estimate_expr."""
+    import math
+
+    filled = sum(1 for r in regs if r > 0)
+    s = sum(1 << (RHO_CAP - r) for r in regs if r > 0)
+    z = HLL_M - filled
+    denom = s + z * (1 << RHO_CAP)
+    raw = HLL_ALPHA_M2_SCALED / float(denom)
+    if raw <= 2.5 * HLL_M and z > 0:
+        est = round(float(HLL_M) * math.log(float(HLL_M) / z))
+    else:
+        est = round(raw)
+    return filled, int(est)

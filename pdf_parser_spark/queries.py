@@ -3145,6 +3145,42 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_merge_invariant(tok, "term", "part")
 
 
+@q(
+    "hll_stream_twin",
+    f"WITH w AS (SELECT {HOST_SQL} AS host, {URL_SQL} AS url "
+    "FROM documents UNION ALL "
+    f"SELECT {HOST_SQL}, {URL_SQL} FROM documents), "
+    "hx AS (SELECT host, url, md5(url) AS h FROM w), "
+    f"rr AS (SELECT host, substring(h, 1, 3) AS bucket, {_HLL_RHO} AS rho "
+    "FROM hx), "
+    "regs AS (SELECT host, bucket, max(rho) AS r FROM rr "
+    "GROUP BY host, bucket), "
+    "pg AS (SELECT host, count(*)::INT AS filled_registers, "
+    f"sum(1::BIGINT << ({sketches.RHO_CAP} - r))::BIGINT AS s FROM regs "
+    "GROUP BY host), "
+    "tot AS (SELECT host, count(*)::BIGINT AS n_values, "
+    "count(DISTINCT url)::BIGINT AS exact_distinct FROM w GROUP BY host) "
+    "SELECT host, n_values, filled_registers, "
+    f"{_hll_est_sql('filled_registers', 's')} AS est_distinct_hll, "
+    "exact_distinct FROM pg JOIN tot USING (host)",
+)
+def hll_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming sketch
+    (streaming/ingest.stateful_host_distinct — HLL registers AS the
+    applyInPandasWithState state, 4096 ints per host however many urls
+    stream through): per-host distinct-URL estimate over the corpus
+    plus a full re-crawl of the SAME urls. Registers are idempotent
+    under duplicates, so the re-crawl moves nothing — n_values doubles,
+    the estimate doesn't. The Python state twin is byte-identical to
+    these SQL register rules (pinned by
+    tests/test_sinks_streaming.py::test_stateful_host_distinct_hll_state
+    and the py/SQL twin equality in test_functions)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr(_HOST_ONLY_SQL).alias("host"), F.expr(URL_SQL).alias("url")
+    )
+    return sketches.hll_distinct(docs.unionAll(docs), "host", "url")
+
+
 _CM_J = "(SELECT unnest([0, 1, 2, 3]) AS j)"
 
 

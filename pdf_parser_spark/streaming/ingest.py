@@ -415,3 +415,91 @@ def run_streaming_sessions(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# stateful sketch operator: cross-batch distinct estimate in bounded state
+
+
+HLL_STATE_SCHEMA = "regs ARRAY<INT>"
+HLL_OUT_SCHEMA = (
+    "host STRING, batch_values BIGINT, filled_registers INT, "
+    "est_distinct BIGINT"
+)
+
+
+def stateful_host_distinct(stream: DataFrame) -> DataFrame:
+    """Running per-host DISTINCT-URL estimate across micro-batches with
+    HyperLogLog registers as the ``applyInPandasWithState`` state — the
+    bounded-state alternative to keeping every URL ever seen (an exact
+    streaming distinct's state grows without limit; this is 4096 ints
+    per host forever).
+
+    Each trigger folds the batch's urls into the registers
+    (``sketches.py_update_registers`` — the byte-identical Python twin
+    of the SQL register rules, so a streaming estimate equals the batch
+    `hll_distinct` over the same values) and emits the running
+    estimate. Duplicate urls across batches are free: max is
+    idempotent, so a re-crawled page never moves a register — the
+    streaming analog of the `hll_merge` invariant.
+    """
+    from ..functions import sketches
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        host = key[0]
+        regs = list(state.get[0]) if state.exists else [0] * sketches.HLL_M
+        batch_values = 0
+        for pdf in pdfs:
+            batch_values += len(pdf)
+            sketches.py_update_registers(regs, pdf["url"].tolist())
+        state.update((regs,))
+        filled, est = sketches.py_estimate(regs)
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "batch_values": [batch_values],
+                "filled_registers": [filled],
+                "est_distinct": [est],
+            }
+        )
+
+    return (
+        stream.select("host", "url")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HLL_OUT_SCHEMA,
+            stateStructType=HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_stateful_distinct(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Drive ``stateful_host_distinct`` into an in-memory sink (same
+    harness shape as ``run_stateful_totals``)."""
+    stream = (
+        spark.readStream.schema(WEBDOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    est = stateful_host_distinct(stream)
+    writer = (
+        est.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -364,3 +364,54 @@ def test_streaming_sessions_emit_on_watermark_close(spark, tmp_path):
         for r in streaming_sessions(full, gap="10 minutes").collect()
     }
     assert emitted < batch and len(batch) == 4
+
+
+def test_stateful_host_distinct_hll_state(spark, tmp_path):
+    """HLL registers as streaming state: the running estimate after the
+    last micro-batch equals the batch sketch over the union of batches,
+    and a re-crawled (duplicate) url never moves a register."""
+    import time as _time
+
+    from pdf_parser_spark.functions import sketches
+    from pdf_parser_spark.streaming.ingest import run_stateful_distinct
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = _mini_webdocs(
+        spark,
+        [(i, "ha", "2024-01-01 00:00:00", b"x") for i in range(40)]
+        + [(1000, "hb", "2024-01-01 00:00:00", b"x")],
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    # batch 2: 20 NEW urls for ha + 10 re-crawls of batch-1 urls
+    b2 = _mini_webdocs(
+        spark,
+        [(40 + i, "ha", "2024-01-01 00:01:00", b"x") for i in range(20)]
+        + [(i, "ha", "2024-01-01 00:01:00", b"x") for i in range(10)],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_stateful_distinct(spark, src, "host_distinct_t", ckpt)
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_distinct_t").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["host"])
+        if cur is None or r["filled_registers"] >= cur["filled_registers"]:
+            final[r["host"]] = r
+
+    assert final["hb"]["est_distinct"] == 1  # small-range exact
+    ha = final["ha"]
+    assert ha["batch_values"] == 30  # second trigger: 20 new + 10 dups
+    # the estimate is a real HLL estimate near 60, exact via small-range
+    assert abs(ha["est_distinct"] - 60) <= 2
+    # duplicate insensitivity: re-running the same urls adds nothing —
+    # emitted register count is monotone and the batch-2 row equals the
+    # python twin over the DISTINCT union
+    twin = [0] * sketches.HLL_M
+    sketches.py_update_registers(
+        twin, [f"https://ha/doc/{did}" for did in range(60)]
+    )
+    f_twin, e_twin = sketches.py_estimate(twin)
+    assert (ha["filled_registers"], ha["est_distinct"]) == (f_twin, e_twin)
