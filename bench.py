@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_embedding_bucketed",
     "ann_topk_bruteforce",
     "ann_topk_int8",
+    "ann_ivf_int8",
     "ann_ivf_bucketed",
     "windowed_host_stats",
     "host_running_totals",

@@ -354,6 +354,7 @@ def ivf_topk(
     round_digits: int = 4,
     centroids: list[list[float]] | None = None,
     nprobe: int = 1,
+    quantize: bool = False,
 ) -> DataFrame:
     """ANN top-k probing the query's *nprobe* nearest IVF cells.
 
@@ -364,7 +365,11 @@ def ivf_topk(
     toy quantizer. ``nprobe > 1`` explodes each query into its nprobe
     nearest cells before the join (recall ↑, candidates ×nprobe — the
     standard IVF knob); each corpus vector still lives in exactly one
-    cell, so no result dedup is needed.
+    cell, so no result dedup is needed. ``quantize=True`` scores with
+    int8-quantized vectors (:func:`int8_quantize_expr`) while the cell
+    assignment stays on the float vector — the IVF-with-quantized-
+    storage combination a billion-vector deployment runs (coarse
+    quantizer in float, stored vectors at 4× compression).
     """
 
     if centroids is not None:
@@ -381,16 +386,19 @@ def ivf_topk(
         cell_col = ivf_cell_expr(F.col(vec_col), bits)
         q_cell = cell_col
 
+    vec_out = (
+        int8_quantize_expr(F.col(vec_col)) if quantize else F.col(vec_col)
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("qv"),
+            vec_out.alias("qv"),
             q_cell.alias("cell"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        vec_out.alias("cv"),
         cell_col.alias("cell"),
     )
     pairs = c.join(q, "cell").where(F.col("q_id") != F.col("neighbor_id"))

@@ -1521,6 +1521,41 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ann_ivf_int8",
+    f"WITH {_DUCK_CELLS}, "
+    "qz AS (SELECT vec_id, cell, CASE WHEN "
+    "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0 "
+    "THEN list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / "
+    "list_max(list_transform(embedding, y -> abs(y::DOUBLE))) + 0.5)::BIGINT) "
+    "ELSE list_transform(embedding, x -> 0::BIGINT) END AS qe FROM cells), "
+    "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, "
+    f"{_duck_cos('q.qe', 'c.qe')} AS _cos "
+    "FROM qz q JOIN qz c ON q.cell = c.cell AND q.vec_id < 10 AND "
+    "q.vec_id <> c.vec_id), ranked AS (SELECT q_id, neighbor_id, _cos, "
+    "row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, neighbor_id) "
+    "AS rank FROM scored) SELECT q_id, rank::INT AS rank, neighbor_id, "
+    "round(_cos, 4) AS cos FROM ranked WHERE rank <= 3",
+)
+def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN combination: IVF cells bound the candidate
+    set (equi-join on cell id — the 100 TB join shape) while the stored
+    vectors are int8-quantized (4× less memory/IO). The coarse
+    quantizer assigns cells on the float vector; scoring runs on the
+    quantized one — exactly the float-codebook/compressed-storage split
+    of a billion-vector deployment. Rankings replay bit-for-bit (exact
+    integer dots in doubles)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _ivf_codebook(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=3,
+        centroids=cents,
+        quantize=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 

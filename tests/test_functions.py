@@ -1018,3 +1018,15 @@ def test_mix_temperature_sqrt_shares(spark):
     assert by["lo"] == 100  # scarcest keeps 100%
     # hi keeps √(1000/4000) = 0.5 in expectation over the 16-bit hash
     assert 150 <= by["hi"] <= 250
+
+
+def test_ivf_int8_recall(spark, emb):
+    """IVF + int8 storage: quantized within-cell rankings recall most
+    of the float IVF top-3 (same cells, compressed vectors)."""
+    q = emb.where(F.col("vec_id") < 10)
+    cb = similarity.kmeans_codebook(emb, n_cells=8, iters=8)
+    fl = similarity.ivf_topk(q, emb, k=3, centroids=cb).collect()
+    qz = similarity.ivf_topk(q, emb, k=3, centroids=cb, quantize=True).collect()
+    fls = {(r.q_id, r.neighbor_id) for r in fl}
+    qzs = {(r.q_id, r.neighbor_id) for r in qz}
+    assert len(fls & qzs) / len(fls) >= 0.7
