@@ -361,3 +361,21 @@ def test_countmin_bounded_sketch_and_topk_cut(spark):
     plan = _plan(spark, "countmin_freq")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_mix_temperature_broadcast_filter(spark):
+    # threshold table broadcasts; the corpus side is a pure filter —
+    # never shuffled for the join, no sort anywhere
+    plan = _plan(spark, "mix_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_ivf_int8_equi_join_on_cell(spark):
+    # the candidate cut is a hash equi-join on the cell id, not a
+    # nested-loop cross join
+    plan = _plan(spark, "ann_ivf_int8")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
