@@ -14,6 +14,7 @@ public spec:
 
 from __future__ import annotations
 
+from .crypt import StandardDecryptor, UnsupportedEncryption
 from .filters import decode_stream
 from .lexer import Name, PdfLexer, Ref, Stream, parse_indirect_object
 
@@ -42,7 +43,16 @@ class PdfDocument:
         self._gens: dict[int, int] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        # RC4 standard-security support (crypt.py): decryptor is set when
+        # the empty user password verifies; encryption_error is set when
+        # an /Encrypt dict exists but is outside the supported subset
+        # (AES, real password, malformed) — callers surface it as the
+        # typed 'encrypted' audit row instead of decoding garbage.
+        self.decryptor: StandardDecryptor | None = None
+        self.encryption_error: str | None = None
+        self._encrypt_obj_num: int | None = None
         self._load_xref()
+        self._setup_encryption()
 
     # ------------------------------------------------------------------ xref
 
@@ -148,6 +158,64 @@ class PdfDocument:
                 # type 0 = free
         return dict(sd)
 
+    # ------------------------------------------------------------ encryption
+
+    def _setup_encryption(self) -> None:
+        """Install the RC4 decryptor when /Encrypt names the standard
+        security handler and the EMPTY user password verifies (ISO
+        32000-1 §7.6.3 Algorithms 2/6) — the common crawl case. Any
+        other encryption records a typed error instead."""
+        enc = self.trailer.get("Encrypt")
+        if enc is None:
+            return
+        if isinstance(enc, Ref):
+            self._encrypt_obj_num = enc.num
+            enc = self.get_object(enc.num)
+        if not isinstance(enc, dict):
+            self.encryption_error = "malformed /Encrypt"
+            return
+        ids = self.trailer.get("ID")
+        if isinstance(ids, Ref):
+            ids = self.get_object(ids.num)
+        id0 = (
+            ids[0]
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+            else b""
+        )
+        try:
+            self.decryptor = StandardDecryptor(
+                {str(k): self.resolve(v) for k, v in enc.items()}, id0
+            )
+        except UnsupportedEncryption as exc:
+            self.encryption_error = str(exc)
+        except (ValueError, TypeError) as exc:
+            self.encryption_error = f"malformed /Encrypt: {exc}"
+        # objects cached before the decryptor existed hold ciphertext
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _decrypt_value(self, val, num: int, gen: int):
+        if isinstance(val, bytes):
+            return self.decryptor.decrypt(val, num, gen)
+        if isinstance(val, list):
+            return [self._decrypt_value(v, num, gen) for v in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_value(v, num, gen) for k, v in val.items()}
+        return val
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Per-object decryption (§7.6.2 Algorithm 1): strings and
+        stream data, keyed by (num, gen). Cross-reference streams are
+        never encrypted (§7.5.8.2); object-stream MEMBERS are covered
+        by their container's stream decryption, so this is only applied
+        to file-located objects."""
+        if isinstance(obj, Stream):
+            if str(self.resolve(obj.dict.get("Type")) or "") == "XRef":
+                return obj
+            newdict = self._decrypt_value(obj.dict, num, gen)
+            return Stream(newdict, self.decryptor.decrypt(obj.raw, num, gen))
+        return self._decrypt_value(obj, num, gen)
+
     # --------------------------------------------------------------- objects
 
     def resolve(self, obj):
@@ -174,6 +242,12 @@ class PdfDocument:
             length = obj.dict.get("Length")
             if isinstance(length, Ref):
                 obj.dict["Length"] = self.resolve(length)
+        if (
+            self.decryptor is not None
+            and loc[0] == "file"
+            and num != self._encrypt_obj_num
+        ):
+            obj = self._decrypt_object(obj, num, self._gens.get(num, 0))
         self._cache[num] = obj
         return obj
 

@@ -134,11 +134,14 @@ def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
     falling to '?'. OFF by default — reference-identical output."""
     try:
         doc = PdfDocument(data)
-        if doc.trailer.get("Encrypt") is not None:
-            # typed audit row: an /Encrypt dict means the strings and
-            # streams are enciphered (ISO 32000-1 §7.6) — decoding
-            # would produce garbage, so surface a classified error
-            # instead of a generic parse failure
+        if doc.encryption_error is not None:
+            # typed audit row: an /Encrypt dict outside the supported
+            # RC4 subset (AES, a real user password, malformed) means
+            # decoding would produce garbage — surface a classified
+            # error instead of a generic parse failure. RC4 documents
+            # whose EMPTY user password verifies (the common crawl
+            # case) are transparently decrypted and extract normally
+            # (pdfcore/crypt.py, ISO 32000-1 §7.6.3).
             return ExtractResult(
                 text="", items=[], spans=[], span_pages=[], n_pages=0,
                 n_items=0, error="encrypted",

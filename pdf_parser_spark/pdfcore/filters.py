@@ -1,8 +1,10 @@
-"""PDF stream filters — FlateDecode (+PNG predictors), ASCIIHex, ASCII85.
+"""PDF stream filters — FlateDecode (+PNG predictors), LZW, RunLength,
+ASCIIHex, ASCII85.
 
 The reference gets decompression for free from pikepdf's ``read_bytes()``
 (/root/reference/pdf_parser/api.py:80-82); we implement the public-spec
-filters directly (ISO 32000-1 §7.4, RFC 1950 zlib, PNG predictor spec).
+filters directly (ISO 32000-1 §7.4, RFC 1950 zlib, PNG predictor spec,
+TIFF/GIF-style LZW with PDF's EarlyChange default).
 """
 
 from __future__ import annotations
@@ -95,9 +97,179 @@ def ascii85_decode(data: bytes) -> bytes:
     return base64.a85decode(body)
 
 
+def runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5): length byte L then either
+    L+1 literal bytes (L ≤ 127) or one byte repeated 257−L times
+    (L ≥ 129); 128 = EOD."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length = data[pos]
+        pos += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            chunk = data[pos : pos + length + 1]
+            if len(chunk) < length + 1:
+                raise ValueError("RunLengthDecode: truncated literal run")
+            out += chunk
+            pos += length + 1
+        else:
+            if pos >= n:
+                raise ValueError("RunLengthDecode: truncated repeat run")
+            out += bytes([data[pos]]) * (257 - length)
+            pos += 1
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, decode_parms: dict | None = None) -> bytes:
+    """LZWDecode (ISO 32000-1 §7.4.4.2): MSB-first variable-width codes,
+    9→12 bits, clear=256, EOD=257. PDF's /EarlyChange default (1) bumps
+    the code width one code early — matching TIFF, not GIF."""
+    early = 1
+    if decode_parms:
+        early = int(decode_parms.get("EarlyChange", 1) or 0)
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    width = 9
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                if decode_parms and int(decode_parms.get("Predictor", 1) or 1) >= 10:
+                    return apply_png_predictor(
+                        bytes(out),
+                        int(decode_parms.get("Colors", 1) or 1),
+                        int(decode_parms.get("BitsPerComponent", 8) or 8),
+                        int(decode_parms.get("Columns", 1) or 1),
+                    )
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+                if not entry and code >= 258:
+                    raise ValueError(f"LZWDecode: reference to empty code {code}")
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZWDecode: invalid code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1 (default): widen one code early, when the
+            # NEXT code to be assigned is 2^width − 1 (§7.4.4.2)
+            if len(table) >= (1 << width) - early and width < 12:
+                width += 1
+    raise ValueError("LZWDecode: missing EOD marker")
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder (fixture/round-trip twin of :func:`lzw_decode`):
+    MSB-first variable-width codes with the same EarlyChange width
+    schedule, clear-and-reset when the table fills."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    next_code = 258
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def maybe_widen() -> None:
+        nonlocal width
+        # twin of the decoder rule: the code about to be emitted is read
+        # by a decoder whose table holds next_code − 1 entries
+        while width < 12 and next_code + early - 1 >= (1 << width):
+            width += 1
+
+    emit(256)  # leading clear (conventional; decoder tolerates it)
+    w = b""
+    for byte in data:
+        k = w + bytes([byte])
+        if k in table:
+            w = k
+            continue
+        maybe_widen()
+        emit(table[w])
+        if next_code >= 4093:  # table nearly full: clear and restart
+            maybe_widen()
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[k] = next_code
+            next_code += 1
+        w = bytes([byte])
+    if w:
+        maybe_widen()
+        emit(table[w])
+        next_code += 1  # decoder will add an entry after this code
+    maybe_widen()
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """RunLength encoder twin: greedy runs ≥ 3 become repeats, the rest
+    literal chunks of ≤ 128; terminated by the 128 EOD byte."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    lit_start = pos
+    while pos < n:
+        run = 1
+        while pos + run < n and run < 128 and data[pos + run] == data[pos]:
+            run += 1
+        if run >= 3:
+            while lit_start < pos:
+                take = min(128, pos - lit_start)
+                out.append(take - 1)
+                out += data[lit_start : lit_start + take]
+                lit_start += take
+            out.append(257 - run)
+            out.append(data[pos])
+            pos += run
+            lit_start = pos
+        else:
+            pos += run
+    while lit_start < pos:
+        take = min(128, pos - lit_start)
+        out.append(take - 1)
+        out += data[lit_start : lit_start + take]
+        lit_start += take
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 _FILTERS = {
     "FlateDecode": flate_decode,
     "Fl": flate_decode,
+    "LZWDecode": lzw_decode,
+    "LZW": lzw_decode,
+    "RunLengthDecode": lambda d, p=None: runlength_decode(d),
+    "RL": lambda d, p=None: runlength_decode(d),
     "ASCIIHexDecode": lambda d, p=None: asciihex_decode(d),
     "AHx": lambda d, p=None: asciihex_decode(d),
     "ASCII85Decode": lambda d, p=None: ascii85_decode(d),

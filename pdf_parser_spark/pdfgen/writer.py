@@ -62,13 +62,29 @@ class StreamObj:
     d: dict
     data: bytes
     compress: bool = True
+    encoding: str | None = None  # overrides compress: 'lzw' | 'rl'
 
     def body(self) -> bytes:
-        payload = zlib.compress(self.data, 6) if self.compress else self.data
+        if self.encoding == "lzw":
+            from ..pdfcore.filters import lzw_encode
+
+            payload = lzw_encode(self.data)
+            filt = Raw("/LZWDecode")
+        elif self.encoding == "rl":
+            from ..pdfcore.filters import runlength_encode
+
+            payload = runlength_encode(self.data)
+            filt = Raw("/RunLengthDecode")
+        elif self.compress:
+            payload = zlib.compress(self.data, 6)
+            filt = Raw("/FlateDecode")
+        else:
+            payload = self.data
+            filt = None
         d = dict(self.d)
         d["Length"] = len(payload)
-        if self.compress:
-            d["Filter"] = Raw("/FlateDecode")
+        if filt is not None:
+            d["Filter"] = filt
         return serialize(d) + b"\nstream\n" + payload + b"\nendstream"
 
 
@@ -111,12 +127,46 @@ class FontSpec:
         return d
 
 
+def _writer_encrypt_dict(enc: dict) -> dict:
+    """crypt.build_encrypt_dict output → serializable writer dict
+    (/O and /U as hex strings so ciphertext bytes never need escaping)."""
+    return {
+        "Filter": Raw("/Standard"),
+        "V": enc["V"],
+        "R": enc["R"],
+        "O": Raw("<" + enc["O"].hex().upper() + ">"),
+        "U": Raw("<" + enc["U"].hex().upper() + ">"),
+        "P": enc["P"],
+        "Length": enc["Length"],
+    }
+
+
+def _encrypt_strings(obj, cryptor, num: int):
+    """Deep-copy *obj* with every literal string RC4-encrypted and
+    re-emitted in hex form. Bare ``bytes`` values are already-escaped
+    fragments in this writer's model and never appear in the fixture
+    object graphs, so only ``str`` values are transformed."""
+    if isinstance(obj, Raw):
+        return obj
+    if isinstance(obj, str):
+        ct = cryptor.encrypt(obj.encode("latin1", "replace"), num, 0)
+        return Raw("<" + ct.hex().upper() + ">")
+    if isinstance(obj, list):
+        return [_encrypt_strings(x, cryptor, num) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _encrypt_strings(v, cryptor, num) for k, v in obj.items()}
+    return obj
+
+
 def build_pdf(
     page_contents: list[list[bytes]],
     fonts: dict[str, FontSpec] | None = None,
     variant: str = "classic",
     compress: bool = True,
     use_objstm: bool = False,
+    encrypted: bool = False,
+    encrypt_revision: int = 3,
+    content_encoding: str | None = None,
 ) -> bytes:
     """Assemble a PDF.
 
@@ -128,6 +178,12 @@ def build_pdf(
     fonts={} (empty dict, not None) emits NO font resources — a
     "fontless" PDF whose text ops never decode, exercising the
     degraded fallback-sweep path.
+    encrypted=True: RC4 standard-security encryption with EMPTY owner
+    and user passwords (ISO 32000-1 §7.6.3; R2 → V1/40-bit,
+    R3 → V2/128-bit) — streams and strings enciphered per object,
+    /ID derived deterministically from the plaintext so output stays
+    byte-reproducible. Cross-reference streams are left clear (§7.5.8.2)
+    and ObjStm members ride on their container's encryption (§7.5.7).
     """
     fonts = {"F1": FontSpec()} if fonts is None else fonts
     objects: dict[int, object] = {}
@@ -162,7 +218,9 @@ def build_pdf(
         content_refs = []
         for data in streams:
             cn = alloc()
-            objects[cn] = StreamObj({}, data, compress=compress)
+            objects[cn] = StreamObj(
+                {}, data, compress=compress, encoding=content_encoding
+            )
             content_refs.append(Raw(f"{cn} 0 R"))
         pn = alloc()
         objects[pn] = {
@@ -181,42 +239,87 @@ def build_pdf(
     }
     objects[catalog_num] = {"Type": Raw("/Catalog"), "Pages": Raw(f"{pages_num} 0 R")}
 
+    crypt_ctx = None
+    if encrypted:
+        import hashlib
+
+        from ..pdfcore.crypt import build_encrypt_dict
+
+        id0 = hashlib.md5(
+            b"".join(data for streams in page_contents for data in streams)
+        ).digest()
+        enc, cryptor = build_encrypt_dict(id0, revision=encrypt_revision)
+        crypt_ctx = (_writer_encrypt_dict(enc), cryptor, id0)
+
     if variant == "classic":
-        return _emit_classic(objects, catalog_num)
+        return _emit_classic(objects, catalog_num, crypt_ctx=crypt_ctx)
     if variant == "xrefstream":
-        return _emit_xrefstream(objects, catalog_num, use_objstm=use_objstm)
+        return _emit_xrefstream(
+            objects, catalog_num, use_objstm=use_objstm, crypt_ctx=crypt_ctx
+        )
     raise ValueError(f"unknown variant {variant}")
 
 
-def _obj_bytes(num: int, obj) -> bytes:
-    body = obj.body() if isinstance(obj, StreamObj) else serialize(obj)
+def _obj_bytes(num: int, obj, cryptor=None) -> bytes:
+    if isinstance(obj, StreamObj):
+        body = obj.body()
+        if cryptor is not None:
+            # re-split the serialized stream: encryption applies to the
+            # (already filter-encoded) payload, never the dict
+            head, payload = body.split(b"\nstream\n", 1)
+            payload = payload[: -len(b"\nendstream")]
+            body = (
+                head + b"\nstream\n"
+                + cryptor.encrypt(payload, num, 0)
+                + b"\nendstream"
+            )
+    else:
+        if cryptor is not None:
+            obj = _encrypt_strings(obj, cryptor, num)
+        body = serialize(obj)
     return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
 
-def _emit_classic(objects: dict[int, object], root: int) -> bytes:
+def _emit_classic(
+    objects: dict[int, object], root: int, crypt_ctx=None
+) -> bytes:
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
+    cryptor = crypt_ctx[1] if crypt_ctx else None
     for num in sorted(objects):
         offsets[num] = len(out)
-        out += _obj_bytes(num, objects[num])
+        out += _obj_bytes(num, objects[num], cryptor=cryptor)
+    enc_num = None
+    if crypt_ctx:
+        enc_num = max(objects) + 1
+        offsets[enc_num] = len(out)
+        out += _obj_bytes(enc_num, crypt_ctx[0])  # never encrypted itself
     xref_pos = len(out)
-    size = max(objects) + 1
+    size = max(offsets) + 1
     out += f"xref\n0 {size}\n".encode()
     out += b"0000000000 65535 f \n"
     for num in range(1, size):
         off = offsets.get(num, 0)
         out += f"{off:010d} 00000 n \n".encode()
     trailer = {"Size": size, "Root": Raw(f"{root} 0 R")}
+    if crypt_ctx:
+        idhex = Raw("<" + crypt_ctx[2].hex().upper() + ">")
+        trailer["Encrypt"] = Raw(f"{enc_num} 0 R")
+        trailer["ID"] = [idhex, idhex]
     out += b"trailer\n" + serialize(trailer)
     out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 
 def _emit_xrefstream(
-    objects: dict[int, object], root: int, use_objstm: bool = False
+    objects: dict[int, object],
+    root: int,
+    use_objstm: bool = False,
+    crypt_ctx=None,
 ) -> bytes:
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     entries: dict[int, tuple] = {}  # num -> (type, f2, f3)
+    cryptor = crypt_ctx[1] if crypt_ctx else None
 
     objstm_members = []
     if use_objstm:
@@ -227,7 +330,7 @@ def _emit_xrefstream(
 
     for num in direct:
         entries[num] = ("file", len(out), 0)
-        out += _obj_bytes(num, objects[num])
+        out += _obj_bytes(num, objects[num], cryptor=cryptor)
 
     objstm_num = None
     if objstm_members:
@@ -248,7 +351,9 @@ def _emit_xrefstream(
             compress=True,
         )
         entries[objstm_num] = ("file", len(out), 0)
-        out += _obj_bytes(objstm_num, stm)
+        # members are NOT individually encrypted — the container stream
+        # is (§7.5.7), which _obj_bytes handles like any other stream
+        out += _obj_bytes(objstm_num, stm, cryptor=cryptor)
         for idx, num in enumerate(objstm_members):
             entries[num] = ("objstm", objstm_num, idx)
 
@@ -269,17 +374,19 @@ def _emit_xrefstream(
             rows += b"\x01" + int(kind[1]).to_bytes(4, "big") + int(kind[2]).to_bytes(2, "big")
         else:
             rows += b"\x02" + int(kind[1]).to_bytes(4, "big") + int(kind[2]).to_bytes(2, "big")
-    xref_stream = StreamObj(
-        {
-            "Type": Raw("/XRef"),
-            "Size": size,
-            "W": [1, 4, 2],
-            "Index": [0, size],
-            "Root": Raw(f"{root} 0 R"),
-        },
-        bytes(rows),
-        compress=True,
-    )
+    xref_dict = {
+        "Type": Raw("/XRef"),
+        "Size": size,
+        "W": [1, 4, 2],
+        "Index": [0, size],
+        "Root": Raw(f"{root} 0 R"),
+    }
+    if crypt_ctx:
+        idhex = Raw("<" + crypt_ctx[2].hex().upper() + ">")
+        xref_dict["Encrypt"] = crypt_ctx[0]  # inline dict; never encrypted
+        xref_dict["ID"] = [idhex, idhex]
+    xref_stream = StreamObj(xref_dict, bytes(rows), compress=True)
+    # the cross-reference stream itself is never encrypted (§7.5.8.2)
     out += _obj_bytes(xref_num, xref_stream)
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
@@ -298,6 +405,8 @@ def make_text_pdf(
     contents_array: bool = False,
     two_column: bool = False,
     fontless: bool = False,
+    encrypted: bool = False,
+    encrypt_revision: int = 3,
 ) -> bytes:
     """One Tj per line, top-down from y=720, leading 14pt.
 
@@ -338,6 +447,8 @@ def make_text_pdf(
         variant=variant,
         compress=compress,
         use_objstm=use_objstm,
+        encrypted=encrypted,
+        encrypt_revision=encrypt_revision,
     )
 
 

@@ -1,0 +1,198 @@
+"""RC4 standard-security decryption + LZW/RunLength filters.
+
+The reference relies on pikepdf for both (api.py:80-82 read_bytes); we
+implement the public spec directly, so these tests pin the new kernel
+surfaces: ISO 32000-1 §7.6.3 (Algorithms 1-6), §7.4.4.2 (LZW),
+§7.4.5 (RunLength).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark.pdfcore.crypt import (
+    StandardDecryptor,
+    UnsupportedEncryption,
+    build_encrypt_dict,
+    rc4,
+)
+from pdf_parser_spark.pdfcore.extract import extract_pdf
+from pdf_parser_spark.pdfcore.filters import (
+    lzw_decode,
+    lzw_encode,
+    runlength_decode,
+    runlength_encode,
+)
+from pdf_parser_spark.pdfgen.writer import make_text_pdf
+
+# ------------------------------------------------------------------ RC4
+
+
+def test_rc4_known_vector():
+    # public test vector (RFC 6229 family): key "Key", plaintext "Plaintext"
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetric
+    assert rc4(b"Key", rc4(b"Key", b"payload")) == b"payload"
+
+
+@pytest.mark.parametrize("revision", [2, 3])
+def test_encrypt_dict_roundtrip(revision):
+    enc, cryptor = build_encrypt_dict(b"\x01" * 16, revision=revision)
+    # the empty user password verifies against the generated /O /U
+    dec = StandardDecryptor(enc, b"\x01" * 16)
+    pt = b"stream payload bytes"
+    assert dec.decrypt(cryptor.encrypt(pt, 7, 0), 7, 0) == pt
+    # a different object number yields a different keystream
+    assert cryptor.encrypt(pt, 7, 0) != cryptor.encrypt(pt, 8, 0)
+
+
+def test_wrong_id_fails_password_check():
+    enc, _ = build_encrypt_dict(b"\x01" * 16, revision=3)
+    with pytest.raises(UnsupportedEncryption, match="password"):
+        StandardDecryptor(enc, b"\x02" * 16)
+
+
+def test_aes_rejected_as_unsupported():
+    with pytest.raises(UnsupportedEncryption, match="V=4"):
+        StandardDecryptor(
+            {"Filter": "Standard", "V": 4, "R": 4, "O": b"x" * 32,
+             "U": b"y" * 32, "P": -4, "Length": 128},
+            b"",
+        )
+
+
+# ------------------------------------------------- encrypted end-to-end
+
+LINES = [["encrypted body line one", "and a (parenthesised) second line"]]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"variant": "classic", "encrypt_revision": 2},
+        {"variant": "classic", "encrypt_revision": 3},
+        {"variant": "xrefstream", "encrypt_revision": 3},
+        {"variant": "xrefstream", "use_objstm": True, "encrypt_revision": 3},
+    ],
+    ids=["classic-r2", "classic-r3", "xrefstream", "objstm"],
+)
+def test_encrypted_pdf_extracts_identically(kw):
+    plain = extract_pdf(make_text_pdf(LINES, variant=kw["variant"],
+                                      use_objstm=kw.get("use_objstm", False)))
+    enc_pdf = make_text_pdf(LINES, encrypted=True, **kw)
+    # ciphertext really differs from plaintext at the byte level
+    assert b"encrypted body" not in enc_pdf
+    got = extract_pdf(enc_pdf)
+    assert got.error is None
+    assert got.text == plain.text
+    assert [i[:3] for i in got.items] == [i[:3] for i in plain.items]
+
+
+def test_encrypted_pdf_deterministic():
+    assert make_text_pdf(LINES, encrypted=True) == make_text_pdf(
+        LINES, encrypted=True
+    )
+
+
+def test_real_password_still_typed_error():
+    """A document whose user password is NOT empty must surface the
+    typed 'encrypted' audit row, never garbage text."""
+    pdf = make_text_pdf(LINES, encrypted=True)
+    # corrupt /U so the empty password no longer verifies
+    import re
+
+    m = re.search(rb"/U <([0-9A-F]+)>", pdf)
+    assert m
+    flipped = bytearray(m.group(1))
+    flipped[0] = ord("F") if flipped[0] != ord("F") else ord("0")
+    bad = pdf[: m.start(1)] + bytes(flipped) + pdf[m.end(1) :]
+    r = extract_pdf(bad)
+    assert r.error == "encrypted" and r.text == ""
+
+
+# ------------------------------------------------------------ RunLength
+
+
+def test_runlength_spec_cases():
+    assert runlength_decode(bytes([2]) + b"abc" + bytes([128])) == b"abc"
+    assert runlength_decode(bytes([254]) + b"z" + bytes([128])) == b"z" * 3
+    assert runlength_decode(bytes([129]) + b"q" + bytes([128])) == b"q" * 128
+    with pytest.raises(ValueError):
+        runlength_decode(bytes([5]) + b"ab")  # truncated literal
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_runlength_roundtrip(data):
+    assert runlength_decode(runlength_encode(data)) == data
+
+
+# ------------------------------------------------------------------ LZW
+
+
+def test_lzw_known_stream():
+    # the classic spec example: 45 45 45 65 65 65 66 66 66 encodes with
+    # growing table; just pin a simple deterministic round trip
+    data = b"-----A---B"
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_early_change_variants():
+    data = bytes(range(256)) * 3
+    for early in (0, 1):
+        enc = lzw_encode(data, early=early)
+        assert lzw_decode(enc, {"EarlyChange": early}) == data
+    # default decode assumes EarlyChange=1 like the spec
+    assert lzw_decode(lzw_encode(data, early=1)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lzw_roundtrip_random(data):
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_lzw_roundtrip_table_reset(seed):
+    """Data long/diverse enough to fill the 12-bit table and force the
+    clear-and-reset path."""
+    import random
+
+    rng = random.Random(seed)
+    data = bytes(rng.randrange(256) for _ in range(20000))
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_missing_eod_raises():
+    enc = lzw_encode(b"abcabcabc")
+    with pytest.raises(ValueError):
+        lzw_decode(enc[:-2] + b"\x00")
+
+
+# ----------------------------------------------- filters inside real PDFs
+
+
+@pytest.mark.parametrize("encoding", ["lzw", "rl"])
+def test_pdf_with_alt_filter_extracts(encoding):
+    from pdf_parser_spark.pdfgen.writer import build_pdf
+
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(alt filter line) Tj\nET"
+    pdf = build_pdf([[content]], content_encoding=encoding)
+    marker = b"/LZWDecode" if encoding == "lzw" else b"/RunLengthDecode"
+    assert marker in pdf
+    r = extract_pdf(pdf)
+    assert r.error is None and r.text == "alt filter line"
+
+
+def test_encrypted_lzw_pdf_extracts():
+    """Encryption applies AFTER filter encoding on write, so decrypt
+    must run BEFORE decode on read — this pins the ordering."""
+    from pdf_parser_spark.pdfgen.writer import build_pdf
+
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(lzw under rc4) Tj\nET"
+    pdf = build_pdf([[content]], content_encoding="lzw", encrypted=True)
+    r = extract_pdf(pdf)
+    assert r.error is None and r.text == "lzw under rc4"
