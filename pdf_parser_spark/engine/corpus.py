@@ -187,6 +187,57 @@ def synthesize_pdf_variant(
     )
 
 
+def synthesize_encrypted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-only corpus variant, RC4-encrypted with EMPTY passwords (the
+    common crawl case): the writer's standard-security path (ISO
+    32000-1 §7.6.3) enciphers every stream/string per object. Cycles
+    revision (R2 40-bit / R3 128-bit) and storage variant by doc_id so
+    the decryptor sees classic AND xref-stream layouts. Extraction must
+    equal the plain PDF half byte-exactly — the kernel decrypts
+    transparently (pdfcore/crypt.py)."""
+    from ..pdfgen.writer import make_text_pdf
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            texts = pdf["text"].fillna("")
+            hosts = [host_for(int(i)) for i in ids]
+            payloads = []
+            for i, t in zip(ids, texts):
+                lines = wrap_lines(t) or [""]
+                pages = [lines[j : j + 48] for j in range(0, len(lines), 48)]
+                variant, objstm = _PDF_VARIANTS[(int(i) // 2) % 3]
+                payloads.append(
+                    make_text_pdf(
+                        pages,
+                        variant=variant,
+                        use_objstm=objstm,
+                        encrypted=True,
+                        encrypt_revision=2 if (int(i) // 2) % 2 else 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [
+                        f"https://{h}/doc/{int(i)}" for h, i in zip(hosts, ids)
+                    ],
+                    "host": hosts,
+                    "html": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id BIGINT, url STRING, host STRING, html BINARY"
+    )
+
+
 def synthesize_cid_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF-only corpus variant with 2-byte CID-style encoding: every
     character rendered as its UTF-16BE code unit with an explicit

@@ -31,6 +31,7 @@ from .engine.corpus import (
     PDF_LINES_SQL,
     _HTML_LINES_SQL,
     synthesize_cid_variant,
+    synthesize_encrypted_variant,
     synthesize_pdf_variant,
     synthesize_webdocs,
     webdocs_salt_map,
@@ -476,6 +477,24 @@ def cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_webdocs(
         w, salt_map=webdocs_salt_map(spark, sf_dir), multibyte=True
     )
+    return parsed.select("url", "text")
+
+
+@q(
+    "encrypted_extract",
+    f"SELECT {URL_SQL} AS url, "
+    f"array_to_string({PDF_LINES_SQL}, chr(10)) AS text "
+    "FROM documents WHERE doc_id % 2 = 0",
+)
+def encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC4-encrypted corpus at scale: every PDF enciphered with the
+    standard security handler (empty user password, R2/R3 cycling,
+    classic + xref-stream layouts), extracted by the SAME kernel call
+    as the flagship — decryption is transparent (pdfcore/crypt.py,
+    ISO 32000-1 §7.6.3). The oracle recomputes the plain PDF-half
+    text: ciphertext in, byte-identical plaintext out."""
+    w = synthesize_encrypted_variant(spark, sf_dir)
+    parsed = parse_webdocs(w, salt_map=webdocs_salt_map(spark, sf_dir))
     return parsed.select("url", "text")
 
 
