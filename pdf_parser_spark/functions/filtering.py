@@ -116,3 +116,18 @@ def quality_gate(
         reason.alias("reason"),
         (reason == "kept").cast("int").alias("keep"),
     )
+
+
+def suffix_blocked_expr(host_col: Column | str, suffixes: list[str]) -> Column:
+    """Domain-suffix blocklist test (public-suffix-style): a host is
+    blocked when it equals an entry or ends with '.' + entry, so
+    'ads.example.org' matches 'example.org' but 'notexample.org' does
+    not. The list rides as a plan literal → a pure map-side filter (no
+    join, no broadcast exchange) — the right shape for the few-thousand
+    -entry blocklists crawl pipelines carry; a genuinely huge list
+    would switch to a broadcast join on reversed-host prefix ranges."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.exists(
+        F.array(*[F.lit(s) for s in suffixes]),
+        lambda s: (h == s) | h.endswith(F.concat(F.lit("."), s)),
+    )

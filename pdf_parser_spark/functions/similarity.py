@@ -406,3 +406,37 @@ def ivf_topk(
         "q_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("_cos")
     )
     return _ranked_topk(scored, k, round_digits)
+
+
+def jl_projection_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic sparse-sign Johnson–Lindenstrauss matrix: entry
+    (i, j) is ±1/√out_dim with the sign drawn from md5(f"jl:{i}:{j}")
+    — seedless-deterministic, so any engine regenerates the identical
+    matrix (Achlioptas 2003, database-friendly random projections).
+    Rows are output dimensions."""
+    import hashlib
+
+    scale = 1.0 / (out_dim ** 0.5)
+    mat = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            digest = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+            row.append(scale if int(digest[0], 16) < 8 else -scale)
+        mat.append(row)
+    return mat
+
+
+def jl_project_exprs(
+    vec: Column, matrix: list[list[float]], round_digits: int = 4
+) -> list[Column]:
+    """Project a float-array column through a literal JL matrix: one
+    sequential double fold per output dimension (same IEEE order as
+    DuckDB's list_dot_product, so oracles match exactly). The matrix
+    rides as plan literals — no join, no broadcast; projection is a
+    pure map stage that cuts the bytes every downstream shuffle
+    carries by in_dim/out_dim."""
+    return [
+        F.round(_dot_lit(vec, row), round_digits).alias(f"p{j}")
+        for j, row in enumerate(matrix)
+    ]

@@ -379,3 +379,40 @@ def test_ann_ivf_int8_equi_join_on_cell(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_host_blocklist_is_map_only(spark):
+    plan = _plan(spark, "host_blocklist")
+    assert "Exchange" not in plan  # literal-list test: no join, no shuffle
+    assert "Join" not in plan
+
+
+def test_embed_project_is_map_only(spark):
+    plan = _plan(spark, "embed_project")
+    assert "Exchange" not in plan  # matrix rides as plan literals
+    assert "Join" not in plan
+    # column pruning: only vec_id + embedding leave the scan
+    assert "label" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_compaction_plan_partition_scoped_window(spark):
+    plan = _plan(spark, "compaction_plan")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert plan.count("Exchange") <= 2
+
+
+def test_snapshot_diff_prunes_scan_and_equi_joins(spark):
+    plan = _plan(spark, "snapshot_diff")
+    # equi-join on url (either strategy), never a nested-loop/cartesian
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # payload never leaves the scans: only doc_id + text are read
+    tail = plan.split("ReadSchema")[-1]
+    assert "lang" not in tail[:400] and "source" not in tail[:400]
+
+
+def test_bloom_prefilter_filter_is_inlined(spark):
+    plan = _plan(spark, "bloom_prefilter")
+    # membership test compiled into the plan (shift arithmetic), not a join
+    assert "shiftright" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
