@@ -3638,3 +3638,81 @@ def host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocked",
         filtering.suffix_blocked_expr("host", _BLOCK_SUFFIXES).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+
+_BPE_ROUNDS = 3
+
+
+def _duck_bpe_sql(n_rounds: int) -> str:
+    """Chained-CTE twin of bpetrain.learn_merges: each round counts
+    adjacent pairs, picks the max via a scalar subquery, and applies
+    the greedy run-parity merge with the SAME window formulation."""
+    toks = duck_toks("text")
+    low = (
+        f"list_filter(list_transform({toks}, t -> lower(t)), "
+        "t -> regexp_full_match(t, '[a-z]+'))"
+    )
+    parts = [
+        f"WITH words AS (SELECT w AS word, count(*)::BIGINT AS freq FROM "
+        f"(SELECT unnest({low}) AS w FROM documents) GROUP BY w), "
+        "sym1 AS (SELECT word, freq, pos, substr(word, pos, 1) AS s FROM "
+        "(SELECT word, freq, unnest(generate_series(1, length(word))) "
+        "AS pos FROM words))"
+    ]
+    for t in range(1, n_rounds + 1):
+        prev = f"sym{t}"
+        parts.append(
+            f"cnt{t} AS (SELECT a, b, sum(freq)::BIGINT AS cnt FROM "
+            f"(SELECT s AS a, lead(s) OVER (PARTITION BY word ORDER BY pos) "
+            f"AS b, freq FROM {prev}) WHERE b IS NOT NULL GROUP BY a, b), "
+            f"top{t} AS (SELECT a, b, cnt FROM cnt{t} "
+            "ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if t < n_rounds:
+            parts.append(
+                f"x{t} AS (SELECT word, freq, pos, s, lead(s) OVER "
+                f"(PARTITION BY word ORDER BY pos) AS ns FROM {prev}), "
+                f"m{t} AS (SELECT word, pos FROM x{t} WHERE "
+                f"s = (SELECT a FROM top{t}) AND ns = (SELECT b FROM top{t})), "
+                f"k{t} AS (SELECT word, pos FROM (SELECT word, pos, "
+                "row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rn "
+                "FROM (SELECT word, pos, pos - row_number() OVER "
+                f"(PARTITION BY word ORDER BY pos) AS isl FROM m{t})) "
+                "WHERE rn % 2 = 1), "
+                f"sym{t + 1} AS (SELECT word, freq, row_number() OVER "
+                "(PARTITION BY word ORDER BY pos) AS pos, s FROM "
+                f"(SELECT x.word, x.freq, x.pos, CASE WHEN k.pos IS NOT NULL "
+                "THEN x.s || x.ns ELSE x.s END AS s FROM "
+                f"x{t} x LEFT JOIN k{t} k ON x.word = k.word AND x.pos = k.pos "
+                f"LEFT JOIN k{t} kp ON x.word = kp.word AND x.pos = kp.pos + 1 "
+                "WHERE kp.pos IS NULL))"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS merge_rank, a AS left_sym, b AS right_sym, cnt "
+        f"FROM top{t}"
+        for t in range(1, n_rounds + 1)
+    )
+    return ", ".join(parts) + " " + selects
+
+
+@q("bpe_train", _duck_bpe_sql(_BPE_ROUNDS))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich 2016) — the full iterative loop,
+    not just the first pair census: per round, one map-side-combined
+    pair count over the distinct-word symbol table, a bounded one-row
+    collect of the winning pair (the k-means-centroid pattern), and a
+    greedy run-parity merge expressed entirely in window functions.
+    The corpus enters only through the word-frequency groupBy; symbol
+    tables localCheckpoint per round so plans stay flat. The oracle
+    replays all rounds as chained CTEs with the same window math."""
+    from .functions import bpetrain
+
+    docs = _read(spark, sf_dir, "documents")
+    words = bpetrain.word_freq_table(docs)
+    merges = bpetrain.learn_merges(words, n_merges=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left_sym STRING, right_sym STRING, cnt BIGINT"
+    )
