@@ -3716,3 +3716,34 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank INT, left_sym STRING, right_sym STRING, cnt BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (batch twin)
+
+_ATTR_HORIZON = "4 hours"
+
+
+@q(
+    "stream_join_twin",
+    "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, "
+    "(floor(epoch(c.ts))::BIGINT - floor(epoch(v.ts))::BIGINT) AS gap_s "
+    "FROM events v JOIN events c ON v.event_type = 'view' "
+    "AND c.event_type = 'click' AND v.user_id = c.user_id "
+    "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR",
+)
+def stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream INTERVAL join
+    (streaming/ingest.attributed_clicks): view→click attribution within
+    a 4-hour horizon, same-user equi-key plus a both-ends time bound —
+    the condition shape that lets streaming state expire. The SAME
+    function runs here on batch frames (watermarks no-op); the
+    incremental emission and state-expiry semantics are pinned by
+    tests/test_sinks_streaming.py. Equi-join on user_id carries the
+    time residual — never a cross product."""
+    from .streaming.ingest import attributed_clicks
+
+    events = _read(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view")
+    clicks = events.where(F.col("event_type") == "click")
+    return attributed_clicks(views, clicks, horizon=_ATTR_HORIZON)

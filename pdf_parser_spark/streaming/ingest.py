@@ -503,3 +503,98 @@ def run_stateful_distinct(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# watermarked stream-stream interval join (view→click attribution)
+
+
+def attributed_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join — the last core Structured Streaming
+    operator family: each view event matches click events of the same
+    user arriving within *horizon* after it. Both sides carry
+    watermarks and the join condition bounds event time on BOTH ends,
+    which is what lets Spark expire buffered rows: a view older than
+    (watermark − horizon) can never match again and its state is
+    dropped — bounded state on an unbounded feed.
+
+    Works unchanged on BATCH frames (watermarks become no-ops and the
+    condition is a plain interval join) — the `stream_join_twin`
+    registry query oracle-checks exactly that twin, and the streaming
+    test drives micro-batches through this same function.
+
+    Output: one row per (view, click) attribution with the gap in
+    seconds — ids and ints only, never raw timestamps, per the
+    cross-engine parity rules."""
+    from pyspark.sql import functions as F
+
+    v = views.withWatermark("ts", watermark_delay).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+        ).cast("bigint").alias("gap_s"),
+    )
+
+
+def run_attributed_clicks(
+    spark: SparkSession,
+    views_dir: str,
+    clicks_dir: str,
+    query_name: str,
+    checkpoint_dir: str,
+    schema: str,
+    horizon: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Drive the interval join as two file streams into a memory sink.
+    Inner stream-stream joins emit in APPEND mode as soon as both sides
+    of a match have arrived; state for the un-matched tail expires once
+    the watermark passes view_ts + horizon."""
+    vs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(views_dir)
+    )
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(clicks_dir)
+    )
+    out = attributed_clicks(vs, cs, horizon, watermark_delay)
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

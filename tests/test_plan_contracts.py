@@ -416,3 +416,10 @@ def test_bloom_prefilter_filter_is_inlined(spark):
     # membership test compiled into the plan (shift arithmetic), not a join
     assert "shiftright" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_stream_join_twin_is_equi_join(spark):
+    plan = _plan(spark, "stream_join_twin")
+    # user_id equi-key carries the time residual — never a cross product
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Join" in plan

@@ -415,3 +415,80 @@ def test_stateful_host_distinct_hll_state(spark, tmp_path):
     )
     f_twin, e_twin = sketches.py_estimate(twin)
     assert (ha["filled_registers"], ha["est_distinct"]) == (f_twin, e_twin)
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join: matches emit in append
+    mode once both sides arrive; a click outside the horizon never
+    matches; a view older than watermark − horizon can no longer gain
+    matches (state expiry is Spark-managed; semantics pinned here)."""
+    import time as _time
+
+    from pdf_parser_spark.streaming.ingest import run_attributed_clicks
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    raw_schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, u, et) for i, t, u, et in rows], raw_schema
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: a view for users 1 and 2
+    mk([
+        (100, "2024-01-01 12:00:00", 1, "view"),
+        (101, "2024-01-01 12:00:00", 2, "view"),
+    ]).coalesce(1).write.mode("overwrite").parquet(vdir)
+    mk([]).coalesce(1).write.mode("overwrite").parquet(cdir)
+    _time.sleep(1.1)
+    # batch 2: user 1 clicks inside the 10-min horizon; user 2 clicks
+    # way outside it (next day)
+    mk([]).coalesce(1).write.mode("append").parquet(vdir)
+    mk([
+        (200, "2024-01-01 12:04:00", 1, "click"),
+        (201, "2024-01-02 12:00:00", 2, "click"),
+    ]).coalesce(1).write.mode("append").parquet(cdir)
+
+    q = run_attributed_clicks(
+        spark, vdir, cdir, "attr_clicks_t", ckpt, schema,
+        horizon="10 minutes", watermark_delay="30 minutes",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, view_id, click_id, gap_s FROM attr_clicks_t"
+    ).collect()
+    got = {(r["user_id"], r["view_id"], r["click_id"], r["gap_s"]) for r in rows}
+    # exactly the in-horizon match; the out-of-horizon click matches nothing
+    assert got == {(1, 100, 200, 240)}
+
+
+def test_interval_join_batch_twin_equivalence(spark):
+    """The SAME attributed_clicks function on batch frames equals a
+    plain interval join — the twin relationship the oracle checks."""
+    from pdf_parser_spark.streaming.ingest import attributed_clicks
+
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING"
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view"),
+            (2, "2024-01-01 10:03:00", 7, "click"),
+            (3, "2024-01-01 10:20:00", 7, "click"),  # outside 10 min
+            (4, "2024-01-01 10:01:00", 8, "click"),  # other user
+        ],
+        schema,
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    out = attributed_clicks(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon="10 minutes",
+    ).collect()
+    assert [(r["view_id"], r["click_id"], r["gap_s"]) for r in out] == [
+        (1, 2, 180)
+    ]
