@@ -160,3 +160,43 @@ def bloom_hit_expr(hash_col: Column, words: list[int]) -> Column:
         shifted = F.call_function("shiftright", word, (p % 64).cast("int"))
         cond = cond & (shifted.bitwiseAND(F.lit(1)) == 1)
     return cond
+
+
+# ----------------------------------------------------- Z-order layout key
+
+
+def zvalue_expr(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low *bits* of two bounded
+    non-negative dimension keys (a → even bit lanes, b → odd). Rows
+    close in EITHER dimension land near each other in z-order, so
+    writing files in z-ranges (repartitionByRange(zvalue) → sorted
+    parquet) gives min/max footer stats that prune scans on BOTH
+    columns — the layout half of Delta/Iceberg OPTIMIZE ZORDER BY.
+    Pure integer arithmetic (shifts/masks), so any engine reproduces
+    the key bit-for-bit."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: Column,
+    b_col: Column,
+    bits: int = 16,
+    bucket_shift: int = 24,
+) -> DataFrame:
+    """Attach the z-value and a static z-bucket (top bits of the key —
+    no ntile, no global sort) to *df*. The bucket is what a writer
+    would repartitionByRange on; emitting it as a column keeps the
+    operator a pure map stage and lets an oracle verify the layout
+    math itself."""
+    z = zvalue_expr(a_col, b_col, bits)
+    return df.withColumn("zval", z).withColumn(
+        "zbucket", F.shiftright(F.col("zval"), bucket_shift).cast("int")
+    )

@@ -3747,3 +3747,48 @@ def stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events.where(F.col("event_type") == "view")
     clicks = events.where(F.col("event_type") == "click")
     return attributed_clicks(views, clicks, horizon=_ATTR_HORIZON)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (data-skipping file layout)
+
+
+def _duck_zval(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_Z_H16 = "(('0x' || substr(md5(host), 1, 4))::BIGINT)"
+_Z_L16 = "least(n_chars, 65535)"
+
+
+@q(
+    "zorder_layout",
+    f"WITH r AS (SELECT doc_id, {HOST_SQL} AS host, n_chars "
+    "FROM documents) "
+    f"SELECT doc_id, ({_duck_zval(_Z_H16, _Z_L16)})::BIGINT AS zval, "
+    f"(({_duck_zval(_Z_H16, _Z_L16)}) >> 24)::INT AS zbucket FROM r",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (host-hash, doc length) — the
+    math of Delta/Iceberg OPTIMIZE ZORDER BY: interleaved bits put rows
+    close in EITHER dimension into the same z-range, so z-range-sorted
+    files carry min/max stats that prune scans on BOTH columns. The
+    z-bucket is static top-bits (no ntile → no global sort); a writer
+    repartitionByRange's on it. Pure map-stage integer arithmetic,
+    reproduced bit-for-bit by the oracle."""
+    from .functions import maintenance
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(HOST_SQL).alias("host"),
+        "n_chars",
+    )
+    h16 = F.conv(F.substring(F.md5("host"), 1, 4), 16, 10).cast("long")
+    l16 = F.least(F.col("n_chars"), F.lit(65535)).cast("long")
+    return maintenance.zorder_layout(docs, h16, l16).select(
+        "doc_id", "zval", "zbucket"
+    )

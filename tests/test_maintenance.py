@@ -162,3 +162,33 @@ def test_jl_projection_preserves_relative_distance(spark):
     d_ab_proj = dist(rows[0], rows[1])
     # distortion within a generous JL ε for 8 dims
     assert 0.4 * d_ab_orig < d_ab_proj < 1.6 * d_ab_orig
+
+
+# --------------------------------------------------------------- Z-order
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(
+        maintenance.zvalue_expr(F.col("a"), F.col("b"), bits=4).alias("z")
+    ).collect()[0]["z"]
+    # a=0101 → even lanes 0,2; b=0011 → odd lanes 1,3
+    # z bits: (a0=1→b0) (b0=1→b1) (a1=0) (b1=1→b3) (a2=1→b4) (b2=0) (a3=0) (b3=0)
+    assert got == 0b011011
+
+
+def test_zorder_locality(spark):
+    """Neighbors in either dimension share z-prefixes more often than
+    random pairs — the property that makes min/max pruning work."""
+    rows = [(i, i // 16, i % 16) for i in range(256)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = maintenance.zorder_layout(
+        df, F.col("a"), F.col("b"), bits=4, bucket_shift=4
+    ).collect()
+    by_id = {r["id"]: (r["zval"], r["zbucket"]) for r in out}
+    # same (a,b) cell → same z; the 16 buckets each hold a 16-cell tile
+    assert len({z for z, _ in by_id.values()}) == 256
+    from collections import Counter
+
+    bucket_sizes = Counter(b for _, b in by_id.values())
+    assert all(v == 16 for v in bucket_sizes.values())

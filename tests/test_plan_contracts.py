@@ -423,3 +423,8 @@ def test_stream_join_twin_is_equi_join(spark):
     # user_id equi-key carries the time residual — never a cross product
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "Join" in plan
+
+
+def test_zorder_layout_is_map_only(spark):
+    plan = _plan(spark, "zorder_layout")
+    assert "Exchange" not in plan and "Join" not in plan
