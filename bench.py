@@ -89,6 +89,12 @@ HEADLINE = [
     "audio_features",
     "sample_split",
     "length_percentiles",
+    "snapshot_diff",
+    "compaction_plan",
+    "host_blocklist",
+    "zorder_layout",
+    "embed_project",
+    "stream_join_twin",
     "vocab_census",
     "pricing_summary",
     "top_customers",

@@ -3792,3 +3792,74 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.zorder_layout(docs, h16, l16).select(
         "doc_id", "zval", "zbucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE application: tokenize the corpus with the learned merges
+
+
+def _duck_bpe_census_sql(n_rounds: int) -> str:
+    """Extend the training CTE chain one more round-application, then
+    census the resulting symbol vocabulary (top 20 by weighted count).
+    sym{n+1} (after applying merge n) is built by the same template the
+    trainer uses, so the tokenization is the trained tokenizer's."""
+    base = _duck_bpe_sql(n_rounds)
+    # the training SQL ends with the UNION ALL of topN selects; rebuild
+    # it but apply the LAST merge too, then aggregate symbol counts
+    with_part, _ = base.rsplit(" SELECT 1 AS merge_rank", 1)
+    t = n_rounds
+    extra = (
+        f", x{t} AS (SELECT word, freq, pos, s, lead(s) OVER "
+        f"(PARTITION BY word ORDER BY pos) AS ns FROM sym{t}), "
+        f"m{t} AS (SELECT word, pos FROM x{t} WHERE "
+        f"s = (SELECT a FROM top{t}) AND ns = (SELECT b FROM top{t})), "
+        f"k{t} AS (SELECT word, pos FROM (SELECT word, pos, "
+        "row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rn "
+        "FROM (SELECT word, pos, pos - row_number() OVER "
+        f"(PARTITION BY word ORDER BY pos) AS isl FROM m{t})) "
+        "WHERE rn % 2 = 1), "
+        f"sym{t + 1} AS (SELECT word, freq, row_number() OVER "
+        "(PARTITION BY word ORDER BY pos) AS pos, s FROM "
+        f"(SELECT x.word, x.freq, x.pos, CASE WHEN k.pos IS NOT NULL "
+        "THEN x.s || x.ns ELSE x.s END AS s FROM "
+        f"x{t} x LEFT JOIN k{t} k ON x.word = k.word AND x.pos = k.pos "
+        f"LEFT JOIN k{t} kp ON x.word = kp.word AND x.pos = kp.pos + 1 "
+        "WHERE kp.pos IS NULL)) "
+        f"SELECT sym, cnt, rank FROM (SELECT s AS sym, "
+        "sum(freq)::BIGINT AS cnt, row_number() OVER "
+        "(ORDER BY sum(freq) DESC, s) AS rank "
+        f"FROM sym{t + 1} GROUP BY s) WHERE rank <= 20"
+    )
+    return with_part + extra
+
+
+@q("bpe_tokenize", _duck_bpe_census_sql(_BPE_ROUNDS))
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer: run the same merge rounds, apply
+    the final merge too, and census the resulting subword vocabulary
+    (top 20 by corpus-weighted count) — training and application
+    sharing one greedy-merge kernel, the way a real tokenizer ships.
+    The census is a map-side-combined groupBy over the distinct-word
+    symbol table; the top-20 cut is deterministic (count desc, symbol
+    asc)."""
+    from .functions import bpetrain
+
+    docs = _read(spark, sf_dir, "documents")
+    words = bpetrain.word_freq_table(docs)
+    sym = bpetrain.initial_symbols(words).localCheckpoint(eager=True)
+    merges = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        top = bpetrain._top_pair(sym)
+        if top is None:
+            break
+        a, b, _ = top
+        merges.append((a, b))
+        sym = bpetrain.apply_merge(sym, a, b).localCheckpoint(eager=True)
+    w = Window.orderBy(F.desc("cnt"), F.asc("sym"))
+    census = (
+        sym.groupBy(F.col("s").alias("sym"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+    )
+    return census.select("sym", "cnt", "rank")
