@@ -188,12 +188,13 @@ def synthesize_pdf_variant(
 
 
 def synthesize_encrypted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF-only corpus variant, RC4-encrypted with EMPTY passwords (the
-    common crawl case): the writer's standard-security path (ISO
-    32000-1 §7.6.3) enciphers every stream/string per object. Cycles
-    revision (R2 40-bit / R3 128-bit) and storage variant by doc_id so
-    the decryptor sees classic AND xref-stream layouts. Extraction must
-    equal the plain PDF half byte-exactly — the kernel decrypts
+    """PDF-only corpus variant, encrypted with EMPTY passwords (the
+    common crawl case): the writer's standard-security path enciphers
+    every stream/string per object. Cycles the full supported handler
+    matrix by doc_id — R3 (RC4-128), R2 (RC4-40), R4 (/AESV2 crypt
+    filter, AES-128-CBC), R6 (/AESV3, AES-256, ISO 32000-2 hardened
+    hash) — and classic AND xref-stream storage layouts. Extraction
+    must equal the plain PDF half byte-exactly — the kernel decrypts
     transparently (pdfcore/crypt.py)."""
     from ..pdfgen.writer import make_text_pdf
 
@@ -219,7 +220,7 @@ def synthesize_encrypted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                         variant=variant,
                         use_objstm=objstm,
                         encrypted=True,
-                        encrypt_revision=2 if (int(i) // 2) % 2 else 3,
+                        encrypt_revision=[3, 2, 4, 6][(int(i) // 2) % 4],
                     )
                 )
             yield pd.DataFrame(

@@ -64,7 +64,7 @@ class StreamObj:
     compress: bool = True
     encoding: str | None = None  # overrides compress: 'lzw' | 'rl'
 
-    def body(self) -> bytes:
+    def body(self, encrypt_fn=None) -> bytes:
         if self.encoding == "lzw":
             from ..pdfcore.filters import lzw_encode
 
@@ -81,6 +81,11 @@ class StreamObj:
         else:
             payload = self.data
             filt = None
+        if encrypt_fn is not None:
+            # encryption applies AFTER filter encoding (readers decrypt
+            # first, then decode) — and /Length must describe the
+            # ciphertext, which AES grows (IV prefix + block padding)
+            payload = encrypt_fn(payload)
         d = dict(self.d)
         d["Length"] = len(payload)
         if filt is not None:
@@ -129,8 +134,9 @@ class FontSpec:
 
 def _writer_encrypt_dict(enc: dict) -> dict:
     """crypt.build_encrypt_dict output → serializable writer dict
-    (/O and /U as hex strings so ciphertext bytes never need escaping)."""
-    return {
+    (byte values as hex strings so ciphertext never needs escaping;
+    V4/V5 crypt-filter fields pass through as names/dicts)."""
+    d: dict = {
         "Filter": Raw("/Standard"),
         "V": enc["V"],
         "R": enc["R"],
@@ -139,6 +145,20 @@ def _writer_encrypt_dict(enc: dict) -> dict:
         "P": enc["P"],
         "Length": enc["Length"],
     }
+    for k in ("OE", "UE", "Perms"):
+        if k in enc:
+            d[k] = Raw("<" + enc[k].hex().upper() + ">")
+    if "CF" in enc:
+        cfm = enc["CF"]["StdCF"]["CFM"]
+        d["CF"] = {
+            "StdCF": {
+                "CFM": Raw(f"/{cfm}"),
+                "Length": enc["CF"]["StdCF"]["Length"],
+            }
+        }
+        d["StmF"] = Raw("/StdCF")
+        d["StrF"] = Raw("/StdCF")
+    return d
 
 
 def _encrypt_strings(obj, cryptor, num: int):
@@ -262,17 +282,10 @@ def build_pdf(
 
 def _obj_bytes(num: int, obj, cryptor=None) -> bytes:
     if isinstance(obj, StreamObj):
-        body = obj.body()
-        if cryptor is not None:
-            # re-split the serialized stream: encryption applies to the
-            # (already filter-encoded) payload, never the dict
-            head, payload = body.split(b"\nstream\n", 1)
-            payload = payload[: -len(b"\nendstream")]
-            body = (
-                head + b"\nstream\n"
-                + cryptor.encrypt(payload, num, 0)
-                + b"\nendstream"
-            )
+        enc_fn = (
+            (lambda p: cryptor.encrypt(p, num, 0)) if cryptor is not None else None
+        )
+        body = obj.body(enc_fn)
     else:
         if cryptor is not None:
             obj = _encrypt_strings(obj, cryptor, num)

@@ -54,11 +54,26 @@ def test_wrong_id_fails_password_check():
         StandardDecryptor(enc, b"\x02" * 16)
 
 
-def test_aes_rejected_as_unsupported():
-    with pytest.raises(UnsupportedEncryption, match="V=4"):
+def test_unknown_schemes_rejected_as_unsupported():
+    # V4 without a usable crypt filter (no /CF → Identity) is rejected
+    with pytest.raises(UnsupportedEncryption, match="CFM"):
         StandardDecryptor(
             {"Filter": "Standard", "V": 4, "R": 4, "O": b"x" * 32,
              "U": b"y" * 32, "P": -4, "Length": 128},
+            b"",
+        )
+    # an unknown V/R combination is rejected outright
+    with pytest.raises(UnsupportedEncryption, match="V=7"):
+        StandardDecryptor(
+            {"Filter": "Standard", "V": 7, "R": 9, "O": b"x" * 32,
+             "U": b"y" * 32, "P": -4, "Length": 128},
+            b"",
+        )
+    # R5 (the deprecated Adobe extension) is explicitly unsupported
+    with pytest.raises(UnsupportedEncryption, match="V=5 R=5"):
+        StandardDecryptor(
+            {"Filter": "Standard", "V": 5, "R": 5, "O": b"x" * 48,
+             "U": b"y" * 48, "P": -4, "Length": 256},
             b"",
         )
 
@@ -196,3 +211,96 @@ def test_encrypted_lzw_pdf_extracts():
     pdf = build_pdf([[content]], content_encoding="lzw", encrypted=True)
     r = extract_pdf(pdf)
     assert r.error is None and r.text == "lzw under rc4"
+
+
+# ------------------------------------------------------------------ AES
+
+
+def test_aes_fips197_vectors():
+    from pdf_parser_spark.pdfcore.aes import (
+        _decrypt_block,
+        _expand_key,
+        cbc_decrypt,
+        cbc_encrypt,
+        encrypt_block,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert encrypt_block(pt, key).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    key256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert encrypt_block(pt, key256).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(encrypt_block(pt, key256), _expand_key(key256)) == pt
+    data = b"arbitrary length payload, not block aligned!"
+    iv = bytes(range(16))
+    assert cbc_decrypt(cbc_encrypt(data, key, iv), key, iv) == data
+    with pytest.raises(ValueError):
+        cbc_decrypt(b"short", key, iv)
+
+
+def test_hash_2b_deterministic_and_password_sensitive():
+    from pdf_parser_spark.pdfcore.crypt import hash_2b
+
+    a = hash_2b(b"", b"saltsalt")
+    assert a == hash_2b(b"", b"saltsalt") and len(a) == 32
+    assert a != hash_2b(b"pw", b"saltsalt")
+    assert a != hash_2b(b"", b"other8slt")
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"variant": "classic", "encrypt_revision": 4},
+        {"variant": "xrefstream", "use_objstm": True, "encrypt_revision": 4},
+        {"variant": "classic", "encrypt_revision": 6},
+        {"variant": "xrefstream", "use_objstm": True, "encrypt_revision": 6},
+    ],
+    ids=["aesv2-classic", "aesv2-objstm", "aesv3-classic", "aesv3-objstm"],
+)
+def test_aes_encrypted_pdf_extracts_identically(kw):
+    plain = extract_pdf(make_text_pdf(LINES, variant=kw["variant"],
+                                      use_objstm=kw.get("use_objstm", False)))
+    enc_pdf = make_text_pdf(LINES, encrypted=True, **kw)
+    assert b"encrypted body" not in enc_pdf
+    got = extract_pdf(enc_pdf)
+    assert got.error is None
+    assert got.text == plain.text
+
+
+def test_aesv3_wrong_password_rejected():
+    from pdf_parser_spark.pdfcore.crypt import (
+        StandardDecryptor,
+        UnsupportedEncryption,
+        build_encrypt_dict,
+        hash_2b,
+    )
+
+    enc, _ = build_encrypt_dict(b"\x07" * 16, revision=6)
+    # corrupt the /U validation hash → empty password no longer verifies
+    bad = dict(enc)
+    bad["U"] = (b"\x00" * 32) + enc["U"][32:]
+    with pytest.raises(UnsupportedEncryption, match="password"):
+        StandardDecryptor(bad, b"\x07" * 16)
+    # corrupt /Perms → integrity check fails
+    bad2 = dict(enc)
+    bad2["Perms"] = b"\x00" * 16
+    with pytest.raises(UnsupportedEncryption, match="Perms"):
+        StandardDecryptor(bad2, b"\x07" * 16)
+
+
+def test_v4_rc4_crypt_filter_supported():
+    """V4 with /CFM /V2 (RC4 inside crypt filters) also decrypts."""
+    from pdf_parser_spark.pdfcore.crypt import (
+        StandardDecryptor,
+        build_encrypt_dict,
+    )
+
+    enc, cryptor = build_encrypt_dict(b"\x09" * 16, revision=4)
+    enc_v2 = dict(enc)
+    enc_v2["CF"] = {"StdCF": {"CFM": "V2", "Length": 16}}
+    dec = StandardDecryptor(enc_v2, b"\x09" * 16)
+    assert dec.cipher == "rc4"
+    pt = b"rc4 inside crypt filter"
+    assert dec.decrypt(dec.encrypt(pt, 3, 0), 3, 0) == pt
