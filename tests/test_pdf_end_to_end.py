@@ -173,6 +173,21 @@ def test_mutation_fuzz_never_raises():
         ]
     ]
     subjects.append(make_cid_text_pdf([src.split("\n")]))
+    # encrypted (RC4 + both AES flavours) and alt-filter variants: a
+    # flipped byte inside ciphertext/compressed data must surface as an
+    # audit error or garbage text, never an uncaught exception
+    from pdf_parser_spark.pdfgen.writer import build_pdf, make_text_pdf
+
+    subjects.append(make_text_pdf([src.split("\n")], encrypted=True))
+    subjects.append(
+        make_text_pdf([src.split("\n")], encrypted=True, encrypt_revision=4)
+    )
+    subjects.append(
+        make_text_pdf([src.split("\n")], encrypted=True, encrypt_revision=6)
+    )
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(fuzz me) Tj\nET"
+    subjects.append(build_pdf([[content]], content_encoding="lzw"))
+    subjects.append(build_pdf([[content]], content_encoding="rl"))
     for good in subjects:
         n = len(good)
         for off in range(0, n, max(1, n // 40)):
