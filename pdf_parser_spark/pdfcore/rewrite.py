@@ -228,8 +228,16 @@ def _census(doc: PdfDocument, pages: list[dict], page_cmaps: list[dict[str, CMap
 # incremental-update writer (K2 sink)
 
 
-def _serialize(obj) -> bytes:
-    """COS serializer for objects parsed by this kernel's lexer."""
+def _serialize(obj, cryptor=None, num: int = 0, gen: int = 0) -> bytes:
+    """COS serializer for objects parsed by this kernel's lexer.
+
+    When *cryptor* is given (the owning document's StandardDecryptor),
+    literal strings and stream payloads are enciphered with the
+    (num, gen) object key before emission — an incremental update
+    appended to an encrypted document MUST be encrypted with the same
+    security handler (ISO 32000-1 §7.6.1), or every conforming reader
+    would "decrypt" the plaintext into garbage. /Length is computed
+    AFTER encryption (AES adds an IV prefix + block padding)."""
     if obj is None:
         return b"null"
     if isinstance(obj, bool):
@@ -244,29 +252,41 @@ def _serialize(obj) -> bytes:
         s = f"{obj:.6f}".rstrip("0").rstrip(".")
         return s.encode()
     if isinstance(obj, bytes):
+        if cryptor is not None:
+            obj = cryptor.encrypt(obj, num, gen)
         esc = (
             obj.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
         )
         return b"(" + esc + b")"
     if isinstance(obj, str):  # plain str (shouldn't occur, but be safe)
-        return _serialize(obj.encode("latin1", "replace"))
+        return _serialize(obj.encode("latin1", "replace"), cryptor, num, gen)
     if isinstance(obj, list):
-        return b"[" + b" ".join(_serialize(x) for x in obj) + b"]"
+        return b"[" + b" ".join(_serialize(x, cryptor, num, gen) for x in obj) + b"]"
     if isinstance(obj, dict):
         parts = [b"<<"]
         for k, v in obj.items():
-            parts.append(b"/" + str(k).encode("latin1") + b" " + _serialize(v))
+            parts.append(
+                b"/" + str(k).encode("latin1") + b" "
+                + _serialize(v, cryptor, num, gen)
+            )
         parts.append(b">>")
         return b" ".join(parts)
     if isinstance(obj, Stream):
+        raw = obj.raw
+        if cryptor is not None:
+            raw = cryptor.encrypt(raw, num, gen)
         d = dict(obj.dict)
-        d["Length"] = len(obj.raw)
-        return _serialize(d) + b"\nstream\n" + obj.raw + b"\nendstream"
+        d["Length"] = len(raw)
+        # the stream dict's own strings encrypt with the same key; the
+        # payload was handled above, so serialize the dict leaf-wise
+        return (
+            _serialize(d, cryptor, num, gen) + b"\nstream\n" + raw + b"\nendstream"
+        )
     raise PdfError(f"cannot serialize {type(obj).__name__}")
 
 
 def incremental_update(
-    data: bytes, doc: PdfDocument, updates: dict[int, bytes]
+    data: bytes, doc: PdfDocument, updates: dict[int, object]
 ) -> bytes:
     """Append updated object bodies + a classic xref section + trailer
     (/Prev chain) to the original bytes — ISO 32000-1 §7.5.6. Works on
@@ -293,7 +313,19 @@ def incremental_update(
     gens = {num: doc.object_generation(num) for num in updates}
     for num in sorted(updates):
         offsets[num] = len(out)
-        out += f"{num} {gens[num]} obj\n".encode() + updates[num] + b"\nendobj\n"
+        upd = updates[num]
+        if isinstance(upd, (bytes, bytearray)):
+            # pre-serialized bodies are plaintext by construction —
+            # appending them to an encrypted document would corrupt it
+            if doc.decryptor is not None:
+                raise PdfError(
+                    "raw object bodies cannot be appended to an "
+                    "encrypted document; pass parsed objects instead"
+                )
+            body = bytes(upd)
+        else:
+            body = _serialize(upd, doc.decryptor, num, gens[num])
+        out += f"{num} {gens[num]} obj\n".encode() + body + b"\nendobj\n"
     xref_pos = len(out)
     out += b"xref\n"
     # one subsection per contiguous run of object numbers
@@ -322,13 +354,11 @@ def incremental_update(
     return bytes(out)
 
 
-def _flate_stream_body(content: bytes) -> bytes:
-    payload = zlib.compress(content, 6)
-    return (
-        f"<< /Length {len(payload)} /Filter /FlateDecode >>\nstream\n".encode()
-        + payload
-        + b"\nendstream"
-    )
+def _flate_stream_body(content: bytes) -> Stream:
+    """FlateDecode'd stream OBJECT (not bytes): serialization — and
+    therefore /Length and any encryption — happens in
+    incremental_update, which knows the object number."""
+    return Stream({"Filter": Name("FlateDecode")}, zlib.compress(content, 6))
 
 
 def _contents_uses(doc: PdfDocument, page_num: int, stream_num: int) -> bool:
@@ -380,7 +410,7 @@ def content_update_objects(
     new_num = next_num if next_num is not None else doc.max_object_number() + 1
     new_page = dict(page_obj)
     new_page["Contents"] = Ref(new_num, 0)
-    return {new_num: body, pnum: _serialize(new_page)}
+    return {new_num: body, pnum: new_page}
 
 
 def font_update_objects(
@@ -457,7 +487,7 @@ def font_update_objects(
         new_font["FirstChar"] = first
         new_font["LastChar"] = last
         new_font["Widths"] = w
-    return {next_num: cmap_body, ref.num: _serialize(new_font)}
+    return {next_num: cmap_body, ref.num: new_font}
 
 
 # --------------------------------------------------------------------------

@@ -304,3 +304,38 @@ def test_v4_rc4_crypt_filter_supported():
     assert dec.cipher == "rc4"
     pt = b"rc4 inside crypt filter"
     assert dec.decrypt(dec.encrypt(pt, 3, 0), 3, 0) == pt
+
+
+# ------------------------------------------ rewrite on encrypted originals
+
+
+@pytest.mark.parametrize("rev", [2, 3, 4, 6])
+def test_replace_text_on_encrypted_pdf(rev):
+    """The incremental update appended to an encrypted document must be
+    encrypted with the SAME security handler (§7.6.1) — appended
+    plaintext would be 'decrypted' into garbage by every conforming
+    reader. Pins the cryptor-aware serializer end-to-end."""
+    from pdf_parser_spark.pdfcore.rewrite import replace_text
+
+    lines = [["alpha beta gamma", "delta epsilon"]]
+    pdf = make_text_pdf(lines, encrypted=True, encrypt_revision=rev)
+    res = replace_text(pdf, "alpha beta gamma", "gamma beta alpha", page_num=0)
+    assert res.success
+    # the appended section must not leak plaintext
+    appended = res.data[len(pdf) :]
+    assert b"gamma beta alpha" not in appended
+    r = extract_pdf(res.data)
+    assert r.error is None
+    assert r.text.splitlines()[0] == "gamma beta alpha"
+    # original bytes preserved verbatim (incremental-update contract)
+    assert res.data.startswith(pdf)
+
+
+def test_incremental_update_rejects_raw_bytes_on_encrypted():
+    from pdf_parser_spark.pdfcore.document import PdfDocument, PdfError
+    from pdf_parser_spark.pdfcore.rewrite import incremental_update
+
+    pdf = make_text_pdf(LINES, encrypted=True)
+    doc = PdfDocument(pdf)
+    with pytest.raises(PdfError, match="encrypted"):
+        incremental_update(pdf, doc, {99: b"<< /Length 0 >>"})
