@@ -3863,3 +3863,48 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
     )
     return census.select("sym", "cnt", "rank")
+
+
+@q(
+    "rewrite_encrypted",
+    f"WITH exp AS (SELECT {URL_SQL} AS url, {PDF_LINES_SQL} AS flines "
+    "FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT url, array_to_string(list_transform(range(1, len(flines) + 1), "
+    "i -> CASE WHEN i <= 48 AND flines[i] = flines[1] "
+    "THEN reverse(flines[i]) ELSE flines[i] END), chr(10)) AS text FROM exp",
+)
+def rewrite_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path on ENCRYPTED originals under oracle: the same
+    first-line-reversal as rewrite_roundtrip, but every input document
+    is enciphered (R2/R3/R4/R6 cycling) — the rewrite must decrypt,
+    splice, and RE-ENCRYPT the appended incremental update with the
+    document's own security handler (§7.6.1), then re-extract to the
+    oracle-recomputed text. Pins the cryptor-aware serializer at
+    corpus scale."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    enc = synthesize_encrypted_variant(spark, sf_dir)
+
+    def rw(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.pdfcore.extract import extract_pdf
+        from pdf_parser_spark.pdfcore.rewrite import replace_text
+
+        for pdf in batches:
+            urls, texts = [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                data = bytes(payload)
+                r = extract_pdf(data)
+                if r.items:
+                    target = r.items[0][2]
+                    rep = replace_text(data, target, target[::-1], page_num=0)
+                    texts.append(extract_pdf(rep.data).text)
+                else:
+                    texts.append(r.text)
+                urls.append(url)
+            yield _pd.DataFrame({"url": urls, "text": texts})
+
+    return enc.select("url", "html").mapInPandas(
+        rw, schema="url STRING, text STRING"
+    )
