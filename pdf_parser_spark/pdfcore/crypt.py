@@ -25,7 +25,10 @@ Supported (always for the EMPTY user password — the crawl case):
   AES-128-CBC feedback), /U validation + /UE file-key unwrap, /Perms
   integrity check.
 
-Anything else (real passwords, unknown handlers/CFMs, R5) raises
+Both empty-password paths are tried: the user path first, then the
+owner path (Algorithm 7 for RC4, the owner hash + /OE unwrap for R6),
+unlocking documents where only the user password was set. Anything
+else (both passwords real, unknown handlers/CFMs, R5) raises
 :class:`UnsupportedEncryption`, which the kernel converts into the
 typed ``encrypted`` audit row — never a crash, never garbage text.
 """
@@ -48,7 +51,8 @@ PAD = bytes(
 
 
 class UnsupportedEncryption(ValueError):
-    """Encryption present but outside the supported RC4 subset."""
+    """Encryption present but outside the supported subset (or both
+    passwords are real and neither empty-password path verifies)."""
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -122,6 +126,25 @@ def compute_u_value(key: bytes, id0: bytes, revision: int) -> bytes:
     for i in range(1, 20):
         out = rc4(bytes(b ^ i for b in key), out)
     return out + b"\x00" * 16
+
+
+def recover_user_password(
+    owner_pw: bytes, o_value: bytes, revision: int, key_bytes: int
+) -> bytes:
+    """Algorithm 7 (§7.6.3.4): decrypt /O with the owner-password key,
+    recovering the PADDED user password (already 32 bytes — feeding it
+    to Algorithm 2 is a no-op pad)."""
+    digest = hashlib.md5(_pad_password(owner_pw)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_bytes]
+    if revision == 2:
+        return rc4(key, o_value[:32])
+    out = o_value[:32]
+    for i in range(19, -1, -1):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out
 
 
 def verify_user_password(key: bytes, u_value: bytes, id0: bytes, revision: int) -> bool:
@@ -212,7 +235,18 @@ class StandardDecryptor:
             o_value, p_value, id0, r, key_bytes, password=b"", extra=extra
         )
         if not verify_user_password(key, u_value, id0, min(r, 3)):
-            raise UnsupportedEncryption("user password required")
+            # empty USER password failed — try the empty OWNER password
+            # (Algorithm 7, §7.6.3.4): decrypt /O with the owner-derived
+            # key to recover the padded user password, then re-derive.
+            # Unlocks the real-world case of a user password set by a
+            # generator whose owner password was left blank.
+            user_pw = recover_user_password(b"", o_value, min(r, 3), key_bytes)
+            key = compute_key(
+                o_value, p_value, id0, r, key_bytes,
+                password=user_pw, extra=extra,
+            )
+            if not verify_user_password(key, u_value, id0, min(r, 3)):
+                raise UnsupportedEncryption("user password required")
         self.key = key
 
     # --------------------------------------------- V4 (crypt filters)
@@ -244,10 +278,22 @@ class StandardDecryptor:
         if not isinstance(ue, bytes) or len(ue) < 32:
             raise UnsupportedEncryption("missing /UE")
         vsalt, ksalt = u_value[32:40], u_value[40:48]
-        if hash_2b(b"", vsalt) != u_value[:32]:
-            raise UnsupportedEncryption("user password required")
-        ikey = hash_2b(b"", ksalt)
-        self.key = cbc_decrypt(ue[:32], ikey, b"\x00" * 16, unpad=False)
+        if hash_2b(b"", vsalt) == u_value[:32]:
+            ikey = hash_2b(b"", ksalt)
+            self.key = cbc_decrypt(ue[:32], ikey, b"\x00" * 16, unpad=False)
+        else:
+            # empty OWNER password path (Algorithm 12/9: the owner hash
+            # and /OE unwrap salt with the first 48 bytes of /U)
+            oe = enc.get("OE")
+            if (
+                len(o_value) < 48
+                or not isinstance(oe, bytes)
+                or len(oe) < 32
+                or hash_2b(b"", o_value[32:40], u_value[:48]) != o_value[:32]
+            ):
+                raise UnsupportedEncryption("user password required")
+            ikey = hash_2b(b"", o_value[40:48], u_value[:48])
+            self.key = cbc_decrypt(oe[:32], ikey, b"\x00" * 16, unpad=False)
         self.cipher = "aesv3"
         perms = enc.get("Perms")
         if isinstance(perms, bytes) and len(perms) >= 16:
@@ -287,7 +333,11 @@ class StandardDecryptor:
 
 
 def build_encrypt_dict(
-    id0: bytes, revision: int = 3, length: int = 128, permissions: int = -4
+    id0: bytes,
+    revision: int = 3,
+    length: int = 128,
+    permissions: int = -4,
+    user_pw: bytes = b"",
 ) -> tuple[dict, StandardDecryptor]:
     """Fixture-encryptor helper: a /Standard encryption dictionary for
     empty owner+user passwords, plus the matching cryptor.
@@ -295,11 +345,13 @@ def build_encrypt_dict(
     (RC4-128), 4 (AES-128 /AESV2 crypt filter), 6 (AES-256 /AESV3,
     ISO 32000-2)."""
     if revision == 6:
-        return _build_encrypt_dict_r6(id0, permissions)
+        return _build_encrypt_dict_r6(id0, permissions, user_pw=user_pw)
     v = {2: 1, 3: 2, 4: 4}[revision]
     key_bytes = 5 if revision == 2 else length // 8
-    o_value = compute_o_value(b"", b"", min(revision, 3), key_bytes)
-    key = compute_key(o_value, permissions, id0, revision, key_bytes)
+    o_value = compute_o_value(b"", user_pw, min(revision, 3), key_bytes)
+    key = compute_key(
+        o_value, permissions, id0, revision, key_bytes, password=user_pw
+    )
     u_value = compute_u_value(key, id0, min(revision, 3))
     enc = {
         "Filter": "Standard",
@@ -319,7 +371,7 @@ def build_encrypt_dict(
 
 
 def _build_encrypt_dict_r6(
-    id0: bytes, permissions: int = -4
+    id0: bytes, permissions: int = -4, user_pw: bytes = b""
 ) -> tuple[dict, StandardDecryptor]:
     """AES-256 /AESV3 (R6): /U, /UE, /O, /OE, /Perms follow ISO
     32000-2 §7.6.4.4 Algorithms 8-10 for empty passwords.
@@ -334,8 +386,10 @@ def _build_encrypt_dict_r6(
     h = lambda tag: hashlib.md5(b"pdf-parser-spark-r6" + tag).digest()  # noqa: E731
     file_key = h(b"K1") + h(b"K2")  # 32 deterministic bytes
     uvsalt, uksalt = h(b"uv")[:8], h(b"uk")[:8]
-    u_value = hash_2b(b"", uvsalt) + uvsalt + uksalt
-    ue = cbc_encrypt(file_key, hash_2b(b"", uksalt), b"\x00" * 16, pad=False)
+    u_value = hash_2b(user_pw, uvsalt) + uvsalt + uksalt
+    ue = cbc_encrypt(
+        file_key, hash_2b(user_pw, uksalt), b"\x00" * 16, pad=False
+    )
     ovsalt, oksalt = h(b"ov")[:8], h(b"ok")[:8]
     o_value = hash_2b(b"", ovsalt, u_value) + ovsalt + oksalt
     oe = cbc_encrypt(

@@ -186,6 +186,7 @@ def build_pdf(
     use_objstm: bool = False,
     encrypted: bool = False,
     encrypt_revision: int = 3,
+    encrypt_user_pw: bytes = b"",
     content_encoding: str | None = None,
 ) -> bytes:
     """Assemble a PDF.
@@ -268,7 +269,9 @@ def build_pdf(
         id0 = hashlib.md5(
             b"".join(data for streams in page_contents for data in streams)
         ).digest()
-        enc, cryptor = build_encrypt_dict(id0, revision=encrypt_revision)
+        enc, cryptor = build_encrypt_dict(
+            id0, revision=encrypt_revision, user_pw=encrypt_user_pw
+        )
         crypt_ctx = (_writer_encrypt_dict(enc), cryptor, id0)
 
     if variant == "classic":

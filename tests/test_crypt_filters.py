@@ -339,3 +339,44 @@ def test_incremental_update_rejects_raw_bytes_on_encrypted():
     doc = PdfDocument(pdf)
     with pytest.raises(PdfError, match="encrypted"):
         incremental_update(pdf, doc, {99: b"<< /Length 0 >>"})
+
+
+# --------------------------------------------- owner-password recovery
+
+
+@pytest.mark.parametrize("rev", [2, 3, 4, 6])
+def test_user_password_set_owner_empty_unlocks(rev):
+    """A document whose USER password is set but whose OWNER password is
+    blank unlocks via Algorithm 7 (RC4: recover the padded user password
+    from /O) or the R6 owner hash + /OE unwrap — a real crawl case from
+    generators that set only one password."""
+    from pdf_parser_spark.pdfgen.writer import build_pdf
+
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(owner path body) Tj\nET"
+    pdf = build_pdf(
+        [[content]], encrypted=True, encrypt_revision=rev,
+        encrypt_user_pw=b"s3cret",
+    )
+    assert b"owner path body" not in pdf
+    r = extract_pdf(pdf)
+    assert r.error is None and r.text == "owner path body"
+
+
+def test_both_passwords_set_still_typed_error():
+    """When BOTH passwords are real, neither empty-password path can
+    verify — must stay the typed 'encrypted' audit row."""
+    from pdf_parser_spark.pdfcore.crypt import (
+        StandardDecryptor,
+        UnsupportedEncryption,
+        compute_key,
+        compute_o_value,
+        compute_u_value,
+    )
+
+    o = compute_o_value(b"ownerpw", b"userpw", 3, 16)
+    key = compute_key(o, -4, b"\x01" * 16, 3, 16, password=b"userpw")
+    u = compute_u_value(key, b"\x01" * 16, 3)
+    enc = {"Filter": "Standard", "V": 2, "R": 3, "O": o, "U": u,
+           "P": -4, "Length": 128}
+    with pytest.raises(UnsupportedEncryption, match="password"):
+        StandardDecryptor(enc, b"\x01" * 16)
