@@ -782,24 +782,33 @@ def duplicate_substring_spans(
         F.col(id_col),
         F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
     ).withColumn("gh", F.md5("gram")).drop("gram")
-    # Materialize the slim (id, pos, gh) table once: the dup-gram count
-    # and the position join are divergent branches that would otherwise
-    # each re-run tokenize+shingle+md5 over the full corpus (measured 2x
-    # the query cost at sf0.1). At cluster scale the same role is played
-    # by writing the shingle table out before the self-consuming join;
-    # localCheckpoint so ContextCleaner frees the blocks with the frame.
-    sh = sh.localCheckpoint(eager=True)
-    # distinct (gram, doc) first, then plain count — same answer as
-    # countDistinct without the Expand double-shuffle
-    dup = (
-        sh.select("gh", id_col)
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count("*").alias("ndocs"))
-        .where(F.col("ndocs") >= min_docs)
-        .select("gh")
-    )
-    dpos = sh.join(dup, "gh").select(id_col, "pos")
+    if min_docs == 2:
+        # the dedup case: "shared by >=2 distinct docs" ≡ min(doc) !=
+        # max(doc) within the gram partition — ONE shuffle on gh, no
+        # self-join, no divergent branches (so no checkpoint/double
+        # tokenize), and only slim (id, pos, gh) rows ever move
+        wg = Window.partitionBy("gh")
+        dpos = (
+            sh.withColumn("_lo", F.min(id_col).over(wg))
+            .withColumn("_hi", F.max(id_col).over(wg))
+            .where(F.col("_lo") != F.col("_hi"))
+            .select(id_col, "pos")
+        )
+    else:
+        # general threshold needs a distinct-doc count per gram: keep
+        # the two-pass groupBy+join, sharing the materialized shingle
+        # table across the divergent branches (localCheckpoint so
+        # ContextCleaner frees the blocks with the frame)
+        sh = sh.localCheckpoint(eager=True)
+        dup = (
+            sh.select("gh", id_col)
+            .distinct()
+            .groupBy("gh")
+            .agg(F.count("*").alias("ndocs"))
+            .where(F.col("ndocs") >= min_docs)
+            .select("gh")
+        )
+        dpos = sh.join(dup, "gh").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     grp = F.col("pos") - F.row_number().over(w)
     return (
