@@ -3908,3 +3908,54 @@ def rewrite_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("url", "html").mapInPandas(
         rw, schema="url STRING, text STRING"
     )
+
+
+@q(
+    "dedup_lsh_quality",
+    f"WITH {_duck_lsh_ctes()}, "
+    "truth AS (SELECT doc_id AS a_id, "
+    f"doc_id + {CLONE_OFFSET} AS b_id FROM documents), "
+    "tp AS (SELECT count(*)::BIGINT AS c FROM lsh_pairs p "
+    "JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id), "
+    "nc AS (SELECT count(*)::BIGINT AS c FROM lsh_pairs), "
+    "nt AS (SELECT count(*)::BIGINT AS c FROM truth) "
+    "SELECT nt.c AS n_truth, nc.c AS n_candidates, tp.c AS true_pos, "
+    "(100 * tp.c // greatest(nc.c, 1))::INT AS precision_pct, "
+    "(100 * tp.c // greatest(nt.c, 1))::INT AS recall_pct "
+    "FROM nt, nc, tp",
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EVALUATION, not just execution: MinHash-LSH candidate
+    pairs measured against the known clone ground truth (every doc has
+    one 4/5-truncated near-duplicate). Emits precision/recall of the
+    candidate set — the quality dial (bands × rows) a pipeline tunes
+    before spending the verify-join budget at crawl scale. Counting is
+    three single-row aggregates over the candidate/truth joins; no new
+    shuffle shape beyond the LSH itself."""
+    docs = _read(spark, sf_dir, "documents")
+    docs2 = _with_clones(docs, truncate=True)
+    pairs = dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
+    truth = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + CLONE_OFFSET).alias("b_id"),
+    )
+    tp = pairs.join(truth, ["a_id", "b_id"]).agg(
+        F.count("*").cast("bigint").alias("true_pos")
+    )
+    nc = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "true_pos",
+            (100 * F.col("true_pos") / F.greatest(F.col("n_candidates"), F.lit(1)))
+            .cast("int")
+            .alias("precision_pct"),
+            (100 * F.col("true_pos") / F.greatest(F.col("n_truth"), F.lit(1)))
+            .cast("int")
+            .alias("recall_pct"),
+        )
+    )
