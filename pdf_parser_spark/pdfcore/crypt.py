@@ -166,8 +166,12 @@ import functools
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 iterated hash:
     SHA-256 seed, then ≥64 rounds of AES-128-CBC feedback selecting
-    SHA-256/384/512 by the block sum mod 3; stops once the round index
-    passes 63 AND the last feedback byte ≤ round − 32.
+    SHA-256/384/512 by the block sum mod 3; after completing round n
+    (1-based, n ≥ 64) stop when the last feedback byte ≤ n − 32.  With
+    ``i`` the 0-based index of the just-completed round, n = i + 1, so
+    the interop-correct stop condition (qpdf, pdf.js, mupdf agree) is
+    ``e[-1] <= i - 31`` — NOT ``i - 32``, which diverges on ~2.5% of
+    salts (pinned by test_crypt_filters.py's divergence goldens).
 
     lru_cached: the hash is an intentional anti-brute-force KDF (~15k
     AES block encrypts), and a corpus of fixtures sharing salts — or a
@@ -179,7 +183,7 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
         e = cbc_encrypt(k1, k[:16], k[16:32], pad=False)
         mod = sum(e[:16]) % 3
         k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
-        if i >= 63 and e[-1] <= i - 32:
+        if i >= 63 and e[-1] <= i - 31:
             return k[:32]
         i += 1
 
@@ -206,6 +210,10 @@ class StandardDecryptor:
         r = int(enc.get("R") or 0)
         self.revision = r
         self._id0 = id0
+        # /EncryptMetadata false (R ≥ 4): the XMP metadata stream is
+        # stored in PLAINTEXT — the document reader must skip stream
+        # decryption for it (document.py honors this flag)
+        self.encrypt_metadata = enc.get("EncryptMetadata") is not False
         o_value = enc.get("O")
         u_value = enc.get("U")
         if not isinstance(o_value, bytes) or not isinstance(u_value, bytes):
@@ -338,19 +346,26 @@ def build_encrypt_dict(
     length: int = 128,
     permissions: int = -4,
     user_pw: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> tuple[dict, StandardDecryptor]:
     """Fixture-encryptor helper: a /Standard encryption dictionary for
     empty owner+user passwords, plus the matching cryptor.
     Deterministic for a given *id0*. Revisions: 2 (RC4-40), 3
     (RC4-128), 4 (AES-128 /AESV2 crypt filter), 6 (AES-256 /AESV3,
-    ISO 32000-2)."""
+    ISO 32000-2). encrypt_metadata=False (R4 only): /EncryptMetadata
+    false — ffffffff enters the key hash (§7.6.2 Algorithm 1 step b)
+    and the XMP stream is expected to be stored in plaintext."""
     if revision == 6:
         return _build_encrypt_dict_r6(id0, permissions, user_pw=user_pw)
     v = {2: 1, 3: 2, 4: 4}[revision]
     key_bytes = 5 if revision == 2 else length // 8
+    extra = b""
+    if revision == 4 and not encrypt_metadata:
+        extra = b"\xff\xff\xff\xff"
     o_value = compute_o_value(b"", user_pw, min(revision, 3), key_bytes)
     key = compute_key(
-        o_value, permissions, id0, revision, key_bytes, password=user_pw
+        o_value, permissions, id0, revision, key_bytes, password=user_pw,
+        extra=extra,
     )
     u_value = compute_u_value(key, id0, min(revision, 3))
     enc = {
@@ -366,6 +381,8 @@ def build_encrypt_dict(
         enc["CF"] = {"StdCF": {"CFM": "AESV2", "Length": 16}}
         enc["StmF"] = "StdCF"
         enc["StrF"] = "StdCF"
+        if not encrypt_metadata:
+            enc["EncryptMetadata"] = False
     cryptor = StandardDecryptor(enc, id0)
     return enc, cryptor
 

@@ -212,6 +212,15 @@ class PdfDocument:
         if isinstance(obj, Stream):
             if str(self.resolve(obj.dict.get("Type")) or "") == "XRef":
                 return obj
+            # /EncryptMetadata false → the XMP metadata stream is stored
+            # in plaintext (§7.6.2 note); running AES/RC4 over it would
+            # turn valid XML into garbage.  The dict's /Type is a Name
+            # (never encrypted), so it is safe to inspect here.
+            if (
+                not getattr(self.decryptor, "encrypt_metadata", True)
+                and str(self.resolve(obj.dict.get("Type")) or "") == "Metadata"
+            ):
+                return obj
             newdict = self._decrypt_value(obj.dict, num, gen)
             return Stream(newdict, self.decryptor.decrypt(obj.raw, num, gen))
         return self._decrypt_value(obj, num, gen)

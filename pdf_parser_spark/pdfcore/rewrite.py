@@ -254,8 +254,15 @@ def _serialize(obj, cryptor=None, num: int = 0, gen: int = 0) -> bytes:
     if isinstance(obj, bytes):
         if cryptor is not None:
             obj = cryptor.encrypt(obj, num, gen)
+        # \r and \n must be escaped too: §7.3.4.2 makes a conforming
+        # reader fold any raw EOL inside a literal string to 0x0A, which
+        # would corrupt binary payloads (AES ciphertext, /ID digests)
         esc = (
-            obj.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+            obj.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+            .replace(b"\r", b"\\r")
+            .replace(b"\n", b"\\n")
         )
         return b"(" + esc + b")"
     if isinstance(obj, str):  # plain str (shouldn't occur, but be safe)
@@ -346,9 +353,20 @@ def incremental_update(
     size = int(doc.trailer.get("Size") or 0)
     size = max(size, max(nums) + 1)
     trailer: dict = {"Size": size, "Prev": prev}
-    root = doc.trailer.get("Root")
-    if root is not None:
-        trailer["Root"] = root
+    # ISO 32000-1 §7.5.6: an update's trailer must carry forward /Root,
+    # /Encrypt, /ID and /Info — a reader that treats the newest trailer
+    # as authoritative (most do) would otherwise see an encrypted
+    # document's update as unencrypted, or fail key derivation without
+    # /ID.  /Encrypt stays the ORIGINAL value (a Ref when the source
+    # used one, serialized verbatim); the trailer itself is serialized
+    # with no cryptor, so /ID strings are emitted unencrypted as the
+    # spec requires.  Our own reader merges trailer chains via
+    # setdefault, which is why round-trip tests alone can't catch an
+    # omission here (pinned in test_rewrite).
+    for key in ("Root", "Encrypt", "Info", "ID"):
+        val = doc.trailer.get(key)
+        if val is not None:
+            trailer[key] = val
     out += b"trailer\n" + _serialize(trailer)
     out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)

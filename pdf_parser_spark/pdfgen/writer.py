@@ -63,6 +63,7 @@ class StreamObj:
     data: bytes
     compress: bool = True
     encoding: str | None = None  # overrides compress: 'lzw' | 'rl'
+    no_encrypt: bool = False  # /EncryptMetadata false → plaintext XMP
 
     def body(self, encrypt_fn=None) -> bytes:
         if self.encoding == "lzw":
@@ -148,6 +149,8 @@ def _writer_encrypt_dict(enc: dict) -> dict:
     for k in ("OE", "UE", "Perms"):
         if k in enc:
             d[k] = Raw("<" + enc[k].hex().upper() + ">")
+    if enc.get("EncryptMetadata") is False:
+        d["EncryptMetadata"] = False
     if "CF" in enc:
         cfm = enc["CF"]["StdCF"]["CFM"]
         d["CF"] = {
@@ -188,6 +191,8 @@ def build_pdf(
     encrypt_revision: int = 3,
     encrypt_user_pw: bytes = b"",
     content_encoding: str | None = None,
+    metadata: bytes | None = None,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Assemble a PDF.
 
@@ -205,6 +210,10 @@ def build_pdf(
     /ID derived deterministically from the plaintext so output stays
     byte-reproducible. Cross-reference streams are left clear (§7.5.8.2)
     and ObjStm members ride on their container's encryption (§7.5.7).
+    metadata: XMP bytes → a catalog-linked /Type /Metadata stream
+    (stored uncompressed, per convention). encrypt_metadata=False
+    (V4 only, §7.6.2 Algorithm 1 step b): the metadata stream is
+    stored in PLAINTEXT and the key derivation hashes in ffffffff.
     """
     fonts = {"F1": FontSpec()} if fonts is None else fonts
     objects: dict[int, object] = {}
@@ -260,6 +269,16 @@ def build_pdf(
     }
     objects[catalog_num] = {"Type": Raw("/Catalog"), "Pages": Raw(f"{pages_num} 0 R")}
 
+    if metadata is not None:
+        meta_num = alloc()
+        objects[meta_num] = StreamObj(
+            {"Type": Raw("/Metadata"), "Subtype": Raw("/XML")},
+            metadata,
+            compress=False,
+            no_encrypt=encrypted and not encrypt_metadata,
+        )
+        objects[catalog_num]["Metadata"] = Raw(f"{meta_num} 0 R")
+
     crypt_ctx = None
     if encrypted:
         import hashlib
@@ -270,7 +289,10 @@ def build_pdf(
             b"".join(data for streams in page_contents for data in streams)
         ).digest()
         enc, cryptor = build_encrypt_dict(
-            id0, revision=encrypt_revision, user_pw=encrypt_user_pw
+            id0,
+            revision=encrypt_revision,
+            user_pw=encrypt_user_pw,
+            encrypt_metadata=encrypt_metadata,
         )
         crypt_ctx = (_writer_encrypt_dict(enc), cryptor, id0)
 
@@ -286,7 +308,9 @@ def build_pdf(
 def _obj_bytes(num: int, obj, cryptor=None) -> bytes:
     if isinstance(obj, StreamObj):
         enc_fn = (
-            (lambda p: cryptor.encrypt(p, num, 0)) if cryptor is not None else None
+            (lambda p: cryptor.encrypt(p, num, 0))
+            if cryptor is not None and not obj.no_encrypt
+            else None
         )
         body = obj.body(enc_fn)
     else:

@@ -249,6 +249,67 @@ def test_hash_2b_deterministic_and_password_sensitive():
     assert a != hash_2b(b"", b"other8slt")
 
 
+def _hash_2b_independent(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Independent Algorithm 2.B, written straight from the ISO 32000-2
+    §7.6.4.3.4 wording with 1-BASED round counting and the
+    ``cryptography`` package's AES (not the repo's own cipher): after
+    completing round n ≥ 64, stop when the last byte of E ≤ n − 32.
+    Exists purely to pin hash_2b against a second implementation."""
+    import hashlib
+
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    n = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        enc = Cipher(algorithms.AES(k[:16]), modes.CBC(k[16:32])).encryptor()
+        e = enc.update(k1) + enc.finalize()
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        n += 1
+        if n >= 64 and e[-1] <= n - 32:
+            return k[:32]
+
+
+def test_hash_2b_matches_independent_implementation():
+    """Cross-check hash_2b against a from-the-spec reimplementation on a
+    seeded salt sweep, including password and udata (owner-key) paths."""
+    import random
+
+    from pdf_parser_spark.pdfcore.crypt import hash_2b
+
+    rng = random.Random(0xA2B)
+    for _ in range(12):
+        salt = bytes(rng.randrange(256) for _ in range(8))
+        pw = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 20)))
+        ud = b"" if rng.random() < 0.5 else bytes(rng.randrange(256) for _ in range(48))
+        assert hash_2b(pw, salt, ud) == _hash_2b_independent(pw, salt, ud)
+
+
+def test_hash_2b_off_by_one_divergence_salts():
+    """Salts where the buggy pre-r4 stop rule (0-based ``e[-1] <= i-32``,
+    i.e. 1-based ``<= n-33``) takes EXTRA rounds and yields a different
+    hash — ~3% of the salt space (12/400 in a seeded sweep).  Pins the
+    interop-correct outputs so the off-by-one can never silently return;
+    round-trip tests alone cannot catch it (both sides would shift)."""
+    from pdf_parser_spark.pdfcore.crypt import hash_2b
+
+    vectors = [
+        ("adf7607e6428e279", "535b2bde5ad16db5"),
+        ("e0125f321036af2e", "b8eab511a95883c1"),
+        ("ba713ffba99cb25e", "e7750a0b61b4b24a"),
+    ]
+    buggy = {
+        "adf7607e6428e279": "11f37e3bcd1c7eb2",
+        "e0125f321036af2e": "5a8940b2716874ff",
+        "ba713ffba99cb25e": "4de28961bbf6ef4c",
+    }
+    for salt_hex, prefix in vectors:
+        got = hash_2b(b"", bytes.fromhex(salt_hex))
+        assert got.hex()[:16] == prefix
+        assert got.hex()[:16] != buggy[salt_hex]
+
+
 @pytest.mark.parametrize(
     "kw",
     [
@@ -380,3 +441,51 @@ def test_both_passwords_set_still_typed_error():
            "P": -4, "Length": 128}
     with pytest.raises(UnsupportedEncryption, match="password"):
         StandardDecryptor(enc, b"\x01" * 16)
+
+
+# ---------------------------------------- /EncryptMetadata false (V4)
+
+
+def test_encrypt_metadata_false_xmp_stays_plaintext():
+    """V4 with /EncryptMetadata false: the catalog's XMP stream is
+    stored in PLAINTEXT (§7.6.2 Algorithm 1 step b note) — the reader
+    must skip stream decryption for it, or valid XML turns to garbage;
+    every OTHER stream still decrypts (key hashed with ffffffff)."""
+    from pdf_parser_spark.pdfcore.document import PdfDocument
+    from pdf_parser_spark.pdfgen.writer import build_pdf
+
+    xmp = b'<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/"/>'
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(meta false body) Tj\nET"
+    pdf = build_pdf(
+        [[content]],
+        encrypted=True,
+        encrypt_revision=4,
+        metadata=xmp,
+        encrypt_metadata=False,
+    )
+    # the XMP really is on disk in the clear; the content stream is not
+    assert xmp in pdf
+    assert b"meta false body" not in pdf
+    r = extract_pdf(pdf)
+    assert r.error is None and r.text == "meta false body"
+    doc = PdfDocument(pdf)
+    meta = doc.resolve(doc.catalog().get("Metadata"))
+    assert doc.stream_bytes(meta) == xmp
+
+
+def test_encrypt_metadata_default_xmp_encrypted():
+    """Control: with /EncryptMetadata true (default) the XMP stream is
+    enciphered like any other and round-trips through decryption."""
+    from pdf_parser_spark.pdfcore.document import PdfDocument
+    from pdf_parser_spark.pdfgen.writer import build_pdf
+
+    xmp = b'<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/"/>'
+    content = b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(meta true body) Tj\nET"
+    pdf = build_pdf(
+        [[content]], encrypted=True, encrypt_revision=4, metadata=xmp
+    )
+    assert xmp not in pdf
+    doc = PdfDocument(pdf)
+    meta = doc.resolve(doc.catalog().get("Metadata"))
+    assert doc.stream_bytes(meta) == xmp
+    assert extract_pdf(pdf).text == "meta true body"
