@@ -197,7 +197,7 @@ def main() -> None:
         per_query[name] = round(construction[name] + execution[name], 3)
 
     total = round(sum(per_query.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -214,10 +214,43 @@ def main() -> None:
         ),
         "n_docs": n_docs,
     }
+    # Full per-query detail goes to a FILE; stdout must stay one SHORT
+    # JSON line — the round driver tail-captures only the last ~2000
+    # chars of stdout, and r3's full detail line outgrew it ("parsed":
+    # null). Keep the line well under the cap: headline numbers plus
+    # only the queries that cost >= 0.2s, the fast rest rolled up.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "BENCH_detail.json",
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slow = {k: v for k, v in per_query.items() if v >= 0.2}
+    fast_total = round(sum(v for v in per_query.values() if v < 0.2), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(slow.items(), key=lambda kv: -kv[1])),
+        "queries_under_0.2s_total": fast_total,
+        "n_queries": len(per_query),
+        "sf": sf,
+        "docs_per_sec_extraction": detail["docs_per_sec_extraction"],
+        "n_docs": n_docs,
+        "detail": "BENCH/BENCH_detail.json",
+    }
     spark.stop()
     # the keyed corpus cache is deliberately left in place — the next
     # invocation validates and reuses it (corpus_synthesis_cached)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1500:  # never outgrow the driver's ~2000-char tail
+        out["queries"] = dict(
+            sorted(slow.items(), key=lambda kv: -kv[1])[:30]
+        )
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

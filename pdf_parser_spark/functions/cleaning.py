@@ -170,27 +170,40 @@ def decontaminate(
     id_cols: tuple[str, ...] = ("doc_id",),
     k: int = 5,
 ) -> DataFrame:
-    """Benchmark decontamination: per document, the number of word
-    k-grams shared with the benchmark shingle table ``bench`` (one
+    """Benchmark decontamination: per document, the number of DISTINCT
+    word k-grams shared with the benchmark shingle table ``bench`` (one
     ``gram`` string column) and a 0/1 contamination flag.
 
-    The benchmark side broadcasts; the corpus side is one exploded-
-    shingle pass with a map-side-combined groupBy(doc) — matched rows
-    collapse to a single count per document before the exchange.
-    explode_outer keeps sub-k-token documents in the output (0 hits).
+    The benchmark side broadcasts (eval sets are tiny vs the corpus);
+    the corpus side is ONE relational shingle pass through
+    dedup.exploded_shingles — the expression form
+    ``shingles(tokens(text))`` re-evaluates the tokenizer subtree per
+    gram in interpreted higher-order functions (dedup.py's own
+    guidance), which made this the 3rd-most-expensive bench entry. A
+    broadcast LEFT-SEMI join keeps only matched grams (map-side, no
+    corpus shuffle), count_distinct collapses them per document, and a
+    left join back onto the id spine restores sub-k-token and zero-hit
+    documents with 0 counts.
     """
-    sh = df.select(
+    from .dedup import exploded_shingles
+
+    spine = df.select(*id_cols)
+    sh = exploded_shingles(df, text_col=text_col, id_col=id_cols, k=k)
+    hits = (
+        sh.join(
+            F.broadcast(bench.select(F.col("gram").alias("shingle"))),
+            "shingle",
+            "left_semi",
+        )
+        .groupBy(*id_cols)
+        .agg(F.count_distinct("shingle").cast("int").alias("bench_ngrams"))
+    )
+    return spine.join(hits, list(id_cols), "left").select(
         *id_cols,
-        F.explode_outer(F.array_distinct(shingles(tokens(text_col), k))).alias(
-            "gram"
-        ),
-    )
-    marked = sh.join(
-        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
-    )
-    return marked.groupBy(*id_cols).agg(
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("bench_ngrams"),
-        F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("contaminated"),
+        F.coalesce(F.col("bench_ngrams"), F.lit(0)).alias("bench_ngrams"),
+        (F.coalesce(F.col("bench_ngrams"), F.lit(0)) > 0)
+        .cast("int")
+        .alias("contaminated"),
     )
 
 

@@ -39,7 +39,10 @@ HEX_DIGITS = "0123456789abcdef"
 
 
 def exploded_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: "str | tuple[str, ...]" = "doc_id",
+    k: int = 3,
 ) -> DataFrame:
     """(id, shingle) rows: k-gram word shingles via posexplode + lead().
 
@@ -48,18 +51,20 @@ def exploded_shingles(
     windows partitioned by id. The pure-expression form
     (textstats.shingles) re-evaluates the tokenizer per element_at once
     Catalyst collapses projections — quadratic per document — so every
-    bulk consumer (MinHash, fingerprints, Jaccard) goes through this
-    instead. Scale shape: one narrow explode, one hash-partitioned sort
-    by (id, pos), then pure map-side work.
+    bulk consumer (MinHash, fingerprints, Jaccard, decontamination)
+    goes through this instead. Scale shape: one narrow explode, one
+    hash-partitioned sort by (id, pos), then pure map-side work.
+    id_col may be a tuple of columns (compound document key).
     """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+        *ids, F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy(*ids).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     return (
         tok.select(
-            id_col,
+            *ids,
             F.concat_ws(" ", *parts).alias("shingle"),
             F.lead("tok", k - 1).over(w).alias("_tail"),
         )

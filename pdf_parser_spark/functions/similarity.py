@@ -284,7 +284,12 @@ def cosine_topk(
     return _ranked_topk(scored, k, round_digits)
 
 
-def int8_quantize_expr(vec: Column) -> Column:
+def absmax_expr(vec: Column) -> Column:
+    """max|v_i| as a double — the int8 quantization scale."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+
+
+def int8_quantize_expr(vec: Column, mx: Column | None = None) -> Column:
     """Symmetric per-vector int8 quantization: q_i = floor(v_i·127/mx
     + 0.5), mx = max|v_i| — 4× less memory/IO than float32, the
     standard first compression step for billion-vector ANN. floor(x +
@@ -296,13 +301,17 @@ def int8_quantize_expr(vec: Column) -> Column:
     dots of |q| ≤ 127 are exactly representable in doubles, so the
     score is bit-deterministic regardless of summation order.
 
-    NOTE: ``mx`` sits inside the per-element lambda, and higher-order
-    functions re-evaluate it per element — O(d²) per vector. Fine at
-    the d ≤ 64 of the test tables; a production pipeline materializes
-    the quantized column to storage once (which is the point of
-    quantizing), so the cost is paid one time, not per query.
+    Pass ``mx`` as a PROJECTED column (``absmax_expr`` in a prior
+    select) for O(d) work per vector: a subexpression inside the
+    per-element lambda is re-evaluated per element by interpreted
+    higher-order functions — O(d²) per vector at production d = 768+.
+    A prior projection referenced twice survives CollapseProject (the
+    optimizer only inlines cheap or once-referenced aliases), so the
+    lambda sees a bound attribute. Without ``mx`` the scale is computed
+    inline — acceptable only for small d.
     """
-    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    if mx is None:
+        mx = absmax_expr(vec)
     return F.when(
         mx > 0,
         F.transform(
@@ -330,12 +339,20 @@ def cosine_topk_int8(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
-            int8_quantize_expr(F.col(vec_col)).alias("qv"),
+            F.col(vec_col).alias("_v"),
+            absmax_expr(F.col(vec_col)).alias("_mx"),
+        ).select(
+            "q_id",
+            int8_quantize_expr(F.col("_v"), F.col("_mx")).alias("qv"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        int8_quantize_expr(F.col(vec_col)).alias("cv"),
+        F.col(vec_col).alias("_v"),
+        absmax_expr(F.col(vec_col)).alias("_mx"),
+    ).select(
+        "neighbor_id",
+        int8_quantize_expr(F.col("_v"), F.col("_mx")).alias("cv"),
     )
     pairs = c.crossJoin(q).where(F.col("q_id") != F.col("neighbor_id"))
     scored = pairs.select(
@@ -386,21 +403,44 @@ def ivf_topk(
         cell_col = ivf_cell_expr(F.col(vec_col), bits)
         q_cell = cell_col
 
-    vec_out = (
-        int8_quantize_expr(F.col(vec_col)) if quantize else F.col(vec_col)
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            vec_out.alias("qv"),
-            q_cell.alias("cell"),
+    if quantize:
+        # two-step projection so the quantize lambda reads the scale as
+        # a bound attribute (O(d) per vector — see int8_quantize_expr)
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("_v"),
+                absmax_expr(F.col(vec_col)).alias("_mx"),
+                q_cell.alias("cell"),
+            ).select(
+                "q_id",
+                int8_quantize_expr(F.col("_v"), F.col("_mx")).alias("qv"),
+                "cell",
+            )
         )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vec_out.alias("cv"),
-        cell_col.alias("cell"),
-    )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            absmax_expr(F.col(vec_col)).alias("_mx"),
+            cell_col.alias("cell"),
+        ).select(
+            "neighbor_id",
+            int8_quantize_expr(F.col("_v"), F.col("_mx")).alias("cv"),
+            "cell",
+        )
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("qv"),
+                q_cell.alias("cell"),
+            )
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            cell_col.alias("cell"),
+        )
     pairs = c.join(q, "cell").where(F.col("q_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "q_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("_cos")

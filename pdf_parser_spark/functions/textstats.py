@@ -431,9 +431,15 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_n)
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rank"), "pair", "cnt"
+    # rank the top_n survivors zipWithIndex-style (coalesce + pinned
+    # sort + consecutive ids in the single partition) — no Window, so
+    # nothing for WindowExec to funnel or warn about
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("cnt"), F.asc("pair"))
+        .select(
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+            "pair",
+            "cnt",
+        )
     )

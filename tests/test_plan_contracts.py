@@ -428,3 +428,14 @@ def test_stream_join_twin_is_equi_join(spark):
 def test_zorder_layout_is_map_only(spark):
     plan = _plan(spark, "zorder_layout")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bpe_tokenize_topk_without_unpartitioned_window(spark):
+    """The apply-census top-20 must be TakeOrderedAndProject
+    (per-partition top-k) with the rank Window running over only the
+    20 survivors — never the full subword census through a single
+    unpartitioned-Window task (vocab-bounded but millions of rows at
+    crawl scale)."""
+    plan = _plan(spark, "bpe_tokenize")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
