@@ -38,7 +38,7 @@ ITEM_STRUCT = (
 PARSED_SCHEMA = (
     "url STRING, kind STRING, text STRING, n_pages INT, n_items INT, "
     f"n_spans INT, error STRING, parse_ms DOUBLE, payload_bytes BIGINT, "
-    f"partition_id INT, fallback_pages INT, "
+    f"partition_id INT, fallback_pages INT, recovered INT, "
     f"spans ARRAY<STRUCT<{SPAN_STRUCT}>>, items ARRAY<STRUCT<{ITEM_STRUCT}>>"
 )
 
@@ -59,7 +59,7 @@ def _extract_one(
     payload = bytes(payload)
     kind = _sniff(payload)
     text = ""
-    n_pages = n_items = n_spans = fallback_pages = 0
+    n_pages = n_items = n_spans = fallback_pages = recovered = 0
     error = None
     spans: list[dict] = []
     items: list[dict] = []
@@ -67,6 +67,7 @@ def _extract_one(
         r = extract_pdf(payload, multibyte_cmaps=multibyte)
         text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
         fallback_pages = r.fallback_pages
+        recovered = int(r.recovered)
         spans = [
             {
                 "page_no": int(pg),
@@ -109,6 +110,7 @@ def _extract_one(
         "parse_ms": (time.perf_counter() - t0) * 1000.0,
         "payload_bytes": len(payload),
         "fallback_pages": fallback_pages,
+        "recovered": recovered,
         "spans": spans,
         "items": items,
     }
@@ -132,7 +134,7 @@ def extract_batch(
             columns=[
                 "url", "kind", "text", "n_pages", "n_items", "n_spans",
                 "error", "parse_ms", "payload_bytes", "fallback_pages",
-                "spans", "items",
+                "recovered", "spans", "items",
             ],
         )
         out.insert(9, "partition_id", pid)
@@ -177,6 +179,7 @@ def _arrow_schema():
             ("payload_bytes", pa.int64()),
             ("partition_id", pa.int32()),
             ("fallback_pages", pa.int32()),
+            ("recovered", pa.int32()),
             ("spans", pa.list_(span)),
             ("items", pa.list_(item)),
         ]
@@ -205,7 +208,7 @@ def extract_batch_arrow(
         payloads = batch.column("html").to_pylist()
         n = len(urls)
         kind_c, text_c, npages_c, nitems_c, nspans_c = [], [], [], [], []
-        err_c, ms_c, bytes_c, fb_c = [], [], [], []
+        err_c, ms_c, bytes_c, fb_c, rec_c = [], [], [], [], []
         # spans/items as flat struct columns + list offsets
         offsets = [0]
         s_page, s_seq, s_text = [], [], []
@@ -217,12 +220,13 @@ def extract_batch_arrow(
             raw = bytes(payload) if payload is not None else b""
             kind = _sniff(raw)
             text, n_pages, n_items, error = "", 0, 0, None
-            n_spans = fallback_pages = 0
+            n_spans = fallback_pages = recovered = 0
             if kind == "pdf":
                 r = _xpdf(raw, multibyte_cmaps=multibyte)
                 text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
                 n_spans = len(r.spans)
                 fallback_pages = r.fallback_pages
+                recovered = int(r.recovered)
                 for s, pg in zip(r.spans, r.span_pages):
                     s_page.append(pg)
                     s_seq.append(s.seq)
@@ -258,6 +262,7 @@ def extract_batch_arrow(
             ms_c.append((time.perf_counter() - t0) * 1000.0)
             bytes_c.append(len(raw))
             fb_c.append(fallback_pages)
+            rec_c.append(recovered)
         span_struct = pa.StructArray.from_arrays(
             [
                 pa.array(s_page, pa.int32()),
@@ -301,6 +306,7 @@ def extract_batch_arrow(
                 pa.array(bytes_c, pa.int64()),
                 pa.array([pid] * n, pa.int32()),
                 pa.array(fb_c, pa.int32()),
+                pa.array(rec_c, pa.int32()),
                 spans_col,
                 items_col,
             ],

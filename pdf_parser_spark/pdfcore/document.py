@@ -10,9 +10,18 @@ public spec:
 - page-tree walk with inherited attributes (/Resources, /MediaBox) —
   §7.7.3.4; the reference's inherited-/Contents walk is
   /root/reference/pdf_gui.py:1515-1521.
+- whole-document recovery scan (the qpdf-style reconstruction real
+  crawl PDFs routinely need): when the xref chain is missing or
+  unusable, re-index every ``N G obj`` header in the buffer (newest
+  occurrence wins, like an incremental chain), merge any ``trailer``
+  dicts newest-first, fall back to /Type /XRef stream dicts and a
+  /Type /Catalog scan for /Root, and register /ObjStm members.
+  Surfaced as ``recovered=True`` so the audit table can count it.
 """
 
 from __future__ import annotations
+
+import re
 
 from .crypt import StandardDecryptor, UnsupportedEncryption
 from .filters import decode_stream
@@ -51,8 +60,27 @@ class PdfDocument:
         self.decryptor: StandardDecryptor | None = None
         self.encryption_error: str | None = None
         self._encrypt_obj_num: int | None = None
-        self._load_xref()
+        #: True when the xref chain was unusable and the object index
+        #: was rebuilt by the whole-document recovery scan
+        self.recovered: bool = False
+        try:
+            self._load_xref()
+        except Exception:
+            self._reconstruct()
         self._setup_encryption()
+        # Root usability must be judged AFTER encryption setup: in an
+        # encrypted xref-stream document the catalog can live inside an
+        # encrypted /ObjStm, so resolving it needs the decryptor. Skip
+        # when the handler is unsupported (encryption_error set) — a
+        # recovery scan can't read encrypted containers either, and the
+        # typed "encrypted" audit row is the right outcome.
+        # (A second _reconstruct for an already-recovered doc is the
+        # broken-xref + encrypted + ObjStm corner: the first pass ran
+        # without a decryptor, so encrypted /ObjStm members could not
+        # be registered; with the decryptor up they can.)
+        if self.encryption_error is None and not self._root_usable():
+            self._reconstruct()
+            self._setup_encryption()
 
     # ------------------------------------------------------------------ xref
 
@@ -157,6 +185,131 @@ class PdfDocument:
                     self._gens[onum] = 0
                 # type 0 = free
         return dict(sd)
+
+    # ------------------------------------------------------- recovery scan
+
+    def _root_usable(self) -> bool:
+        """True when the loaded xref chain yields a resolvable /Root
+        catalog dict — the minimum for any extraction to proceed."""
+        try:
+            root = self.resolve(self.trailer.get("Root"))
+        except Exception:
+            return False
+        return isinstance(root, dict)
+
+    _OBJ_HEADER_RE = re.compile(rb"(?<![0-9])(\d{1,10})[ \t\r\n]+(\d{1,5})[ \t\r\n]+obj\b")
+
+    def _reconstruct(self) -> None:
+        """Whole-document recovery (what qpdf does when the xref chain
+        is broken): forget the xref entirely and re-index every
+        ``N G obj`` header in the buffer. The LAST occurrence of an
+        object number wins — later in the file means newer, exactly the
+        precedence an incremental-update chain encodes. /Root (and
+        /Encrypt, /ID, /Info) come from any ``trailer`` dicts merged
+        newest-first, then from /Type /XRef stream dicts, and finally —
+        for xref-stream documents whose trailer never made it to disk —
+        from a scan for the /Type /Catalog object. Members of object
+        streams are indexed through the recovered /ObjStm containers.
+        """
+        self.recovered = True
+        self._index.clear()
+        self._gens.clear()
+        self._cache.clear()
+        self._objstm_cache.clear()
+        self.trailer = {}
+        data = self.data
+        covered = 0
+        for m in self._OBJ_HEADER_RE.finditer(data):
+            if m.start() < covered:
+                # header-shaped text INSIDE a previous object's extent
+                # (e.g. "5 0 obj" in a content-stream literal) — not a
+                # real object boundary
+                continue
+            num, gen = int(m.group(1)), int(m.group(2))
+            try:
+                lex = PdfLexer(data, m.start())
+                lex._skip_ws()
+                lex._read_token()
+                lex._skip_ws()
+                lex._read_token()
+                lex._skip_ws()
+                lex._read_token()  # 'obj'
+                lex.parse_object()
+                covered = lex.pos
+            except Exception:
+                pass  # still index it; get_object's fallback copes
+            # newest (last) wins: overwrite unconditionally
+            self._index[num] = ("file", m.start())
+            self._gens[num] = gen
+        if not self._index:
+            raise PdfError("recovery scan found no objects")
+        # trailer dicts, newest (latest offset) first
+        t_end = len(data)
+        while True:
+            idx = data.rfind(b"trailer", 0, t_end)
+            if idx == -1:
+                break
+            t_end = idx
+            try:
+                t = PdfLexer(data, idx + len(b"trailer")).parse_object()
+            except Exception:
+                continue
+            if isinstance(t, dict):
+                for k, v in t.items():
+                    self.trailer.setdefault(k, v)
+        # xref-stream documents: trailer fields live in /Type /XRef
+        # stream dicts; catalog scan recovers /Root when even those are
+        # gone. Parse shallowly and tolerate per-object failures.
+        if "Root" not in self.trailer:
+            for num in sorted(self._index, reverse=True):
+                try:
+                    _, _, obj = parse_indirect_object(
+                        data, self._index[num][1]
+                    )
+                except Exception:
+                    continue
+                d = obj.dict if isinstance(obj, Stream) else obj
+                if not isinstance(d, dict):
+                    continue
+                typ = d.get("Type")
+                if str(typ) == "XRef":
+                    for k, v in d.items():
+                        if k in ("Root", "Encrypt", "Info", "ID"):
+                            self.trailer.setdefault(k, v)
+                    if "Root" in self.trailer:
+                        break
+                elif str(typ) == "Catalog":
+                    self.trailer.setdefault("Root", Ref(num, 0))
+                    break
+        # register /ObjStm members for numbers the file-level scan
+        # didn't see (their headers live inside compressed containers)
+        containers = []
+        for num in list(self._index):
+            loc = self._index[num]
+            try:
+                _, _, obj = parse_indirect_object(data, loc[1])
+            except Exception:
+                continue
+            if isinstance(obj, Stream) and str(obj.dict.get("Type")) == "ObjStm":
+                containers.append(num)
+        for cnum in containers:
+            try:
+                st = self.get_object(cnum)
+                payload = decode_stream(st.raw, st.dict, resolve=self.resolve)
+                n = int(self.resolve(st.dict["N"]))
+                head = PdfLexer(payload)
+                for i in range(n):
+                    head._skip_ws()
+                    onum = int(head._read_token())
+                    head._skip_ws()
+                    head._read_token()  # member offset (unused here)
+                    if onum not in self._index:
+                        self._index[onum] = ("objstm", cnum, i)
+                        self._gens[onum] = 0
+            except Exception:
+                continue
+        if not self._root_usable():
+            raise PdfError("recovery scan found no /Root catalog")
 
     # ------------------------------------------------------------ encryption
 

@@ -46,6 +46,7 @@ class ExtractResult:
     error: str | None = None
     fonts_seen: list = field(default_factory=list)
     fallback_pages: int = 0  # pages that used the degraded literal sweep
+    recovered: bool = False  # xref chain was rebuilt by the recovery scan
 
 
 _LITERAL_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)")
@@ -144,7 +145,7 @@ def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
             # (pdfcore/crypt.py, ISO 32000-1 §7.6.3).
             return ExtractResult(
                 text="", items=[], spans=[], span_pages=[], n_pages=0,
-                n_items=0, error="encrypted",
+                n_items=0, error="encrypted", recovered=doc.recovered,
             )
         pages = doc.pages()
     except (PdfError, ValueError, KeyError, IndexError, OverflowError) as exc:
@@ -204,4 +205,5 @@ def extract_pdf(data: bytes, multibyte_cmaps: bool = False) -> ExtractResult:
         error=error,
         fonts_seen=sorted(fonts_seen),
         fallback_pages=fallback_pages,
+        recovered=doc.recovered,
     )

@@ -132,10 +132,109 @@ def test_not_a_pdf_reports_error():
     assert r.n_items == 0
 
 
-def test_truncated_pdf_reports_error_not_raise():
+def test_truncated_pdf_never_raises():
+    """Half-truncation kills the xref tail; the recovery scan either
+    salvages what parses (recovered=True) or reports a typed error —
+    it must NEVER raise. (The pre-recovery contract was error-always;
+    recovery upgraded salvageable truncations to empty-but-audited.)"""
     good = text_to_pdf("hello world")
     r = extract_pdf(good[: len(good) // 2])
-    assert r.error is not None
+    assert r.error is not None or r.recovered
+
+
+class TestXrefRecovery:
+    """Whole-document recovery scan (document.py _reconstruct — the
+    qpdf-style reconstruction crawl PDFs routinely need; VERDICT r3
+    item 7). Each corruption class must extract the SAME text as the
+    pristine file and surface recovered=True for the audit table."""
+
+    SRC = "alpha beta gamma\ndelta epsilon zeta"
+
+    def _expect(self, broken: bytes, want: str):
+        r = extract_pdf(broken)
+        assert r.error is None, r.error
+        assert r.recovered is True
+        assert r.text == want
+
+    def test_missing_startxref(self):
+        good = text_to_pdf(self.SRC)
+        want = extract_pdf(good).text
+        self._expect(good[: good.rfind(b"startxref")], want)
+
+    def test_bogus_startxref_offset(self):
+        import re
+
+        good = text_to_pdf(self.SRC)
+        want = extract_pdf(good).text
+        bad = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", good)
+        self._expect(bad, want)
+
+    def test_clobbered_xref_keyword(self):
+        good = text_to_pdf(self.SRC)
+        want = extract_pdf(good).text
+        xi = good.rfind(b"xref")
+        self._expect(good[:xi] + b"xxxx" + good[xi + 4 :], want)
+
+    def test_xrefstream_objstm_recovery(self):
+        """Catalog inside an /ObjStm: the scan must register object-
+        stream members (their headers live inside compressed
+        containers, invisible to the file-level header walk)."""
+        import re
+
+        good = text_to_pdf(self.SRC, variant="xrefstream", use_objstm=True)
+        want = extract_pdf(good).text
+        bad = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", good)
+        self._expect(bad, want)
+
+    def test_incremental_chain_last_occurrence_wins(self):
+        """Recovery precedence must match incremental-update semantics:
+        the LAST header for an object number in the file is the live
+        one, so a recovered rewritten doc shows the NEW text."""
+        import re
+
+        from pdf_parser_spark.pdfcore.rewrite import replace_text
+
+        good = text_to_pdf("Hello World\nkeep this line")
+        res = replace_text(good, "Hello World", "Hollo Werld")
+        assert res.success, res.log
+        bad = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", res.data)
+        self._expect(bad, "Hollo Werld\nkeep this line")
+
+    def test_header_shaped_literal_inside_content_stream(self):
+        """'5 0 obj' as page TEXT must not fool the scan: headers found
+        inside a previous object's parsed extent are skipped."""
+        import re
+
+        good = text_to_pdf("5 0 obj\nendobj\nreal text line")
+        want = extract_pdf(good).text
+        assert "5 0 obj" in want
+        bad = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", good)
+        self._expect(bad, want)
+
+    def test_encrypted_doc_not_spuriously_recovered(self):
+        """Encrypted xref-stream + ObjStm docs resolve their catalog
+        through the decryptor — an intact file must extract with
+        recovered=False (regression: root-usability probed before
+        encryption setup forced bogus reconstruction)."""
+        for rev in (3, 4, 6):
+            pdf = make_text_pdf(
+                [["hello enc world"]],
+                variant="xrefstream",
+                use_objstm=True,
+                encrypted=True,
+                encrypt_revision=rev,
+            )
+            r = extract_pdf(pdf)
+            assert r.error is None and not r.recovered, (rev, r.error)
+            assert "hello enc world" in r.text
+
+    def test_pristine_docs_not_recovered(self):
+        for variant, compress, objstm in VARIANTS:
+            pdf = text_to_pdf(
+                self.SRC, variant=variant, compress=compress, use_objstm=objstm
+            )
+            r = extract_pdf(pdf)
+            assert r.recovered is False and r.error is None
 
 
 def test_cid_text_pdf_roundtrip():
