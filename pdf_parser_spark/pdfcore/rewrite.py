@@ -23,12 +23,17 @@ Semantics reproduced (each pinned by a test):
 
 Differences, by design:
 
-- ``allow_auto_insert`` is unsupported: the reference's auto-insert
-  path is itself broken (fonts/embedding.py:68 imports a function that
-  does not exist — SURVEY.md §3.3), so unsupported characters always
-  cancel, exactly like the reference with auto-insert disabled. The
-  E1/E3/A6 building blocks (safe-code allocation, CMap merge,
-  width-ratio average) are still provided as standalone functions.
+- ``allow_auto_insert=True`` is the WORKING form of the reference's
+  auto-insert aspiration (its own path is broken at
+  fonts/embedding.py:68 — SURVEY.md §3.3): safe-code allocation E1,
+  CMap merge E3, /Differences + /Widths reconciliation, and — closing
+  the last parity gap — real glyph-program embedding: an existing
+  /FontFile2 gets the new codes subset-APPENDED (retain-gids, like the
+  reference's fontTools options, embedding.py:96-101), a non-embedded
+  font gets a complete synthesized TrueType program + /FontDescriptor,
+  both through the pure-Python sfnt kernel (truetype.py). Default
+  (False) cancels on unsupported characters, exactly like the
+  reference with auto-insert disabled.
 - K2 sink: instead of pikepdf copy-and-save, the modified document is
   produced as an INCREMENTAL UPDATE (ISO 32000-1 §7.5.6): the original
   bytes are preserved verbatim and a new content stream object, a
@@ -53,6 +58,7 @@ from .lexer import Name, Ref, Stream
 # (tokenizer.py, pinned by goldens) — imported, not copied, so a fix
 # to the contract can never diverge the census/rewrite path.
 from .tokenizer import _FONT_RE, _TEXT_RE  # noqa: E402
+from .truetype import TrueTypeError, add_glyphs, synthesize_ttf
 
 _SEGMENT_RE = re.compile(
     _TEXT_RE.pattern
@@ -451,16 +457,31 @@ def font_update_objects(
       (AGL convention) so spec-conforming viewers map the code to a
       glyph name, /Widths extended when the font declares them (gap
       codes get the font's average width — the A6 analog; no better
-      estimate exists without the glyph program).
-
-    Declared caveat (vs the reference's aspiration): no font-program
-    subsetting/embedding (fontTools is out of scope), so a viewer
-    renders the inserted code only if the base font already has the
-    glyph. OUR reader decodes via ToUnicode, so extraction round-trips
-    exactly.
+      estimate exists without the glyph program);
+    - a GLYPH PROGRAM for every inserted code (reference
+      fonts/embedding.py:91-127, which shells to fontTools.subset with
+      retain_gids + passthrough_tables and embeds as /FontFile2):
+      an already-embedded /FontFile2 is subset-APPENDED via
+      :func:`truetype.add_glyphs` (existing glyph ids, outlines, and
+      metrics byte-preserved; new chars get fresh ids), written as a
+      fresh stream with a fresh /FontDescriptor pointing at it (a
+      descriptor shared between fonts is never mutated — same rule as
+      ToUnicode above). A NON-embedded font (base-14 name, no
+      descriptor) gets a complete synthesized program
+      (:func:`truetype.synthesize_ttf`) covering every char the merged
+      CMap can produce, a new /FontDescriptor, and /Subtype /TrueType
+      so the /FontFile2 is conforming (ISO 32000-1 §9.8.1 + Table 127).
+      Unlike the reference we do NOT rename /BaseFont//FontName: the
+      reference renames to an external replacement font's name table
+      entry (embedding.py:117-123); here the program extends the font
+      the document already declares. A malformed embedded program
+      degrades gracefully to the r3 behavior (bookkeeping-only merge,
+      no embed) rather than canceling the replacement.
 
     Returns None when the font is not incrementally updatable (inlined
-    font dict — no object to override)."""
+    font dict — no object to override). The returned dict may span
+    2-3 NEW object numbers starting at *next_num*; callers allocate
+    their next object at ``max(returned) + 1``."""
     ref = doc.page_font_refs(page).get(font_name)
     if ref is None:
         return None
@@ -490,10 +511,13 @@ def font_update_objects(
     # /Widths: extend the declared range to cover the new codes
     widths = doc.resolve(fdict.get("Widths"))
     first_char = doc.resolve(fdict.get("FirstChar"))
+    avg = 500  # PDF default-ish advance; also the A6 gap fill
+    code_width: dict[int, int] = {}
     if isinstance(widths, list) and isinstance(first_char, (int, float)):
         w = [int(doc.resolve(x)) for x in widths]
         avg = round(sum(w) / len(w)) if w else 500
         first = int(first_char)
+        code_width = {first + i: wi for i, wi in enumerate(w)}
         last = first + len(w) - 1
         for code in sorted(new_entries):
             if code < first:
@@ -505,7 +529,67 @@ def font_update_objects(
         new_font["FirstChar"] = first
         new_font["LastChar"] = last
         new_font["Widths"] = w
-    return {next_num: cmap_body, ref.num: new_font}
+    out = {next_num: cmap_body}
+
+    # ---- glyph programs for the inserted codes (embedding.py:91-127)
+    new_char_widths = {
+        ch: code_width.get(code, avg) for code, ch in new_entries.items()
+    }
+    desc = doc.resolve(fdict.get("FontDescriptor"))
+    ff_ref = desc.get("FontFile2") if isinstance(desc, dict) else None
+    embedded = doc.resolve(ff_ref) if ff_ref is not None else None
+    prog_num = next_num + 1
+    if isinstance(embedded, Stream):
+        # subset-append into the existing program; fresh stream + fresh
+        # descriptor so objects shared between fonts are never mutated
+        try:
+            ttf = add_glyphs(doc.stream_bytes(embedded), new_char_widths)
+        except Exception:  # a program that fails to DECODE (bad filter
+            # bytes) must degrade the same way as one that fails to
+            # PARSE (TrueTypeError): bookkeeping-only merge
+            ttf = None
+        if ttf is not None:
+            new_desc = dict(desc)
+            new_desc["FontFile2"] = Ref(prog_num, 0)
+            out[prog_num] = Stream(
+                {"Filter": Name("FlateDecode"), "Length1": len(ttf)},
+                zlib.compress(ttf, 6),
+            )
+            out[prog_num + 1] = new_desc
+            new_font["FontDescriptor"] = Ref(prog_num + 1, 0)
+    else:
+        # non-embedded (base-14 name): synthesize a complete program
+        # covering everything the merged CMap can produce, so the
+        # document becomes self-contained for the whole font
+        base = fdict.get("BaseFont")
+        ps_name = str(base) if isinstance(base, Name) else "PdfParserSynth"
+        rev = {ch: code for code, ch in merged.items()}
+        all_chars = {
+            ch: code_width.get(code, avg)
+            for ch, code in rev.items()
+            if len(ch) == 1
+        }
+        ttf = synthesize_ttf(all_chars, ps_name=ps_name)
+        out[prog_num] = Stream(
+            {"Filter": Name("FlateDecode"), "Length1": len(ttf)},
+            zlib.compress(ttf, 6),
+        )
+        out[prog_num + 1] = {
+            "Type": Name("FontDescriptor"),
+            "FontName": Name(ps_name),
+            "Flags": 32,  # nonsymbolic — /Differences lookups apply
+            "FontBBox": [0, -240, 1000, 800],
+            "ItalicAngle": 0,
+            "Ascent": 760,
+            "Descent": -240,
+            "CapHeight": 660,
+            "StemV": 80,
+            "FontFile2": Ref(prog_num, 0),
+        }
+        new_font["FontDescriptor"] = Ref(prog_num + 1, 0)
+        new_font["Subtype"] = Name("TrueType")
+    out[ref.num] = new_font
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -541,10 +625,12 @@ def replace_text(
     a safe code (E1, allocate_safe_code), the target font's ToUnicode is
     extended via merge (E3) and written as a new stream through the
     incremental-update sink, /Differences and /Widths are reconciled,
-    and the splice uses the allocated code — so our reader round-trips
-    the inserted character exactly. Caveat, declared honestly: no glyph
-    program is embedded (no fontTools), so third-party viewers render
-    the new code only if the base font carries the glyph."""
+    a GLYPH PROGRAM is embedded for every inserted code (subset-append
+    into an existing /FontFile2, or a complete synthesized TrueType
+    program for non-embedded fonts — see font_update_objects), and the
+    splice uses the allocated code — so our reader round-trips the
+    inserted character exactly and a conforming renderer has an
+    outline to draw."""
     log: list[tuple[str, str]] = []
 
     def _log(level: str, msg: str) -> None:
@@ -740,9 +826,10 @@ def replace_text(
         return ReplaceResult(pdf_data, False, False, 0, log)
 
     new_content = "".join(new_segments).encode("latin1")
-    # the font update (when present) consumed base_next for its new
-    # ToUnicode stream; content objects allocate after it
-    content_next = base_next + 1 if font_updates else base_next
+    # the font update (when present) consumed base_next.. for its new
+    # ToUnicode stream / glyph program / descriptor; content objects
+    # allocate after the highest number it took
+    content_next = max(font_updates) + 1 if font_updates else base_next
     updates = content_update_objects(
         doc, page_num, new_content, next_num=content_next
     )

@@ -20,6 +20,7 @@ def _parsed(spark, spans):
                 payload_bytes=10,
                 partition_id=0,
                 fallback_pages=0,
+                recovered=0,
                 spans=spans,
                 items=[],
             )
