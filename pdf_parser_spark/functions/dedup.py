@@ -114,11 +114,56 @@ def _oph_bucket(hash_col: Column, num_hashes: int) -> Column:
 #: sentinel for an empty OPH slot; sorts after every hex digest so a
 #: filled slot always wins a min(), and two docs only share it when the
 #: slot is empty for both (naive densification — fine for candidate
-#: generation; rotation densification would remove the residual bias).
+#: generation; rotation densification removes the residual bias, see
+#: rotation_densify / densify="rotation").
 OPH_EMPTY = "~empty"
 
 
-def minhash_signature(tok_col: Column, num_hashes: int = 8, shingle_k: int = 3) -> Column:
+def rotation_densify(slot_values: "list[Column]") -> "list[Column]":
+    """Rotation densification (Shrivastava & Li, ICML 2014) of an OPH
+    signature given as one Column per slot.
+
+    A filled slot is returned unchanged.  An empty slot i borrows the
+    value of the nearest filled slot to its circular right, j=(i+t)%n,
+    and is tagged with the borrow distance: ``h_j || '@t'``.  The tag
+    matters: two documents then agree on a densified slot iff they
+    borrowed the *same* hash from the *same* offset — without it, a doc
+    empty at slots {1,2} and another empty only at {2} would spuriously
+    collide on slot 1 vs slot 2 borrows.  '@' never occurs in a bare
+    md5 hex, so a filled slot can never equal a borrowed one.  Naive
+    OPH instead leaves every empty slot as the shared OPH_EMPTY
+    sentinel, which makes ALL short documents mutually collide on
+    empty-heavy bands (precision loss on the short-doc stratum).
+
+    Pure projection — adds zero exchanges to whatever plan produced the
+    signature columns.
+    """
+    n = len(slot_values)
+    out: "list[Column]" = []
+    for i in range(n):
+        # nested when-chain built inside-out so the SMALLEST t is the
+        # outermost (first-checked) branch: nearest filled slot wins.
+        borrowed: Column = F.lit(OPH_EMPTY)
+        for t in range(n - 1, 0, -1):
+            j = (i + t) % n
+            borrowed = F.when(
+                slot_values[j] != OPH_EMPTY,
+                F.concat(slot_values[j], F.lit(f"@{t}")),
+            ).otherwise(borrowed)
+        out.append(
+            F.when(slot_values[i] != OPH_EMPTY, slot_values[i]).otherwise(
+                borrowed
+            )
+        )
+    return out
+
+
+def minhash_signature(
+    tok_col: Column,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    densify: str = "naive",
+) -> Column:
     """MinHash signature as array<string> of lexicographic-min md5 hexes.
 
     One-permutation hashing: md5 per shingle, bucketed into
@@ -142,7 +187,10 @@ def minhash_signature(tok_col: Column, num_hashes: int = 8, shingle_k: int = 3) 
             F.lit(OPH_EMPTY),
         )
 
-    return F.array(*[slot_min(s) for s in range(num_hashes)])
+    slots = [slot_min(s) for s in range(num_hashes)]
+    if densify == "rotation":
+        slots = rotation_densify(slots)
+    return F.array(*slots)
 
 
 def minhash_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -168,6 +216,7 @@ def oph_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    densify: str = "naive",
 ) -> DataFrame:
     """(id, s0..s{n-1}): bulk one-permutation MinHash signatures.
 
@@ -184,7 +233,7 @@ def oph_signature_table(
     hashed = sh.select(id_col, F.md5("shingle").alias("h")).select(
         id_col, "h", _oph_bucket(F.col("h"), num_hashes).alias("slot")
     )
-    return hashed.groupBy(id_col).agg(
+    sig = hashed.groupBy(id_col).agg(
         *[
             F.coalesce(
                 F.min(F.when(F.col("slot") == s, F.col("h"))),
@@ -193,6 +242,12 @@ def oph_signature_table(
             for s in range(num_hashes)
         ]
     )
+    if densify == "rotation":
+        dens = rotation_densify([F.col(f"s{s}") for s in range(num_hashes)])
+        sig = sig.select(
+            id_col, *[c.alias(f"s{s}") for s, c in enumerate(dens)]
+        )
+    return sig
 
 
 def lsh_candidate_pairs(
@@ -202,6 +257,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    densify: str = "naive",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates as distinct (a_id, b_id), a<b.
 
@@ -216,7 +272,9 @@ def lsh_candidate_pairs(
     their *filled* slots plus mutually-empty ones.
     """
     rows_per_band = num_hashes // bands
-    sig = oph_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    sig = oph_signature_table(
+        df, text_col, id_col, num_hashes, shingle_k, densify=densify
+    )
     band = sig.select(
         id_col,
         F.explode(

@@ -1193,11 +1193,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_lsh_ctes() -> str:
-    """CTE chain ending in ``lsh_pairs`` — one-permutation hashing,
-    mirroring dedup._oph_bucket: one md5 per shingle, slot = leading
-    byte (2 hex digits) mod 8, min per slot, '~empty' sentinel for
-    unfilled slots. Shared by the pair oracle and the pipeline oracle."""
+def _duck_sig_ctes() -> str:
+    """CTE chain ``docs2 → tok → shin → sig`` — one-permutation
+    hashing, mirroring dedup._oph_bucket: one md5 per shingle, slot =
+    leading byte (2 hex digits) mod 8, min per slot, '~empty' sentinel
+    for unfilled slots."""
     sh = f"list_distinct({duck_shingles('toks')})"
     slot = (
         "(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + "
@@ -1208,20 +1208,55 @@ def _duck_lsh_ctes() -> str:
         f"h -> {slot} = {s})), '~empty') AS s{s}"
         for s in range(8)
     )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, 'b{b}|' || s{2*b} || '|' || s{2*b+1} AS band_key FROM sig"
-        for b in range(4)
-    )
     return (
         f"docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
         f"{_TRUNC_CLONES_SQL}), "
         f"tok AS (SELECT doc_id, {duck_toks('text')} AS toks FROM docs2), "
         f"shin AS (SELECT doc_id, {sh} AS sh FROM tok WHERE len(toks) >= 3), "
-        f"sig AS (SELECT doc_id, {sigs} FROM shin), "
-        f"bands AS ({bands}), "
-        "lsh_pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        "FROM bands a JOIN bands b ON a.band_key = b.band_key "
-        "AND a.doc_id < b.doc_id)"
+        f"sig AS (SELECT doc_id, {sigs} FROM shin)"
+    )
+
+
+def _duck_dsig_cte() -> str:
+    """``dsig``: rotation-densified signature (dedup.rotation_densify
+    twin) — an empty slot i borrows the nearest filled slot to its
+    circular right as ``h || '@t'``; filled slots pass through."""
+    cols = []
+    for i in range(8):
+        borrows = ", ".join(
+            f"CASE WHEN s{(i + t) % 8} <> '~empty' "
+            f"THEN s{(i + t) % 8} || '@{t}' END"
+            for t in range(1, 8)
+        )
+        cols.append(
+            f"CASE WHEN s{i} <> '~empty' THEN s{i} "
+            f"ELSE coalesce({borrows}, '~empty') END AS s{i}"
+        )
+    return f"dsig AS (SELECT doc_id, {', '.join(cols)} FROM sig)"
+
+
+def _duck_band_pair_ctes(src: str, bands_name: str, pairs_name: str) -> str:
+    """``bands → pairs`` from a signature CTE: 4 bands × 2 rows,
+    distinct self-equi-join candidate pairs with a_id < b_id."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}|' || s{2*b} || '|' || s{2*b+1} AS band_key "
+        f"FROM {src}"
+        for b in range(4)
+    )
+    return (
+        f"{bands_name} AS ({bands}), "
+        f"{pairs_name} AS (SELECT DISTINCT a.doc_id AS a_id, "
+        f"b.doc_id AS b_id FROM {bands_name} a JOIN {bands_name} b "
+        "ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+    )
+
+
+def _duck_lsh_ctes() -> str:
+    """CTE chain ending in ``lsh_pairs`` (naive-densified OPH MinHash
+    LSH). Shared by the pair oracle and the pipeline oracle."""
+    return (
+        f"{_duck_sig_ctes()}, "
+        f"{_duck_band_pair_ctes('sig', 'bands', 'lsh_pairs')}"
     )
 
 
@@ -3923,54 +3958,129 @@ def rewrite_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_lsh_quality",
-    f"WITH {_duck_lsh_ctes()}, "
-    "truth AS (SELECT doc_id AS a_id, "
-    f"doc_id + {CLONE_OFFSET} AS b_id FROM documents), "
-    "tp AS (SELECT count(*)::BIGINT AS c FROM lsh_pairs p "
-    "JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id), "
-    "nc AS (SELECT count(*)::BIGINT AS c FROM lsh_pairs), "
-    "nt AS (SELECT count(*)::BIGINT AS c FROM truth) "
-    "SELECT nt.c AS n_truth, nc.c AS n_candidates, tp.c AS true_pos, "
-    "(100 * tp.c // greatest(nc.c, 1))::INT AS precision_pct, "
-    "(100 * tp.c // greatest(nt.c, 1))::INT AS recall_pct "
-    "FROM nt, nc, tp",
-)
+#: "short document" stratum cutoff for the LSH quality evaluation —
+#: under 25 tokens a doc has ≤ 22 shingles, so several of the 8 OPH
+#: slots are typically empty and densification choice actually matters.
+_SHORT_TOKENS = 25
+
+
+def _duck_lsh_quality_sql() -> str:
+    lab = (
+        "SELECT p.a_id, p.b_id, dl.short, (t.a_id IS NOT NULL) AS tp "
+        "FROM {pairs} p "
+        f"JOIN doclen dl ON dl.doc_id = p.a_id % {CLONE_OFFSET} "
+        "LEFT JOIN truth t ON t.a_id = p.a_id AND t.b_id = p.b_id"
+    )
+    stats = (
+        "SELECT '{m}' AS mode, 'all' AS stratum, "
+        "(SELECT count(*) FROM truth)::BIGINT AS n_truth, "
+        "count(*)::BIGINT AS n_candidates, "
+        "(count(*) FILTER (WHERE tp))::BIGINT AS true_pos FROM lab_{s} "
+        "UNION ALL SELECT '{m}', 'short', "
+        "(SELECT count(*) FROM truth WHERE short)::BIGINT, "
+        "(count(*) FILTER (WHERE short))::BIGINT, "
+        "(count(*) FILTER (WHERE short AND tp))::BIGINT FROM lab_{s}"
+    )
+    return (
+        f"WITH {_duck_sig_ctes()}, {_duck_dsig_cte()}, "
+        f"{_duck_band_pair_ctes('sig', 'bands_n', 'pairs_n')}, "
+        f"{_duck_band_pair_ctes('dsig', 'bands_r', 'pairs_r')}, "
+        f"doclen AS (SELECT doc_id, len(toks) < {_SHORT_TOKENS} AS short "
+        f"FROM tok WHERE doc_id < {CLONE_OFFSET}), "
+        "truth AS (SELECT doc_id AS a_id, "
+        f"doc_id + {CLONE_OFFSET} AS b_id, short FROM doclen), "
+        f"lab_n AS ({lab.format(pairs='pairs_n')}), "
+        f"lab_r AS ({lab.format(pairs='pairs_r')}), "
+        f"stats AS ({stats.format(m='naive', s='n')} "
+        f"UNION ALL {stats.format(m='rotation', s='r')}) "
+        "SELECT mode, stratum, n_truth, n_candidates, true_pos, "
+        "(100 * true_pos // greatest(n_candidates, 1))::INT AS precision_pct, "
+        "(100 * true_pos // greatest(n_truth, 1))::INT AS recall_pct "
+        "FROM stats"
+    )
+
+
+@q("dedup_lsh_quality", _duck_lsh_quality_sql())
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup EVALUATION, not just execution: MinHash-LSH candidate
     pairs measured against the known clone ground truth (every doc has
-    one 4/5-truncated near-duplicate). Emits precision/recall of the
-    candidate set — the quality dial (bands × rows) a pipeline tunes
-    before spending the verify-join budget at crawl scale. Counting is
-    three single-row aggregates over the candidate/truth joins; no new
+    one 4/5-truncated near-duplicate), for BOTH densification modes
+    (naive sentinel vs rotation, Shrivastava & Li 2014) and on two
+    strata (all docs vs short docs under 25 tokens, where OPH slots go
+    empty and naive densification makes unrelated short docs collide
+    on mutually-empty bands). Emits precision/recall per (mode,
+    stratum) — the quality dial (bands × rows × densification) a
+    pipeline tunes before spending the verify-join budget at crawl
+    scale. Counting is single-row conditional aggregates over the
+    candidate/truth joins; rotation adds a pure projection, no new
     shuffle shape beyond the LSH itself."""
     docs = _read(spark, sf_dir, "documents")
     docs2 = _with_clones(docs, truncate=True)
-    pairs = dedup.lsh_candidate_pairs(docs2, num_hashes=8, bands=4)
-    truth = docs.select(
+    doclen = docs.select(
+        "doc_id",
+        (F.size(textstats.tokens("text")) < _SHORT_TOKENS).alias("short"),
+    )
+    truth = doclen.select(
         F.col("doc_id").alias("a_id"),
         (F.col("doc_id") + CLONE_OFFSET).alias("b_id"),
+        "short",
     )
-    tp = pairs.join(truth, ["a_id", "b_id"]).agg(
-        F.count("*").cast("bigint").alias("true_pos")
+    nt = truth.agg(
+        F.count("*").cast("bigint").alias("nt_all"),
+        F.count(F.when(F.col("short"), 1)).cast("bigint").alias("nt_short"),
     )
-    nc = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    return (
-        nt.crossJoin(nc)
-        .crossJoin(tp)
-        .select(
-            "n_truth",
-            "n_candidates",
-            "true_pos",
-            (100 * F.col("true_pos") / F.greatest(F.col("n_candidates"), F.lit(1)))
-            .cast("int")
-            .alias("precision_pct"),
-            (100 * F.col("true_pos") / F.greatest(F.col("n_truth"), F.lit(1)))
-            .cast("int")
-            .alias("recall_pct"),
+    frames = []
+    for mode in ("naive", "rotation"):
+        pairs = dedup.lsh_candidate_pairs(
+            docs2, num_hashes=8, bands=4, densify=mode
         )
+        lab = pairs.join(
+            doclen.select(F.col("doc_id").alias("base"), "short"),
+            pairs["a_id"] % CLONE_OFFSET == F.col("base"),
+        ).join(
+            truth.select("a_id", "b_id", F.lit(True).alias("tp")),
+            ["a_id", "b_id"],
+            "left",
+        )
+        agg = lab.agg(
+            F.count("*").cast("bigint").alias("nc_all"),
+            F.count(F.when(F.col("short"), 1)).cast("bigint").alias("nc_short"),
+            F.count(F.when(F.col("tp"), 1)).cast("bigint").alias("tp_all"),
+            F.count(F.when(F.col("short") & F.col("tp"), 1))
+            .cast("bigint")
+            .alias("tp_short"),
+        )
+        both = nt.crossJoin(agg)
+        frames.append(
+            both.select(
+                F.lit(mode).alias("mode"),
+                F.lit("all").alias("stratum"),
+                F.col("nt_all").alias("n_truth"),
+                F.col("nc_all").alias("n_candidates"),
+                F.col("tp_all").alias("true_pos"),
+            ).unionAll(
+                both.select(
+                    F.lit(mode).alias("mode"),
+                    F.lit("short").alias("stratum"),
+                    F.col("nt_short").alias("n_truth"),
+                    F.col("nc_short").alias("n_candidates"),
+                    F.col("tp_short").alias("true_pos"),
+                )
+            )
+        )
+    stats = frames[0].unionAll(frames[1])
+    return stats.select(
+        "mode",
+        "stratum",
+        "n_truth",
+        "n_candidates",
+        "true_pos",
+        (100 * F.col("true_pos") / F.greatest(F.col("n_candidates"), F.lit(1)))
+        .cast("int")
+        .alias("precision_pct"),
+        (100 * F.col("true_pos") / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("int")
+        .alias("recall_pct"),
     )
 
 

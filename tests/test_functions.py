@@ -149,6 +149,81 @@ def test_oph_signature_table_matches_expression_path(spark, docs):
     assert table == expr
 
 
+def test_rotation_densify_filled_slots_unchanged(spark, docs):
+    """Rotation densification only rewrites EMPTY slots: every filled
+    slot of the naive signature survives bit-for-bit, and every
+    borrowed slot is `source_hash@t` where source is the nearest
+    filled slot to the circular right."""
+    sample = docs.limit(50)
+    naive = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+        for r in dedup.oph_signature_table(sample).collect()
+    }
+    dens = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+        for r in dedup.oph_signature_table(
+            sample, densify="rotation"
+        ).collect()
+    }
+    assert set(naive) == set(dens)
+    borrowed_seen = 0
+    for doc_id, nsig in naive.items():
+        dsig = dens[doc_id]
+        for i in range(8):
+            if nsig[i] != dedup.OPH_EMPTY:
+                assert dsig[i] == nsig[i]
+                continue
+            # empty slot: expect nearest filled slot to the right + tag
+            expect = dedup.OPH_EMPTY
+            for t in range(1, 8):
+                j = (i + t) % 8
+                if nsig[j] != dedup.OPH_EMPTY:
+                    expect = f"{nsig[j]}@{t}"
+                    break
+            assert dsig[i] == expect
+            if expect != dedup.OPH_EMPTY:
+                borrowed_seen += 1
+    assert borrowed_seen > 0, "corpus has no empty slots; test is vacuous"
+
+
+def test_rotation_densify_expression_matches_bulk(spark, docs):
+    sample = docs.limit(30)
+    expr = {
+        r["doc_id"]: list(r["sig"])
+        for r in sample.select(
+            "doc_id",
+            dedup.minhash_signature(
+                textstats.tokens("text"), densify="rotation"
+            ).alias("sig"),
+        ).collect()
+        if any(s != dedup.OPH_EMPTY for s in r["sig"])
+    }
+    table = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+        for r in dedup.oph_signature_table(
+            sample, densify="rotation"
+        ).collect()
+    }
+    assert table == expr
+
+
+def test_rotation_densify_short_docs_do_not_collide(spark):
+    """Two unrelated short docs share their mutually-empty bands under
+    naive densification (the sentinel collision) but NOT under
+    rotation: borrowed values carry the source hash."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id INT, text STRING",
+    )
+    naive = dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4).collect()
+    rot = dedup.lsh_candidate_pairs(
+        df, num_hashes=8, bands=4, densify="rotation"
+    ).collect()
+    # one shingle each → 7 empty slots → ≥3 all-empty shared bands
+    assert [(r["a_id"], r["b_id"]) for r in naive] == [(1, 2)]
+    assert rot == []
+
+
 def test_jaccard_pairs_counts(spark):
     a = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
     b = spark.createDataFrame([(1000001, "a b c d")], "doc_id INT, text STRING")
