@@ -20,9 +20,11 @@ Differences, by design (SURVEY.md §7.3):
   supported via the from-scratch kernel in ``pdfcore/rewrite.py``:
   census → validation → segment splice → INCREMENTAL-update output
   (original bytes preserved, ISO 32000-1 §7.5.6) instead of a pikepdf
-  re-save. ``allow_auto_insert`` stays unsupported — the reference's
-  auto-insert path is itself broken (embedding.py:68 imports a
-  function that does not exist; SURVEY.md §3.3).
+  re-save. ``allow_auto_insert=True`` runs the WORKING form of the
+  reference's auto-insert (safe-code allocation, CMap/Widths merge,
+  glyph program embedding) — the reference's own path is broken
+  (embedding.py:68 imports a function that does not exist;
+  SURVEY.md §3.3).
 
 Spark is intentionally not imported here: this is the per-document
 kernel surface, usable inside UDFs or standalone.
@@ -314,24 +316,20 @@ class PDFTextReplacer:
         class method takes input/output *paths*; this engine's document
         already lives in ``self._data``. The path-based reference shape
         is module-level :func:`replace_pdf_text`. ``allow_auto_insert``
-        is unsupported (the reference's own auto-insert is broken —
-        embedding.py:68 imports a nonexistent function) and is treated
-        as False with a log entry."""
+        enables the WORKING form of the reference's auto-insert
+        (safe-code allocation + CMap/Widths/Differences merge + glyph
+        program embedding; the reference's own path is broken —
+        embedding.py:68 imports a nonexistent function)."""
         from .pdfcore.rewrite import replace_text as _replace
 
-        result = _replace(
-            self._data, target_text, replacement_text, page_num, instance_index
+        return _replace(
+            self._data,
+            target_text,
+            replacement_text,
+            page_num,
+            instance_index,
+            allow_auto_insert=allow_auto_insert,
         )
-        if allow_auto_insert:
-            result.log.insert(
-                0,
-                (
-                    "WARNING",
-                    "allow_auto_insert is unsupported (reference's own "
-                    "auto-insert path is broken); proceeding without it",
-                ),
-            )
-        return result
 
 
 def replace_pdf_text(
@@ -353,7 +351,14 @@ def replace_pdf_text(
     from .pdfcore.rewrite import replace_text as _replace
 
     data = _as_bytes(input_pdf)
-    result = _replace(data, target_text, replacement_text, page_num, instance_index)
+    result = _replace(
+        data,
+        target_text,
+        replacement_text,
+        page_num,
+        instance_index,
+        allow_auto_insert=allow_auto_insert,
+    )
     if output_pdf is not None:
         with open(output_pdf, "wb") as fh:
             fh.write(result.data)

@@ -150,12 +150,13 @@ def test_write_path_api(tmp_path, pdf_bytes):
     # failure path writes the original through unchanged (reference copy)
     ok2 = replace_pdf_text(pdf_bytes, str(out), "absent", "x")
     assert not ok2 and out.read_bytes() == pdf_bytes
-    # auto-insert flag is accepted but inert, with a log marker
+    # auto-insert flag reaches the WORKING rewrite path (r4): chars
+    # absent from the font are allocated, merged, and embedded
     res2 = PDFTextReplacer(pdf_bytes).replace_text(
-        "Hello World", "日本語", allow_auto_insert=True
+        "Hello World", "Héllo Wörld", allow_auto_insert=True
     )
-    assert not res2.success
-    assert res2.log[0][1].startswith("allow_auto_insert is unsupported")
+    assert res2.success
+    assert "Héllo Wörld" in extract_pdf(res2.data).text
 
 
 def test_font_encoding_differences_map():
