@@ -147,6 +147,13 @@ def _build_parser() -> argparse.ArgumentParser:
     pp.add_argument(
         "--group-by-text", "-gbt", action="store_true", default=True
     )
+
+    lp = sub.add_parser(
+        "save-latest",
+        help="Copy the newest replacement result out of the output dir",
+    )
+    lp.add_argument("--dir", "-d", default="output")
+    lp.add_argument("--to", "-t", required=True)
     return parser
 
 
@@ -289,6 +296,42 @@ def _cmd_parse(args) -> int:
     return 0
 
 
+def latest_output(out_dir: str = "output") -> str | None:
+    """Newest replacement result by mtime, or None (reference O6:
+    pdf_gui.py:1322-1326 — ``replaced_*.pdf`` there; this engine's
+    replace default is ``{name}_replaced.pdf``, so both spellings
+    count)."""
+    if not os.path.isdir(out_dir):
+        return None
+    pdfs = [
+        f
+        for f in os.listdir(out_dir)
+        if f.endswith(".pdf")
+        and (f.startswith("replaced_") or f.removesuffix(".pdf").endswith("_replaced"))
+    ]
+    if not pdfs:
+        return None
+    return os.path.join(
+        out_dir, max(pdfs, key=lambda f: os.path.getmtime(os.path.join(out_dir, f)))
+    )
+
+
+def _cmd_save_latest(args) -> int:
+    import shutil
+
+    src = latest_output(args.dir)
+    if src is None:
+        # reference pdf_gui.py:1324-1325 message shape
+        print("No replacement result to save; please run a replacement first")
+        return 1
+    d = os.path.dirname(args.to)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    shutil.copy2(src, args.to)
+    print(f"Saved: {args.to} (from {src})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
@@ -299,6 +342,8 @@ def main(argv: list[str] | None = None) -> int:
             return _cmd_search(args)
         if args.command == "parse":
             return _cmd_parse(args)
+        if args.command == "save-latest":
+            return _cmd_save_latest(args)
     except BrokenPipeError:  # downstream `| head` closed stdout
         return 0
     parser.print_help()

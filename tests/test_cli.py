@@ -186,3 +186,26 @@ def test_api_auto_insert_passthrough(tmp_path, pdf_path):
         "the quick brown fox", "the quick bröwn föx", allow_auto_insert=True
     )
     assert r.success
+
+
+def test_save_latest_picks_newest_by_mtime(tmp_path, monkeypatch):
+    """O6 (pdf_gui.py:1322-1328): newest replacement result wins."""
+    import os
+    import time
+
+    out = tmp_path / "output"
+    out.mkdir()
+    (out / "a_replaced.pdf").write_bytes(b"old")
+    (out / "replaced_b.pdf").write_bytes(b"new")
+    (out / "unrelated.pdf").write_bytes(b"nope")
+    old_t = time.time() - 100
+    os.utime(out / "a_replaced.pdf", (old_t, old_t))
+    rc = run_in(tmp_path, monkeypatch, ["save-latest", "--to", "dest.pdf"])
+    assert rc == 0
+    assert (tmp_path / "dest.pdf").read_bytes() == b"new"
+
+
+def test_save_latest_empty_dir_fails(tmp_path, monkeypatch, capsys):
+    rc = run_in(tmp_path, monkeypatch, ["save-latest", "--to", "dest.pdf"])
+    assert rc == 1
+    assert "No replacement result" in capsys.readouterr().out
