@@ -20,6 +20,7 @@ item sequence the reference's per-page result list contains.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import re
 
@@ -76,6 +77,16 @@ def fallback_sweep(content: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
+@lru_cache(maxsize=64)
+def _synthesized_cmap(enc_name: str) -> CMap:
+    """Parsed WinAnsi-fallback CMap per encoding name. Pure function
+    (the synthesized string depends only on *enc_name*) and CMap is
+    never mutated after construction, so one parse per worker process
+    serves every document — fonts without /ToUnicode repeat by the
+    million across a crawl."""
+    return parse_cmap(synthesize_tounicode_cmap(enc_name))
+
+
 def _font_cmaps_and_metrics(
     doc: PdfDocument, page: dict, multibyte_cmaps: bool = False
 ) -> tuple[dict[str, CMap], dict[str, FontMetrics]]:
@@ -89,7 +100,7 @@ def _font_cmaps_and_metrics(
         else:
             enc = doc.resolve(fdict.get("Encoding"))
             enc_name = "/" + str(enc) if isinstance(enc, Name) else "/WinAnsiEncoding"
-            cmaps[fname] = parse_cmap(synthesize_tounicode_cmap(enc_name))
+            cmaps[fname] = _synthesized_cmap(enc_name)
         first_char = doc.resolve(fdict.get("FirstChar"))
         widths = doc.resolve(fdict.get("Widths"))
         if isinstance(widths, list) and isinstance(first_char, (int, float)):

@@ -11,10 +11,21 @@ native extensions.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
+
+# C-speed scanners for the three hottest byte loops (profiled at ~25%
+# of extract_pdf): plain-whitespace runs, comment bodies, and regular
+# tokens (everything up to ws/delimiter). Semantics identical to the
+# per-byte loops they replace.
+_WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_COMMENT_RE = re.compile(rb"[^\r\n]*")
+_TOKEN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_STRING_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+_STR_PLAIN_RE = re.compile(rb"[^\\()]+")
 
 
 @dataclass(frozen=True)
@@ -52,15 +63,15 @@ class PdfLexer:
     # ------------------------------------------------------------------ utils
 
     def _skip_ws(self) -> None:
+        # byte loop beats a regex here: runs are almost always 0-2
+        # chars, so the match-object overhead dominates any C-side win
         data, n = self.data, len(self.data)
         pos = self.pos
-        while pos < n:
-            c = data[pos]
-            if c in WHITESPACE:
+        while True:
+            while pos < n and data[pos] in WHITESPACE:
                 pos += 1
-            elif c == 0x25:  # '%' comment runs to EOL
-                while pos < n and data[pos] not in b"\r\n":
-                    pos += 1
+            if pos < n and data[pos] == 0x25:  # '%' comment runs to EOL
+                pos = _COMMENT_RE.match(data, pos).end()
             else:
                 break
         self.pos = pos
@@ -70,13 +81,9 @@ class PdfLexer:
 
     def _read_token(self) -> bytes:
         """Read a regular token (keyword / number) up to a delimiter or ws."""
-        data, n = self.data, len(self.data)
-        start = self.pos
-        pos = start
-        while pos < n and data[pos] not in WHITESPACE and data[pos] not in DELIMITERS:
-            pos += 1
-        self.pos = pos
-        return data[start:pos]
+        m = _TOKEN_RE.match(self.data, self.pos)
+        self.pos = m.end()
+        return m.group()
 
     # ---------------------------------------------------------------- objects
 
@@ -85,18 +92,17 @@ class PdfLexer:
         c = self._peek()
         if c == -1:
             raise ValueError("unexpected EOF while parsing object")
-        ch = bytes([c])
-        if ch == b"/":
+        if c == 0x2F:  # '/'
             return self._parse_name()
-        if ch == b"(":
+        if c == 0x28:  # '('
             return self._parse_literal_string()
-        if ch == b"<":
+        if c == 0x3C:  # '<'
             if self.data[self.pos : self.pos + 2] == b"<<":
                 return self._parse_dict_or_stream()
             return self._parse_hex_string()
-        if ch == b"[":
+        if c == 0x5B:  # '['
             return self._parse_array()
-        if ch == b"]":
+        if c == 0x5D:  # ']'
             raise ValueError("unexpected ']'")
         # keyword or number (possibly an indirect reference "n g R")
         tok = self._read_token()
@@ -132,6 +138,14 @@ class PdfLexer:
     def _parse_name(self) -> Name:
         assert self.data[self.pos] == 0x2F
         self.pos += 1
+        # fast path: a name token never containing '#' needs no
+        # per-byte escape walk ('#' is a regular char, so _TOKEN_RE
+        # stops at exactly the same boundary the loop does)
+        m = _TOKEN_RE.match(self.data, self.pos)
+        tok = m.group()
+        if b"#" not in tok:
+            self.pos = m.end()
+            return Name(tok.decode("latin1"))
         data, n = self.data, len(self.data)
         out = bytearray()
         pos = self.pos
@@ -159,13 +173,19 @@ class PdfLexer:
         depth = 1
         pos = self.pos
         while pos < n:
+            m = _STR_PLAIN_RE.match(data, pos)
+            if m:  # bulk-copy the run of plain chars (C-speed)
+                out += m.group()
+                pos = m.end()
+                if pos >= n:
+                    break
             c = data[pos]
             if c == 0x5C:  # backslash
                 pos += 1
                 if pos >= n:
                     break
                 e = data[pos]
-                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                esc = _STRING_ESC
                 if e in esc:
                     out.append(esc[e])
                     pos += 1

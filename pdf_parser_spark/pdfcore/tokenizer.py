@@ -44,6 +44,10 @@ _COMBINED_RE = re.compile(
 )
 _TEXT_RE = re.compile(r"(?:\(((?:[^()\\]|\\.)*)\)|\[((?:[^][\\()]|\\.)*)\])\s*T[Jj]")
 _FONT_RE = re.compile(r"/([A-Za-z0-9]+)\s+\d+\s+Tf")
+# literal-string escapes (§7.3.4.2) + a bulk matcher for plain runs —
+# hoisted out of the per-byte loop (hot path: every Tj operand)
+_STR_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+_STR_PLAIN_RE = re.compile(rb"[^\\()]+")
 
 
 def flatten_tj_array(inner_text: str) -> str:
@@ -190,13 +194,19 @@ class _ContentLexer:
         out = bytearray()
         depth = 1
         while self.pos < n:
+            m = _STR_PLAIN_RE.match(data, self.pos)
+            if m:  # bulk-copy the run of plain chars (C-speed)
+                out += m.group()
+                self.pos = m.end()
+                if self.pos >= n:
+                    break
             c = data[self.pos]
             if c == 0x5C:
                 self.pos += 1
                 if self.pos >= n:
                     break
                 e = data[self.pos]
-                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                esc = _STR_ESC
                 if e in esc:
                     out.append(esc[e])
                     self.pos += 1
@@ -339,22 +349,28 @@ def extract_spans(
         char_xs: list[float] = []
         text_parts: list[str] = []
         groups = kern_groups if kern_groups is not None else [raw]
+        # hot loop: localize tm cells and pre-bind the advance method —
+        # float ops and order are identical to the indexed form
+        tm0, tm1, tmx, tmy = tm[0], tm[1], tm[4], tm[5]
+        adv = fm.advance if fm else None
+        push_x = char_xs.append
         for g in groups:
             if isinstance(g, float):  # TJ kerning: move by -g/1000 em
                 t = -g * scale * zh
-                tm[4] += t * tm[0]
-                tm[5] += t * tm[1]
+                tmx += t * tm0
+                tmy += t * tm1
                 continue
             for b in g:
-                char_xs.append(tm[4])
+                push_x(tmx)
                 t = (
-                    (fm.advance(b) if fm else 500.0) * scale
+                    (adv(b) if adv else 500.0) * scale
                     + char_sp
                     + (word_sp if b == 0x20 else 0.0)
                 ) * zh
-                tm[4] += t * tm[0]
-                tm[5] += t * tm[1]
+                tmx += t * tm0
+                tmy += t * tm1
             text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
+        tm[4], tm[5] = tmx, tmy
         text = "".join(text_parts)
         if not text.strip():
             return
