@@ -1368,10 +1368,28 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return cached
 
 
-_NEARDUP_OFFSET = 10_000
+# Clone ids must never collide with real vec_ids at ANY scale factor
+# (a fixed +10000 collided at sf1.0, silently merging two different
+# vectors inside the oracle's per-id windows), so the offset is
+# data-derived: max(vec_id) + 1, memoized like the codebook.
+_NEARDUP_SQL_OFFSET = "(SELECT max(vec_id) + 1 FROM embeddings)"
+_OFFSET_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _neardup_offset(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _OFFSET_CACHE.get(key)
+    if cached is None:
+        cached = int(
+            _read(spark, sf_dir, "embeddings").agg(F.max("vec_id")).first()[0]
+        ) + 1
+        _OFFSET_CACHE[key] = cached
+    return cached
+
+
 _DUCK_UNION_CELLS = (
     "u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings "
-    f"UNION ALL SELECT vec_id + {_NEARDUP_OFFSET}, "
+    f"UNION ALL SELECT vec_id + {_NEARDUP_SQL_OFFSET}, "
     "list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01) FROM embeddings), "
     f"cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings "
     f"WHERE vec_id < {_IVF_CELLS}), "
@@ -1397,7 +1415,7 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup on the SCALE path: nearest-centroid cell
     bucketing (broadcast medoid codebook) replaces the O(n²) pair scan
     with an equi-join on cell id. Deterministic noisy clones
-    (x·0.9 + 0.01, id + 10000) are injected so real near-dup pairs
+    (x·0.9 + 0.01, id + max_id + 1) are injected so real near-dup pairs
     exist (cos ≈ 0.99 with their source; unrelated pairs peak ≈ 0.38 on
     this corpus) — the oracle reconstructs clones, cells, and cosines
     in SQL, so cross-cell misses count identically in both engines."""
@@ -1406,7 +1424,7 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     clones = _read(spark, sf_dir, "embeddings").select(
-        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + _neardup_offset(spark, sf_dir)).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x.cast("double") * 0.9 + 0.01
         ).alias("embedding"),
@@ -1458,7 +1476,7 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     clones = _read(spark, sf_dir, "embeddings").select(
-        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + _neardup_offset(spark, sf_dir)).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x.cast("double") * 0.9 + 0.01
         ).alias("embedding"),
