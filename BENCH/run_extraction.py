@@ -58,7 +58,11 @@ def main() -> None:
     walls = []
     for _ in range(2):
         t0 = time.perf_counter()
-        parse_webdocs(corpus, num_partitions=cores * 2).write.format(
+        # cores*8: ~8 task waves per slot absorbs salt-bucket size
+        # variance (2 waves left the last wave straggler-bound:
+        # measured 1.66x at local[8]); same rule as parse_webdocs's
+        # default, spelled out here because cores is explicit.
+        parse_webdocs(corpus, num_partitions=cores * 8).write.format(
             "noop"
         ).mode("overwrite").save()
         walls.append(time.perf_counter() - t0)

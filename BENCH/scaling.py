@@ -52,6 +52,49 @@ def cpu_ceiling(k: int) -> float:
     return total / (time.perf_counter() - t0)
 
 
+KERNEL_BURN = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import pyarrow.parquet as pq
+from pdf_parser_spark.pdfgen import text_to_pdf
+from pdf_parser_spark.pdfcore import extract_pdf
+texts = pq.read_table({docs!r}, columns=["text"]).column("text").to_pylist()[:200]
+pdfs = [text_to_pdf(t or "") for t in texts]
+for p in pdfs[:20]:
+    extract_pdf(p)
+t0 = time.perf_counter()
+n = 0
+while time.perf_counter() - t0 < 8:
+    for p in pdfs:
+        extract_pdf(p)
+        n += 1
+print(n)
+"""
+
+
+def kernel_ceiling(k: int, sf_dir: str) -> float:
+    """Aggregate extraction docs/sec across k INDEPENDENT processes
+    running the actual PDF parse kernel (no Spark, no IPC) over the
+    same payload sample. This is the hardware ceiling for THIS
+    workload: the kernel is regex over DRAM-resident payload bytes, so
+    k processes share memory bandwidth in a way the cache-resident
+    BURN loop never sees — BURN routinely reads ~4x from 2 to 8
+    processes while the parse kernel tops out lower. Engine efficiency
+    should be judged against the workload's own ceiling."""
+    script = KERNEL_BURN.format(
+        repo=str(HERE.parent), docs=f"{sf_dir}/documents.parquet"
+    )
+    ps = [
+        subprocess.Popen([sys.executable, "-c", script], stdout=subprocess.PIPE)
+        for _ in range(k)
+    ]
+    # each child times its own fixed 8s extraction window (setup --
+    # imports, payload generation -- excluded), so the aggregate rate
+    # is sum(docs)/8 regardless of process start stagger.
+    total = sum(int(p.communicate()[0]) for p in ps)
+    return total / 8.0
+
+
 def run(cores: int, sf_dir: str, replicate: int) -> dict:
     out = subprocess.run(
         [sys.executable, str(HERE / "run_extraction.py"), str(cores), sf_dir,
@@ -71,6 +114,9 @@ def main() -> None:
     ceil_low = cpu_ceiling(n_low)
     ceil_high = cpu_ceiling(n_high)
     hw_ratio = ceil_high / ceil_low
+    k_low = kernel_ceiling(n_low, sf_dir)
+    k_high = kernel_ceiling(n_high, sf_dir)
+    kernel_ratio = k_high / k_low
 
     low = run(n_low, sf_dir, replicate)
     high = run(n_high, sf_dir, replicate)
@@ -78,6 +124,7 @@ def main() -> None:
     factor = n_high / n_low
     eff = speedup / factor
     eff_vs_hw = speedup / hw_ratio
+    eff_vs_kernel = speedup / kernel_ratio
 
     md = f"""# Scaling evidence (N vs 4N parallelism)
 
@@ -92,9 +139,14 @@ Date: {date.today().isoformat()} · input: `{sf_dir}` × replicate {replicate}
 
 - speedup N→4N: **{speedup:.2f}×** (ideal {factor:.0f}×)
 - scaling efficiency: **{eff:.2f}** (target ≥ 0.8)
-- hardware ceiling at these levels (pure-process CPU probe, no Spark):
-  {hw_ratio:.2f}× → engine efficiency relative to what the hardware
-  gives independent processes: **{eff_vs_hw:.2f}**
+- hardware ceiling, generic CPU probe (cache-resident pure-Python
+  loop, k independent processes, no Spark): {hw_ratio:.2f}× →
+  engine efficiency vs that ceiling: **{eff_vs_hw:.2f}**
+- hardware ceiling, WORKLOAD probe (the actual PDF parse kernel over
+  payload bytes in k independent processes, no Spark/IPC — regex over
+  DRAM shares memory bandwidth, which the cache-resident loop never
+  sees): {k_low:.0f} → {k_high:.0f} docs/s = {kernel_ratio:.2f}× →
+  engine efficiency vs the workload's own ceiling: **{eff_vs_kernel:.2f}**
 
 Level choice: this VM's 32 vCPUs saturate near ~20 effective cores
 (SMT + hypervisor steal — 8→32 pure-Python processes reach only
@@ -119,6 +171,9 @@ ending in a noop sink (no driver collect). Parallelism enters only via
     print(json.dumps({
         "low": low, "high": high, "efficiency": round(eff, 3),
         "hw_ratio": round(hw_ratio, 3), "eff_vs_hw": round(eff_vs_hw, 3),
+        "kernel_docs_per_sec": [round(k_low, 1), round(k_high, 1)],
+        "kernel_ratio": round(kernel_ratio, 3),
+        "eff_vs_kernel": round(eff_vs_kernel, 3),
     }))
 
 
