@@ -156,7 +156,9 @@ near-linear and the engine's own scaling is measurable.
 Method: corpus synthesized once and materialized to parquet before
 timing; the timed section is the salted mapInPandas extraction pipeline
 ending in a noop sink (no driver collect). Parallelism enters only via
-`local[k]` and shuffle partitions = 2k.
+`local[k]`, shuffle partitions = 2k, and extraction task count = 8k
+(8 task waves per core slot — salt-bucket sizes vary, so fine tasks
+absorb stragglers).
 """
     # preserve the manually-curated run-history section across rewrites
     out_path = HERE / "BASELINE.md"
