@@ -14,8 +14,14 @@ perfect resume would do. Target < 1.2 (the anti-join + per-batch job
 overhead is the only extra work). Also asserts correctness: the resumed
 table has exactly one row per url.
 
-Usage:  python BENCH/resume_bench.py [sf_dir] [replicate] [n_batches]
-Child:  python BENCH/resume_bench.py --child <corpus> <out_dir> <n_batches>
+Two modes: ``antijoin`` (engine.resume — committed urls rediscovered by
+a data scan + anti-join) and ``snapshot`` (engine.snapshots — committed
+buckets come from the manifest log, a metadata-only read; the Iceberg
+shape). The snapshot mode's overhead should sit closer to 1.0: resume
+pays no committed-side scan at all.
+
+Usage:  python BENCH/resume_bench.py [sf_dir] [replicate] [n_batches] [mode]
+Child:  python BENCH/resume_bench.py --child <corpus> <out_dir> <n_batches> <mode>
 """
 
 from __future__ import annotations
@@ -33,8 +39,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KILL_AFTER_BATCHES = 3
 
 
-def _child(corpus_path: str, out_dir: str, n_batches: int) -> None:
+def _extract_fn(mode: str):
+    if mode == "snapshot":
+        from pdf_parser_spark.engine.snapshots import snapshot_resumable_extract
+
+        return snapshot_resumable_extract
     from pdf_parser_spark.engine.resume import batched_resumable_extract
+
+    return batched_resumable_extract
+
+
+def _committed_count(spark, out_dir: str, mode: str) -> int:
+    if mode == "snapshot":
+        from pdf_parser_spark.engine.snapshots import SnapshotLog
+
+        df = SnapshotLog(out_dir).read(spark)
+        return 0 if df is None else df.count()
+    return spark.read.parquet(f"{out_dir}/parsed").count()
+
+
+def _child(corpus_path: str, out_dir: str, n_batches: int, mode: str) -> None:
     from pdf_parser_spark.engine.session import build_session
 
     spark = build_session("resume_child")
@@ -44,7 +68,7 @@ def _child(corpus_path: str, out_dir: str, n_batches: int) -> None:
     def report(b: int) -> None:
         print(f"BATCH {b} committed", flush=True)
 
-    batched_resumable_extract(
+    _extract_fn(mode)(
         spark, corpus, out_dir, n_batches=n_batches, on_batch=report
     )
     print("ALL DONE", flush=True)
@@ -52,15 +76,17 @@ def _child(corpus_path: str, out_dir: str, n_batches: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        _child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        _child(sys.argv[2], sys.argv[3], int(sys.argv[4]),
+               sys.argv[5] if len(sys.argv) > 5 else "antijoin")
         return
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    mode = sys.argv[4] if len(sys.argv) > 4 else "antijoin"
+    extract = _extract_fn(mode)
 
     from pdf_parser_spark.engine.corpus import synthesize_webdocs
-    from pdf_parser_spark.engine.resume import batched_resumable_extract
     from pdf_parser_spark.engine.session import _available_mem_gib, build_session
 
     spark = build_session("resume_bench")
@@ -87,7 +113,7 @@ def main() -> None:
         "overwrite"
     ).save()
     t0 = time.perf_counter()
-    batched_resumable_extract(spark, corpus, f"{base}/full", n_batches=n_batches)
+    extract(spark, corpus, f"{base}/full", n_batches=n_batches)
     t_full = time.perf_counter() - t0
 
     # crash run: child commits batches; SIGKILL the whole process group
@@ -95,7 +121,7 @@ def main() -> None:
     out_crash = f"{base}/crash"
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child", corpus_path,
-         out_crash, str(n_batches)],
+         out_crash, str(n_batches), mode],
         stdout=subprocess.PIPE,
         text=True,
         start_new_session=True,
@@ -111,11 +137,11 @@ def main() -> None:
             raise SystemExit("child finished before the kill — raise n_batches")
     child.wait()
 
-    n_committed = spark.read.parquet(f"{out_crash}/parsed").count()
+    n_committed = _committed_count(spark, out_crash, mode)
     remaining_frac = (n_total - n_committed) / n_total
 
     t0 = time.perf_counter()
-    final = batched_resumable_extract(spark, corpus, out_crash, n_batches=n_batches)
+    final = extract(spark, corpus, out_crash, n_batches=n_batches)
     t_resume = time.perf_counter() - t0
 
     n_final = final.count()
@@ -127,6 +153,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "resume_overhead",
+                "mode": mode,
                 "value": round(overhead, 3),
                 "unit": "x_of_remaining_work",
                 "t_full_sec": round(t_full, 2),

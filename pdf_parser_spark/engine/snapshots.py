@@ -1,0 +1,240 @@
+"""Iceberg-analog snapshot log: atomic manifest commits over parquet.
+
+North rule: "resumes from the last committed snapshot" with
+"per-partition lineage + metrics". :mod:`resume` evidences the row-level
+form (anti-join on committed urls — an O(committed-rows) data scan).
+This module is the metadata-only form, the shape Iceberg actually has:
+
+Layout under ``<output_dir>``::
+
+    data/bucket=<b>/…parquet    one directory per committed url-hash bucket
+    _snapshots/v<N>.json        immutable manifests (O_EXCL-created)
+    _snapshots/LATEST           current version, written via tmp+rename
+
+Each manifest records ``{version, parent, bucket, paths, metrics, ts}``.
+Readers resolve LATEST → v<N> → the parent chain → the set of committed
+buckets, and read ONLY those data directories — so a crash mid-write
+(partial bucket dir with no manifest) is invisible, resume decides what
+to re-run from a handful of JSON reads instead of scanning committed
+data, and any historical version stays readable (time travel).
+
+Commit protocol (Delta/Iceberg optimistic concurrency, single-store
+analog): the manifest file ``v<N>.json`` is created with ``O_EXCL`` —
+if another writer already claimed version N the create fails, the loser
+re-reads the log and retries at the next version. LATEST is advanced
+with ``os.replace`` (atomic on POSIX); a reader that races the pointer
+update sees the previous version, never a torn state.
+
+The wall-clock ``ts`` in manifests comes from ``time.time()`` at commit
+— lineage of a side-effecting write, not query output, so it stays out
+of the oracle-checked surface (tests pin ordering, not values).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extractor import parse_webdocs
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    bucket: int
+    paths: list[str]
+    metrics: dict
+    ts: float
+
+
+class SnapshotLog:
+    """Append-only snapshot log over a parquet output directory."""
+
+    def __init__(self, output_dir: str) -> None:
+        self.output_dir = output_dir
+        self.log_dir = os.path.join(output_dir, "_snapshots")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- reads ---------------------------------------------------------
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, "LATEST")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
+            d = json.load(f)
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            bucket=d["bucket"],
+            paths=d["paths"],
+            metrics=d["metrics"],
+            ts=d["ts"],
+        )
+
+    def chain(self, version: int | None = None) -> list[Snapshot]:
+        """Snapshots visible at *version* (default latest), oldest first."""
+        v = self.latest_version() if version is None else version
+        out: list[Snapshot] = []
+        while v is not None:
+            s = self.snapshot(v)
+            out.append(s)
+            v = s.parent
+        out.reverse()
+        return out
+
+    def committed_buckets(self, version: int | None = None) -> set[int]:
+        """Metadata-only: which url-hash buckets are durably committed."""
+        return {s.bucket for s in self.chain(version)}
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Time-travel read: the table as of *version* (default latest).
+
+        Reads only manifest-listed directories — uncommitted bucket
+        dirs (crash debris) are never visible. None when no snapshot
+        exists yet."""
+        paths = [p for s in self.chain(version) for p in s.paths]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-snapshot lineage + metrics as a DataFrame (north rule):
+        one row per commit with the bucket it landed and its counters."""
+        rows = [
+            (
+                s.version,
+                s.parent,
+                s.bucket,
+                int(s.metrics.get("n_docs", 0)),
+                int(s.metrics.get("n_failures", 0)),
+                int(s.metrics.get("bytes_in", 0)),
+                float(s.ts),
+            )
+            for s in self.chain()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, bucket int, n_docs long, "
+            "n_failures long, bytes_in long, ts double",
+        )
+
+    # -- writes --------------------------------------------------------
+
+    def commit(self, bucket: int, paths: list[str], metrics: dict) -> int:
+        """Atomically append one snapshot; returns its version.
+
+        O_EXCL on the manifest detects a concurrent writer claiming the
+        same version (the loser re-reads and retries at the next slot);
+        os.replace makes the LATEST pointer flip atomic."""
+        while True:
+            parent = self.latest_version()
+            version = 0 if parent is None else parent + 1
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "bucket": bucket,
+                "paths": paths,
+                "metrics": metrics,
+                "ts": time.time(),
+            }
+            path = os.path.join(self.log_dir, f"v{version}.json")
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            except FileExistsError:
+                # lost the race, or a prior writer died between manifest
+                # create and pointer flip. A complete orphan manifest is
+                # a real commit — roll LATEST forward and retry at the
+                # next slot (idempotent if the other writer also flips);
+                # a torn one was never referenced and is safe to drop.
+                try:
+                    self.snapshot(version)
+                except (json.JSONDecodeError, KeyError):
+                    os.remove(path)
+                    continue
+                self._advance_latest(version)
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            self._advance_latest(version)
+            return version
+
+    def _advance_latest(self, version: int) -> None:
+        tmp = os.path.join(self.log_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, "LATEST"))
+
+
+def snapshot_resumable_extract(
+    spark: SparkSession,
+    webdocs: DataFrame,
+    output_dir: str,
+    n_batches: int = 8,
+    salt: bool = True,
+    on_batch=None,
+) -> DataFrame:
+    """Extraction with one snapshot commit per url-hash bucket.
+
+    Unlike :func:`resume.batched_resumable_extract` (anti-join on the
+    committed url column — an O(committed-rows) scan per re-run), resume
+    here is a pure metadata read: the snapshot log names the committed
+    buckets, the loop runs only the rest. Each bucket writes its own
+    ``data/bucket=<b>`` directory with mode=overwrite, so re-running a
+    bucket that crashed mid-write simply replaces the debris before the
+    manifest that makes it visible ever exists — exactly once per url
+    under any kill point.
+
+    Requires the same input across runs (bucket membership is
+    xxhash64(url) % n_batches, deterministic); for changed inputs use
+    the row-level anti-join path.
+    """
+    log = SnapshotLog(output_dir)
+    done = log.committed_buckets()
+    bucket = F.pmod(F.xxhash64("url"), F.lit(n_batches))
+    for b in range(n_batches):
+        if b in done:
+            continue
+        path = os.path.join(output_dir, "data", f"bucket={b}")
+        parse_webdocs(webdocs.where(bucket == b), salt=salt).write.mode(
+            "overwrite"
+        ).parquet(path)
+        m = (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("n_failures"),
+                F.sum("payload_bytes").alias("bytes_in"),
+            )
+            .collect()[0]  # bounded: one row of counters per bucket
+        )
+        log.commit(
+            b,
+            [path],
+            {
+                "n_docs": int(m["n_docs"] or 0),
+                "n_failures": int(m["n_failures"] or 0),
+                "bytes_in": int(m["bytes_in"] or 0),
+            },
+        )
+        if on_batch is not None:
+            on_batch(b)
+    out = log.read(spark)
+    assert out is not None  # n_batches >= 1 commits at least one snapshot
+    return out

@@ -1,0 +1,140 @@
+"""Snapshot-log resume (engine/snapshots.py): atomic manifest commits,
+metadata-only resume, crash-debris invisibility, time travel, lineage,
+and the optimistic-concurrency commit protocol."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.engine.corpus import synthesize_webdocs
+from pdf_parser_spark.engine.extractor import parse_webdocs
+from pdf_parser_spark.engine.snapshots import (
+    SnapshotLog,
+    snapshot_resumable_extract,
+)
+
+N_BATCHES = 6
+
+
+@pytest.fixture(scope="module")
+def webdocs(spark):
+    return synthesize_webdocs(spark, "/root/testdata/sf0.001").limit(
+        60
+    ).localCheckpoint(eager=True)
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def test_snapshot_resume_after_midrun_crash(spark, webdocs, tmp_path):
+    out = str(tmp_path / "snap")
+    n_total = webdocs.count()
+
+    def crash_after_two(b: int) -> None:
+        if b >= 1:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        snapshot_resumable_extract(
+            spark, webdocs, out, n_batches=N_BATCHES, on_batch=crash_after_two
+        )
+    log = SnapshotLog(out)
+    assert log.committed_buckets() == {0, 1}
+    committed = log.read(spark)
+    n_committed = committed.count()
+    assert 0 < n_committed < n_total
+
+    # crash debris: a data directory with NO manifest must be invisible
+    debris = webdocs.limit(3)
+    parse_webdocs(debris, salt=False).write.mode("overwrite").parquet(
+        os.path.join(out, "data", "bucket=99")
+    )
+    assert log.read(spark).count() == n_committed
+
+    # resume runs ONLY the uncommitted buckets (metadata decision)
+    ran = []
+    final = snapshot_resumable_extract(
+        spark, webdocs, out, n_batches=N_BATCHES, on_batch=ran.append
+    )
+    assert sorted(ran) == [2, 3, 4, 5]
+    assert final.count() == n_total
+    assert final.select("url").distinct().count() == n_total
+
+    # exactly the one-shot result, url for url
+    oneshot = {
+        r.url: r.text for r in parse_webdocs(webdocs).select("url", "text").collect()
+    }
+    got = {r.url: r.text for r in final.select("url", "text").collect()}
+    assert got == oneshot
+
+    # idempotent: a re-run commits nothing
+    again_ran = []
+    again = snapshot_resumable_extract(
+        spark, webdocs, out, n_batches=N_BATCHES, on_batch=again_ran.append
+    )
+    assert again_ran == []
+    assert again.count() == n_total
+
+
+def test_time_travel_and_lineage(spark, webdocs, tmp_path):
+    out = str(tmp_path / "tt")
+    final = snapshot_resumable_extract(spark, webdocs, out, n_batches=4)
+    n_total = final.count()
+    log = SnapshotLog(out)
+    assert log.latest_version() == 3
+
+    # each historical version is a strict prefix of the bucket chain
+    counts = [log.read(spark, version=v).count() for v in range(4)]
+    assert counts[-1] == n_total
+    assert all(a <= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] < n_total
+
+    rows = log.lineage(spark).orderBy("version").collect()
+    assert [r.version for r in rows] == [0, 1, 2, 3]
+    assert [r.parent for r in rows] == [None, 0, 1, 2]
+    assert sorted(r.bucket for r in rows) == [0, 1, 2, 3]
+    assert sum(r.n_docs for r in rows) == n_total
+    assert all(r.n_failures == 0 for r in rows)
+    assert all(r.bytes_in > 0 for r in rows)
+    ts = [r.ts for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_commit_conflict_rolls_forward(spark, tmp_path):
+    out = str(tmp_path / "cc")
+    log = SnapshotLog(out)
+    v0 = log.commit(0, [], {"n_docs": 1})
+    assert v0 == 0
+    # simulate a concurrent writer that created v1 but died before the
+    # pointer flip: our next commit must adopt it and land at v2
+    orphan = {
+        "version": 1,
+        "parent": 0,
+        "bucket": 7,
+        "paths": [],
+        "metrics": {"n_docs": 2},
+        "ts": 0.0,
+    }
+    with open(os.path.join(out, "_snapshots", "v1.json"), "w") as f:
+        json.dump(orphan, f)
+    v2 = log.commit(2, [], {"n_docs": 3})
+    assert v2 == 2
+    assert log.latest_version() == 2
+    assert log.committed_buckets() == {0, 7, 2}
+    assert [s.parent for s in log.chain()] == [None, 0, 1]
+
+
+def test_torn_manifest_is_dropped(spark, tmp_path):
+    out = str(tmp_path / "torn")
+    log = SnapshotLog(out)
+    log.commit(0, [], {"n_docs": 1})
+    # a half-written manifest (kill mid-json.dump) was never pointed to
+    with open(os.path.join(out, "_snapshots", "v1.json"), "w") as f:
+        f.write('{"version": 1, "par')
+    v1 = log.commit(1, [], {"n_docs": 2})
+    assert v1 == 1
+    assert log.committed_buckets() == {0, 1}
