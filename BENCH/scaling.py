@@ -95,14 +95,29 @@ def kernel_ceiling(k: int, sf_dir: str) -> float:
     return total / 8.0
 
 
-def run(cores: int, sf_dir: str, replicate: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, str(HERE / "run_extraction.py"), str(cores), sf_dir,
-         str(replicate)],
-        capture_output=True, text=True, check=True,
-    )
+def run(cores: int, sf_dir: str, replicate: int, launcher: str = "proc") -> dict:
+    """One extraction run at local[cores] in a fresh JVM.
+
+    launcher="proc": python subprocess (fast startup).
+    launcher="submit": the real thing — tools/spark_submit.sh zips the
+    package and launches via spark-submit --py-files (north rule's
+    launch mode, literally)."""
+    if launcher == "submit":
+        cmd = [
+            "bash", str(HERE.parent / "tools" / "spark_submit.sh"),
+            str(cores), sf_dir, str(replicate),
+        ]
+    else:
+        cmd = [
+            sys.executable, str(HERE / "run_extraction.py"), str(cores),
+            sf_dir, str(replicate),
+        ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    d = json.loads(line)
+    if "docs_per_sec" not in d:  # spark-submit JSON uses "value"
+        d["docs_per_sec"] = d["value"]
+    return d
 
 
 def main() -> None:
@@ -110,6 +125,7 @@ def main() -> None:
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    launcher = sys.argv[5] if len(sys.argv) > 5 else "proc"
 
     ceil_low = cpu_ceiling(n_low)
     ceil_high = cpu_ceiling(n_high)
@@ -118,8 +134,8 @@ def main() -> None:
     k_high = kernel_ceiling(n_high, sf_dir)
     kernel_ratio = k_high / k_low
 
-    low = run(n_low, sf_dir, replicate)
-    high = run(n_high, sf_dir, replicate)
+    low = run(n_low, sf_dir, replicate, launcher)
+    high = run(n_high, sf_dir, replicate, launcher)
     speedup = low["wall_sec"] / high["wall_sec"]
     factor = n_high / n_low
     eff = speedup / factor
@@ -129,8 +145,11 @@ def main() -> None:
     md = f"""# Scaling evidence (N vs 4N parallelism)
 
 Date: {date.today().isoformat()} · input: `{sf_dir}` × replicate {replicate}
-({high['n_docs']} docs) · same job, same input, fresh JVM per level
-(sandbox proxy for spark-submit at N and 4N executors — north rule).
+({high['n_docs']} docs) · same job, same input, fresh JVM per level ·
+launcher: {"REAL spark-submit --py-files (tools/spark_submit.sh)"
+           if launcher == "submit"
+           else "python subprocess (sandbox proxy for spark-submit)"}
+at N and 4N executors — north rule.
 
 | parallelism | docs | wall (s) | docs/sec |
 |---|---|---|---|
