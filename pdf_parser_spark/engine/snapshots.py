@@ -51,6 +51,8 @@ class Snapshot:
     paths: list[str]
     metrics: dict
     ts: float
+    n_buckets: int | None = None
+    stats: dict | None = None  # {col: {"min": .., "max": ..}} per commit
 
 
 class SnapshotLog:
@@ -80,6 +82,8 @@ class SnapshotLog:
             paths=d["paths"],
             metrics=d["metrics"],
             ts=d["ts"],
+            n_buckets=d.get("n_buckets"),
+            stats=d.get("stats"),
         )
 
     def chain(self, version: int | None = None) -> list[Snapshot]:
@@ -108,6 +112,69 @@ class SnapshotLog:
             return None
         return spark.read.parquet(*paths)
 
+    def scan(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """Manifest-pruned scan: read only commits whose recorded
+        [min, max] for *col* overlaps [lo, hi] (None = unbounded), then
+        apply the exact predicate. Iceberg's file-skipping shape: the
+        decision costs a few JSON reads, never a data-file open.
+
+        Pruning power follows layout: it skips files only when the
+        table is clustered on *col* (e.g. a compaction/Z-order rewrite
+        — functions/maintenance.py); on a hash-bucketed layout every
+        bucket spans the full value range and nothing skips. A commit
+        with no stats for *col* is conservatively kept. Returns None
+        when every commit is pruned (the scan provably has no rows)."""
+        paths = []
+        for s in self.chain(version):
+            st = (s.stats or {}).get(col)
+            if st is not None:
+                if lo is not None and st["max"] < lo:
+                    continue
+                if hi is not None and st["min"] > hi:
+                    continue
+            paths.extend(s.paths)
+        if not paths:
+            return None
+        df = spark.read.parquet(*paths)
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+        return df
+
+    def lookup_url(self, spark: SparkSession, url: str) -> DataFrame | None:
+        """Point lookup with hash-bucket pruning: the url's bucket is
+        recomputed from the manifest-recorded modulus, so the read
+        touches ONE bucket directory (1/n of the table's files) plus a
+        handful of JSON reads — the manifest analog of Iceberg
+        bucket-partition pruning. Falls back to a full scan + filter
+        when commits predate bucket metadata."""
+        chain = self.chain()
+        if not chain:
+            return None
+        n = next((s.n_buckets for s in chain if s.n_buckets), None)
+        if n is None:
+            df = self.read(spark)
+            return None if df is None else df.where(F.col("url") == url)
+        # one-row JVM round-trip so the hash is EXACTLY the write
+        # path's xxhash64 — never a Python reimplementation drifting
+        b = (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n)).alias("b"))
+            .collect()[0]["b"]
+        )
+        paths = [p for s in chain if s.bucket == b for p in s.paths]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).where(F.col("url") == url)
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-snapshot lineage + metrics as a DataFrame (north rule):
         one row per commit with the bucket it landed and its counters."""
@@ -131,12 +198,22 @@ class SnapshotLog:
 
     # -- writes --------------------------------------------------------
 
-    def commit(self, bucket: int, paths: list[str], metrics: dict) -> int:
+    def commit(
+        self,
+        bucket: int,
+        paths: list[str],
+        metrics: dict,
+        n_buckets: int | None = None,
+        stats: dict | None = None,
+    ) -> int:
         """Atomically append one snapshot; returns its version.
 
         O_EXCL on the manifest detects a concurrent writer claiming the
         same version (the loser re-reads and retries at the next slot);
-        os.replace makes the LATEST pointer flip atomic."""
+        os.replace makes the LATEST pointer flip atomic. ``n_buckets``
+        records the url-hash modulus (point-lookup pruning);
+        ``stats`` records per-column min/max for scan-time file
+        skipping."""
         while True:
             parent = self.latest_version()
             version = 0 if parent is None else parent + 1
@@ -147,6 +224,8 @@ class SnapshotLog:
                 "paths": paths,
                 "metrics": metrics,
                 "ts": time.time(),
+                "n_buckets": n_buckets,
+                "stats": stats,
             }
             path = os.path.join(self.log_dir, f"v{version}.json")
             try:
@@ -221,6 +300,8 @@ def snapshot_resumable_extract(
                     F.when(F.col("error").isNotNull(), 1).otherwise(0)
                 ).alias("n_failures"),
                 F.sum("payload_bytes").alias("bytes_in"),
+                F.min("url").alias("url_min"),
+                F.max("url").alias("url_max"),
             )
             .collect()[0]  # bounded: one row of counters per bucket
         )
@@ -232,6 +313,10 @@ def snapshot_resumable_extract(
                 "n_failures": int(m["n_failures"] or 0),
                 "bytes_in": int(m["bytes_in"] or 0),
             },
+            n_buckets=n_batches,
+            stats={"url": {"min": m["url_min"], "max": m["url_max"]}}
+            if m["url_min"] is not None
+            else None,
         )
         if on_batch is not None:
             on_batch(b)

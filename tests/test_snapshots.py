@@ -104,6 +104,81 @@ def test_time_travel_and_lineage(spark, webdocs, tmp_path):
     assert ts == sorted(ts)
 
 
+def test_lookup_url_prunes_to_one_bucket(spark, webdocs, tmp_path):
+    out = str(tmp_path / "pt")
+    full = snapshot_resumable_extract(spark, webdocs, out, n_batches=6)
+    log = SnapshotLog(out)
+    target = webdocs.select("url", "text").collect()[7]
+
+    hit = log.lookup_url(spark, target.url)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].url == target.url
+
+    # metadata pruning: the lookup read exactly one bucket directory
+    hit_files = set(hit.inputFiles())
+    all_files = set(full.inputFiles())
+    assert hit_files < all_files
+    dirs = {f.rsplit("/", 2)[-2] for f in hit_files}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("bucket=")
+
+    # a url that was never written resolves to its bucket and 0 rows
+    miss = log.lookup_url(spark, "https://nowhere.example/none")
+    assert miss is None or miss.count() == 0
+
+    # correctness of a stats range-scan on the hash layout: every
+    # bucket spans the full url range so nothing skips, but the result
+    # must equal full-scan + filter exactly
+    lo, hi = "https://", "https://zzzz"
+    got = {r.url for r in log.scan(spark, "url", lo, hi).collect()}
+    want = {
+        r.url
+        for r in full.where((F.col("url") >= lo) & (F.col("url") <= hi)).collect()
+    }
+    assert got == want
+
+
+def test_scan_skips_files_on_clustered_layout(spark, tmp_path):
+    out = str(tmp_path / "rng")
+    log = SnapshotLog(out)
+    groups = {
+        0: ["a/1", "a/2"],
+        1: ["m/1", "m/2"],
+        2: ["z/1"],
+    }
+    for b, urls in groups.items():
+        path = os.path.join(out, "data", f"bucket={b}")
+        spark.createDataFrame(
+            [(u, len(u)) for u in urls], "url string, n int"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        log.commit(
+            b, [path], {"n_docs": len(urls)}, n_buckets=3,
+            stats={"url": {"min": min(urls), "max": max(urls)}},
+        )
+    # a commit with no stats is conservatively kept in every scan
+    path_x = os.path.join(out, "data", "bucket=3")
+    spark.createDataFrame([("q/1", 3)], "url string, n int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path_x)
+    log.commit(3, [path_x], {"n_docs": 1}, n_buckets=3, stats=None)
+
+    mid = log.scan(spark, "url", "m", "mzz")
+    assert {r.url for r in mid.collect()} == {"m/1", "m/2"}
+    read_dirs = {f.rsplit("/", 2)[-2] for f in mid.inputFiles()}
+    # skipped bucket=0 and bucket=2 by manifest stats; kept the
+    # stats-less bucket=3 conservatively
+    assert read_dirs == {"bucket=1", "bucket=3"}
+
+    # far range: stats prune all three stat-carrying commits; only the
+    # stats-less one is opened, and the exact predicate leaves 0 rows
+    far = log.scan(spark, "url", "zz", "zzz")
+    assert {f.rsplit("/", 2)[-2] for f in far.inputFiles()} == {"bucket=3"}
+    assert far.count() == 0
+
+    # at version 2 (before the stats-less commit) every commit is
+    # pruned -> provably empty without opening any file
+    assert log.scan(spark, "url", "zz", "zzz", version=2) is None
+
+
 def test_commit_conflict_rolls_forward(spark, tmp_path):
     out = str(tmp_path / "cc")
     log = SnapshotLog(out)
