@@ -175,6 +175,57 @@ class SnapshotLog:
             return None
         return spark.read.parquet(*paths).where(F.col("url") == url)
 
+    def changes_between(
+        self, spark: SparkSession, since: int | None, until: int | None = None
+    ) -> DataFrame | None:
+        """Incremental read: rows committed AFTER version *since* up to
+        and including *until* (default latest) — Iceberg's incremental
+        consumption shape. Each commit is append-only (one url-hash
+        bucket), so the delta is exactly the union of the newer
+        commits' files; a downstream consumer (incremental dedup, index
+        refresh) processes only new data plus a metadata read.
+        ``since=None`` means "from the beginning". Returns None when
+        the window holds no commits."""
+        upper = self.chain(until)
+        paths = [
+            p
+            for s in upper
+            if since is None or s.version > since
+            for p in s.paths
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def remove_orphans(self) -> list[str]:
+        """Data GC, Iceberg remove_orphan_files shape: delete data
+        directories under ``data/`` that NO manifest references — the
+        debris of runs killed between writing a bucket and committing
+        its manifest. Committed data is never touched: in this chain
+        model every commit's files stay part of the current table, so
+        (unlike Iceberg's expire_snapshots, which drops files once no
+        retained snapshot references them) append commits are never
+        eligible for deletion. Returns the removed paths.
+
+        Single-writer operation (run from the maintenance job, not
+        concurrently with an extract — an in-flight bucket write looks
+        exactly like debris until its manifest lands)."""
+        import shutil
+
+        data_dir = os.path.join(self.output_dir, "data")
+        if not os.path.isdir(data_dir):
+            return []
+        live = {
+            os.path.normpath(p) for s in self.chain() for p in s.paths
+        }
+        removed = []
+        for name in sorted(os.listdir(data_dir)):
+            p = os.path.normpath(os.path.join(data_dir, name))
+            if p not in live:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-snapshot lineage + metrics as a DataFrame (north rule):
         one row per commit with the bucket it landed and its counters."""

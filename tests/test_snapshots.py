@@ -203,6 +203,40 @@ def test_commit_conflict_rolls_forward(spark, tmp_path):
     assert [s.parent for s in log.chain()] == [None, 0, 1]
 
 
+def test_incremental_read_and_orphan_gc(spark, webdocs, tmp_path):
+    out = str(tmp_path / "inc")
+    full = snapshot_resumable_extract(spark, webdocs, out, n_batches=4)
+    n_total = full.count()
+    log = SnapshotLog(out)
+
+    # incremental read: the delta after v1 is exactly buckets 2 and 3
+    delta = log.changes_between(spark, since=1)
+    v1_rows = log.read(spark, version=1).count()
+    assert delta.count() == n_total - v1_rows
+    got = {r.url for r in delta.collect()}
+    want = {r.url for r in full.collect()} - {
+        r.url for r in log.read(spark, version=1).collect()
+    }
+    assert got == want
+    # bounded window [since=0, until=2] is exactly buckets 1 and 2
+    mid = log.changes_between(spark, since=0, until=2)
+    assert mid.count() == log.read(spark, version=2).count() - log.read(
+        spark, version=0
+    ).count()
+    # empty window
+    assert log.changes_between(spark, since=3) is None
+
+    # orphan GC removes only unreferenced debris, never committed data
+    debris = os.path.join(out, "data", "bucket=77")
+    parse_webdocs(webdocs.limit(2), salt=False).write.mode(
+        "overwrite"
+    ).parquet(debris)
+    removed = log.remove_orphans()
+    assert removed == [os.path.normpath(debris)]
+    assert not os.path.exists(debris)
+    assert log.read(spark).count() == n_total
+
+
 def test_torn_manifest_is_dropped(spark, tmp_path):
     out = str(tmp_path / "torn")
     log = SnapshotLog(out)
