@@ -237,6 +237,57 @@ def test_incremental_read_and_orphan_gc(spark, webdocs, tmp_path):
     assert log.read(spark).count() == n_total
 
 
+def test_cdc_feeds_incremental_dedup(spark, webdocs, tmp_path):
+    """End-to-end incremental-ingestion shape: extract batch A through
+    the snapshot log, then batch B (half of it duplicating A's texts);
+    the CDC read hands ONLY B's rows to incremental_dedup against the
+    pre-B table — no rescan of A's raw text."""
+    from pdf_parser_spark.functions.dedup import incremental_dedup
+
+    from pdf_parser_spark.engine.extractor import parse_webdocs
+
+    out = str(tmp_path / "cdc")
+    batch_a = webdocs.limit(30).localCheckpoint(eager=True)
+    snapshot_resumable_extract(spark, batch_a, out, n_batches=3)
+    log = SnapshotLog(out)
+    v_a = log.latest_version()
+    table_a = log.read(spark)
+
+    # batch B: 10 payload copies of A under new urls + 10 fresh docs
+    copies = batch_a.limit(10).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?copy"))
+    )
+    fresh = webdocs.where(
+        ~F.col("url").isin([r.url for r in batch_a.select("url").collect()])
+    ).limit(10)
+    batch_b = copies.unionByName(fresh).localCheckpoint(eager=True)
+    # commit B as its own snapshot (new bucket id — A's buckets stay
+    # untouched; at crawl scale each ingest wave gets a bucket range)
+    path_b = os.path.join(out, "data", "bucket=100")
+    parse_webdocs(batch_b, salt=False).write.mode("overwrite").parquet(path_b)
+    log.commit(100, [path_b], {"n_docs": batch_b.count()}, n_buckets=3)
+
+    # the CDC read returns exactly batch B, nothing of A
+    delta = log.changes_between(spark, since=v_a)
+    assert {r.url for r in delta.select("url").collect()} == {
+        r.url for r in batch_b.select("url").collect()
+    }
+
+    flags = incremental_dedup(
+        delta.withColumnRenamed("url", "doc_id"),
+        table_a,
+        text_col="text",
+        id_col="doc_id",
+    ).cache()
+    assert flags.count() == 20
+    dup_ids = {
+        r.doc_id for r in flags.where(F.col("is_dup") == 1).collect()
+    }
+    assert dup_ids == {
+        r.url for r in copies.select("url").collect()
+    }  # every copy flagged, every fresh doc clean
+
+
 def test_torn_manifest_is_dropped(spark, tmp_path):
     out = str(tmp_path / "torn")
     log = SnapshotLog(out)
