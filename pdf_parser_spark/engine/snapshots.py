@@ -53,6 +53,8 @@ class Snapshot:
     ts: float
     n_buckets: int | None = None
     stats: dict | None = None  # {col: {"min": .., "max": ..}} per commit
+    op: str = "append"  # "append" | "replace" (supersedes the bucket's
+    # earlier paths — compaction/rewrite commits)
 
 
 class SnapshotLog:
@@ -84,6 +86,7 @@ class SnapshotLog:
             ts=d["ts"],
             n_buckets=d.get("n_buckets"),
             stats=d.get("stats"),
+            op=d.get("op", "append"),
         )
 
     def chain(self, version: int | None = None) -> list[Snapshot]:
@@ -101,13 +104,28 @@ class SnapshotLog:
         """Metadata-only: which url-hash buckets are durably committed."""
         return {s.bucket for s in self.chain(version)}
 
+    def visible(self, version: int | None = None) -> list[Snapshot]:
+        """Commits whose data is part of the table at *version*: an
+        ``append`` adds to its bucket, a ``replace`` (compaction)
+        supersedes every earlier commit for the same bucket. Returned
+        in version order."""
+        per_bucket: dict[int, list[Snapshot]] = {}
+        for s in self.chain(version):
+            if s.op == "replace":
+                per_bucket[s.bucket] = [s]
+            else:
+                per_bucket.setdefault(s.bucket, []).append(s)
+        out = [s for lst in per_bucket.values() for s in lst]
+        out.sort(key=lambda s: s.version)
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """Time-travel read: the table as of *version* (default latest).
 
-        Reads only manifest-listed directories — uncommitted bucket
-        dirs (crash debris) are never visible. None when no snapshot
-        exists yet."""
-        paths = [p for s in self.chain(version) for p in s.paths]
+        Reads only manifest-listed directories that a later compaction
+        has not superseded — uncommitted bucket dirs (crash debris) are
+        never visible. None when no snapshot exists yet."""
+        paths = [p for s in self.visible(version) for p in s.paths]
         if not paths:
             return None
         return spark.read.parquet(*paths)
@@ -132,7 +150,7 @@ class SnapshotLog:
         with no stats for *col* is conservatively kept. Returns None
         when every commit is pruned (the scan provably has no rows)."""
         paths = []
-        for s in self.chain(version):
+        for s in self.visible(version):
             st = (s.stats or {}).get(col)
             if st is not None:
                 if lo is not None and st["max"] < lo:
@@ -156,10 +174,10 @@ class SnapshotLog:
         handful of JSON reads — the manifest analog of Iceberg
         bucket-partition pruning. Falls back to a full scan + filter
         when commits predate bucket metadata."""
-        chain = self.chain()
-        if not chain:
+        vis = self.visible()
+        if not vis:
             return None
-        n = next((s.n_buckets for s in chain if s.n_buckets), None)
+        n = next((s.n_buckets for s in vis if s.n_buckets), None)
         if n is None:
             df = self.read(spark)
             return None if df is None else df.where(F.col("url") == url)
@@ -170,7 +188,7 @@ class SnapshotLog:
             .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n)).alias("b"))
             .collect()[0]["b"]
         )
-        paths = [p for s in chain if s.bucket == b for p in s.paths]
+        paths = [p for s in vis if s.bucket == b for p in s.paths]
         if not paths:
             return None
         return spark.read.parquet(*paths).where(F.col("url") == url)
@@ -184,18 +202,94 @@ class SnapshotLog:
         bucket), so the delta is exactly the union of the newer
         commits' files; a downstream consumer (incremental dedup, index
         refresh) processes only new data plus a metadata read.
-        ``since=None`` means "from the beginning". Returns None when
-        the window holds no commits."""
+        ``since=None`` means "from the beginning". Replace commits are
+        layout maintenance (compaction rewrites existing rows), so they
+        are not part of the delta. Returns None when the window holds
+        no commits."""
         upper = self.chain(until)
         paths = [
             p
             for s in upper
-            if since is None or s.version > since
+            if s.op == "append" and (since is None or s.version > since)
             for p in s.paths
         ]
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    def compact_bucket(
+        self, spark: SparkSession, bucket: int, target_files: int = 1
+    ) -> int | None:
+        """Small-file compaction, Iceberg rewrite_data_files shape:
+        coalesce a bucket's visible files into *target_files* and
+        commit the rewrite as a ``replace`` snapshot that supersedes
+        the bucket's earlier paths. Readers before the commit see the
+        old files, after it the compact ones — same rows either way
+        (time travel across the boundary stays exact until
+        :meth:`vacuum` reclaims the superseded files). Returns the new
+        version, or None if the bucket has nothing to compact.
+
+        At crawl scale this is what keeps a 10^12-row table scannable:
+        every ingest wave appends small files; per-bucket rewrites run
+        from the maintenance job, bucket by bucket, without blocking
+        ingest on OTHER buckets (single-writer per log, as elsewhere)."""
+        vis = [s for s in self.visible() if s.bucket == bucket]
+        paths = [p for s in vis for p in s.paths]
+        if not paths:
+            return None
+        dest = os.path.join(
+            self.output_dir,
+            "data",
+            f"bucket={bucket}-compact-v{(self.latest_version() or 0) + 1}",
+        )
+        df = spark.read.parquet(*paths).coalesce(target_files)
+        df.write.mode("overwrite").parquet(dest)
+        agg = [F.count("*").alias("n_docs")]
+        has_url = "url" in df.columns
+        if has_url:
+            agg += [F.min("url").alias("url_min"), F.max("url").alias("url_max")]
+        m = spark.read.parquet(dest).agg(*agg).collect()[0]
+        return self.commit(
+            bucket,
+            [dest],
+            {"n_docs": int(m["n_docs"] or 0)},
+            n_buckets=next((s.n_buckets for s in vis if s.n_buckets), None),
+            stats={"url": {"min": m["url_min"], "max": m["url_max"]}}
+            if has_url and m["n_docs"]
+            else None,
+            op="replace",
+        )
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Reclaim data files no retained version can see — Iceberg's
+        expire_snapshots + remove_orphan_files combined, correct for
+        this chain model: a file is deleted only if it is invisible at
+        EVERY one of the last *retain_last* versions (e.g. superseded
+        by a compaction at least *retain_last* commits ago) or is
+        crash debris no manifest references. Manifests stay (they are
+        bytes); time travel to a vacuumed version raises on read, which
+        is exactly Iceberg's behavior for expired snapshots. Returns
+        removed paths. Single-writer, like :meth:`remove_orphans`."""
+        import shutil
+
+        data_dir = os.path.join(self.output_dir, "data")
+        latest = self.latest_version()
+        if latest is None or not os.path.isdir(data_dir):
+            return []
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_last + 1), latest + 1):
+            keep |= {
+                os.path.normpath(p)
+                for s in self.visible(v)
+                for p in s.paths
+            }
+        removed = []
+        for name in sorted(os.listdir(data_dir)):
+            p = os.path.normpath(os.path.join(data_dir, name))
+            if p not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
 
     def remove_orphans(self) -> list[str]:
         """Data GC, Iceberg remove_orphan_files shape: delete data
@@ -234,6 +328,7 @@ class SnapshotLog:
                 s.version,
                 s.parent,
                 s.bucket,
+                s.op,
                 int(s.metrics.get("n_docs", 0)),
                 int(s.metrics.get("n_failures", 0)),
                 int(s.metrics.get("bytes_in", 0)),
@@ -243,7 +338,7 @@ class SnapshotLog:
         ]
         return spark.createDataFrame(
             rows,
-            "version int, parent int, bucket int, n_docs long, "
+            "version int, parent int, bucket int, op string, n_docs long, "
             "n_failures long, bytes_in long, ts double",
         )
 
@@ -256,6 +351,7 @@ class SnapshotLog:
         metrics: dict,
         n_buckets: int | None = None,
         stats: dict | None = None,
+        op: str = "append",
     ) -> int:
         """Atomically append one snapshot; returns its version.
 
@@ -277,6 +373,7 @@ class SnapshotLog:
                 "ts": time.time(),
                 "n_buckets": n_buckets,
                 "stats": stats,
+                "op": op,
             }
             path = os.path.join(self.log_dir, f"v{version}.json")
             try:

@@ -237,6 +237,48 @@ def test_incremental_read_and_orphan_gc(spark, webdocs, tmp_path):
     assert log.read(spark).count() == n_total
 
 
+def test_compaction_replace_and_vacuum(spark, webdocs, tmp_path):
+    out = str(tmp_path / "cmp")
+    full = snapshot_resumable_extract(spark, webdocs, out, n_batches=4)
+    n_total = full.count()
+    before = {r.url for r in full.select("url").collect()}
+    log = SnapshotLog(out)
+    n_files_before = len(full.inputFiles())
+
+    v = log.compact_bucket(spark, bucket=1, target_files=1)
+    assert v == 4
+    after = log.read(spark)
+    # same rows, fewer files; bucket 1 is now exactly one file
+    assert after.count() == n_total
+    assert {r.url for r in after.select("url").collect()} == before
+    assert len(after.inputFiles()) < n_files_before
+    b1 = [s for s in log.visible() if s.bucket == 1]
+    assert len(b1) == 1 and b1[0].op == "replace"
+    assert len(spark.read.parquet(*b1[0].paths).inputFiles()) == 1
+
+    # time travel across the compaction boundary stays exact (old
+    # files still on disk until vacuum)
+    assert log.read(spark, version=3).count() == n_total
+
+    # CDC excludes the replace commit: no "new rows" from compaction
+    assert log.changes_between(spark, since=3) is None
+
+    # point lookup through the compacted bucket still works
+    u = webdocs.select("url").collect()[5].url
+    assert log.lookup_url(spark, u).count() == 1
+
+    # vacuum reclaims the superseded pre-compaction files once they
+    # fall out of the retained window
+    removed = log.vacuum(retain_last=1)
+    assert removed and all("bucket=1" in p for p in removed)
+    assert log.read(spark).count() == n_total  # current table intact
+    with pytest.raises(Exception):
+        log.read(spark, version=3).count()  # expired version raises
+
+    ops = {r.version: r.op for r in log.lineage(spark).collect()}
+    assert ops[4] == "replace" and ops[0] == "append"
+
+
 def test_cdc_feeds_incremental_dedup(spark, webdocs, tmp_path):
     """End-to-end incremental-ingestion shape: extract batch A through
     the snapshot log, then batch B (half of it duplicating A's texts);
