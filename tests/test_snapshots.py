@@ -179,6 +179,49 @@ def test_scan_skips_files_on_clustered_layout(spark, tmp_path):
     assert log.scan(spark, "url", "zz", "zzz", version=2) is None
 
 
+def test_streaming_sink_commits_snapshots_exactly_once(spark, webdocs, tmp_path):
+    """Each micro-batch lands as one snapshot commit (bucket = epoch);
+    a checkpointed restart with new source files appends new epochs
+    only — no url ever lands twice."""
+    from pdf_parser_spark.streaming.ingest import (
+        streaming_extract_to_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = webdocs.limit(40)
+    first.write.mode("overwrite").parquet(src)
+
+    q = streaming_extract_to_snapshots(
+        spark, src, out, ckpt, max_files_per_trigger=4, available_now=True
+    )
+    q.awaitTermination(180)
+    log = SnapshotLog(out)
+    n1 = log.read(spark).count()
+    assert n1 == first.count()
+    epochs1 = log.committed_buckets()
+    assert epochs1  # at least one epoch committed
+
+    # restart with more source data: only the delta runs, as new epochs
+    second = webdocs.where(
+        ~F.col("url").isin([r.url for r in first.select("url").collect()])
+    ).limit(20).localCheckpoint(eager=True)
+    second.write.mode("append").parquet(src)
+    q2 = streaming_extract_to_snapshots(
+        spark, src, out, ckpt, max_files_per_trigger=4, available_now=True
+    )
+    q2.awaitTermination(180)
+    assert log.read(spark).count() == n1 + second.count()
+    assert log.read(spark).select("url").distinct().count() == n1 + second.count()
+    assert log.committed_buckets() > epochs1
+
+    # per-epoch lineage recorded
+    lin = log.lineage(spark).collect()
+    assert sum(r.n_docs for r in lin) == n1 + second.count()
+    assert all(r.op == "append" for r in lin)
+
+
 def test_commit_conflict_rolls_forward(spark, tmp_path):
     out = str(tmp_path / "cc")
     log = SnapshotLog(out)
