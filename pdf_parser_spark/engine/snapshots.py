@@ -55,6 +55,8 @@ class Snapshot:
     stats: dict | None = None  # {col: {"min": .., "max": ..}} per commit
     op: str = "append"  # "append" | "replace" (supersedes the bucket's
     # earlier paths — compaction/rewrite commits)
+    columns: list[str] | None = None  # column names at commit time
+    # (schema-evolution detection without opening data files)
 
 
 class SnapshotLog:
@@ -87,6 +89,7 @@ class SnapshotLog:
             n_buckets=d.get("n_buckets"),
             stats=d.get("stats"),
             op=d.get("op", "append"),
+            columns=d.get("columns"),
         )
 
     def chain(self, version: int | None = None) -> list[Snapshot]:
@@ -125,10 +128,29 @@ class SnapshotLog:
         Reads only manifest-listed directories that a later compaction
         has not superseded — uncommitted bucket dirs (crash debris) are
         never visible. None when no snapshot exists yet."""
-        paths = [p for s in self.visible(version) for p in s.paths]
+        vis = self.visible(version)
+        paths = [p for s in vis for p in s.paths]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, vis, paths)
+
+    def _read_paths(
+        self, spark: SparkSession, vis: list[Snapshot], paths: list[str]
+    ) -> DataFrame:
+        """Schema-evolution-aware parquet read. The decision whether
+        commits disagree on columns comes from MANIFEST metadata (the
+        recorded column lists), so the common case — one schema — pays
+        neither a footer sweep nor mergeSchema; only a genuinely
+        evolved table opts into the merged read (missing columns null-
+        filled, Iceberg's add-column semantics). Commits that predate
+        column tracking count as "unknown" and force the safe path
+        only when mixed with known-different ones."""
+        colsets = {tuple(s.columns) for s in vis if s.columns is not None}
+        unknown = any(s.columns is None for s in vis)
+        reader = spark.read
+        if len(colsets) > 1 or (unknown and colsets):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def scan(
         self,
@@ -258,6 +280,7 @@ class SnapshotLog:
             if has_url and m["n_docs"]
             else None,
             op="replace",
+            columns=df.columns,
         )
 
     def vacuum(self, retain_last: int = 2) -> list[str]:
@@ -352,6 +375,7 @@ class SnapshotLog:
         n_buckets: int | None = None,
         stats: dict | None = None,
         op: str = "append",
+        columns: list[str] | None = None,
     ) -> int:
         """Atomically append one snapshot; returns its version.
 
@@ -374,6 +398,7 @@ class SnapshotLog:
                 "n_buckets": n_buckets,
                 "stats": stats,
                 "op": op,
+                "columns": columns,
             }
             path = os.path.join(self.log_dir, f"v{version}.json")
             try:
@@ -465,6 +490,7 @@ def snapshot_resumable_extract(
             stats={"url": {"min": m["url_min"], "max": m["url_max"]}}
             if m["url_min"] is not None
             else None,
+            columns=spark.read.parquet(path).columns,
         )
         if on_batch is not None:
             on_batch(b)

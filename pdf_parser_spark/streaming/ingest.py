@@ -114,6 +114,7 @@ def streaming_extract_to_snapshots(
                 "n_failures": int(m["n_failures"] or 0),
                 "bytes_in": int(m["bytes_in"] or 0),
             },
+            columns=df.columns,
         )
 
     stream = (

@@ -373,6 +373,33 @@ def test_cdc_feeds_incremental_dedup(spark, webdocs, tmp_path):
     }  # every copy flagged, every fresh doc clean
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A later commit may add columns; the read resolves the union
+    schema from MANIFEST metadata (no footer sweep when schemas agree)
+    and null-fills the old rows — Iceberg add-column semantics."""
+    out = str(tmp_path / "evo")
+    log = SnapshotLog(out)
+    p0 = os.path.join(out, "data", "bucket=0")
+    spark.createDataFrame(
+        [("u0", "t0")], "url string, text string"
+    ).write.mode("overwrite").parquet(p0)
+    log.commit(0, [p0], {"n_docs": 1}, columns=["url", "text"])
+
+    p1 = os.path.join(out, "data", "bucket=1")
+    spark.createDataFrame(
+        [("u1", "t1", "en")], "url string, text string, lang string"
+    ).write.mode("overwrite").parquet(p1)
+    log.commit(1, [p1], {"n_docs": 1}, columns=["url", "text", "lang"])
+
+    df = log.read(spark)
+    assert set(df.columns) == {"url", "text", "lang"}
+    rows = {r.url: r.lang for r in df.collect()}
+    assert rows == {"u0": None, "u1": "en"}
+
+    # time travel to before the evolution keeps the old schema
+    assert set(log.read(spark, version=0).columns) == {"url", "text"}
+
+
 def test_torn_manifest_is_dropped(spark, tmp_path):
     out = str(tmp_path / "torn")
     log = SnapshotLog(out)
