@@ -25,6 +25,18 @@ from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>|[^<]+", re.S)
 _TAG_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# single-pass tokenizer: same alternatives and order as _TOKEN_RE, but
+# named tags capture (closing, name) directly so the hot loop never
+# re-matches _TAG_RE; group(3) present = text, group(2) = named tag,
+# neither = comment/CDATA/nameless markup (skipped, uncounted — same
+# as _TAG_RE failing to match)
+_TOKEN_TAG_RE = re.compile(
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>"
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"
+    r"|<[^>]*>"
+    r"|([^<]+)",
+    re.S,
+)
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _ASCII_WS = " \t\r\n\f\v"
 
@@ -72,6 +84,9 @@ def html_blocks(html_text: str) -> list[Block]:
 
     def flush() -> None:
         nonlocal buf, buf_link_chars, buf_tag_count
+        if not buf:  # nothing buffered: only the tag counter can be set
+            buf_tag_count = 0
+            return
         raw = "".join(buf)
         text = normalize_ws(raw)
         if text:
@@ -89,37 +104,35 @@ def html_blocks(html_text: str) -> list[Block]:
         buf_link_chars = 0
         buf_tag_count = 0
 
-    for m in _TOKEN_RE.finditer(html_text):
-        tok = m.group(0)
-        if tok.startswith("<!--") or tok.startswith("<![CDATA["):
-            continue
-        if tok.startswith("<"):
-            tm = _TAG_RE.match(tok)
-            if not tm:
+    for m in _TOKEN_TAG_RE.finditer(html_text):
+        text = m.group(3)
+        if text is not None:
+            if skip_depth > 0:
                 continue
-            closing = tm.group(1) == "/"
-            tag = tm.group(2).lower()
-            self_closing = tok.rstrip().endswith("/>") or tag in ("br", "hr", "img", "input", "meta", "link")
-            buf_tag_count += 1
-            if tag in SKIP_TAGS:
-                if not self_closing:
-                    skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
-                continue
-            if tag in BLOCK_TAGS:
-                flush()
-            if tag in SEMANTIC_MAIN and not self_closing:
-                main_depth = max(0, main_depth - 1) if closing else main_depth + 1
-            if tag in BOILERPLATE_CONTAINERS and not self_closing:
-                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
-            if tag == "a":
-                a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+            text = _html.unescape(text)
+            buf.append(text)
+            if a_depth > 0:
+                buf_link_chars += len(normalize_ws(text))
             continue
-        if skip_depth > 0:
+        name = m.group(2)
+        if name is None:  # comment / CDATA / nameless markup
             continue
-        text = _html.unescape(tok)
-        buf.append(text)
-        if a_depth > 0:
-            buf_link_chars += len(normalize_ws(text))
+        closing = m.group(1) == "/"
+        tag = name.lower()
+        self_closing = m.group(0).endswith("/>") or tag in ("br", "hr", "img", "input", "meta", "link")
+        buf_tag_count += 1
+        if tag in SKIP_TAGS:
+            if not self_closing:
+                skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
+            continue
+        if tag in BLOCK_TAGS:
+            flush()
+        if tag in SEMANTIC_MAIN and not self_closing:
+            main_depth = max(0, main_depth - 1) if closing else main_depth + 1
+        if tag in BOILERPLATE_CONTAINERS and not self_closing:
+            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+        if tag == "a":
+            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
     flush()
     return blocks
 
