@@ -171,7 +171,7 @@ class SnapshotLog:
         bucket spans the full value range and nothing skips. A commit
         with no stats for *col* is conservatively kept. Returns None
         when every commit is pruned (the scan provably has no rows)."""
-        paths = []
+        kept = []
         for s in self.visible(version):
             st = (s.stats or {}).get(col)
             if st is not None:
@@ -179,10 +179,11 @@ class SnapshotLog:
                     continue
                 if hi is not None and st["min"] > hi:
                     continue
-            paths.extend(s.paths)
+            kept.append(s)
+        paths = [p for s in kept for p in s.paths]
         if not paths:
             return None
-        df = spark.read.parquet(*paths)
+        df = self._read_paths(spark, kept, paths)
         if lo is not None:
             df = df.where(F.col(col) >= lo)
         if hi is not None:
@@ -199,7 +200,12 @@ class SnapshotLog:
         vis = self.visible()
         if not vis:
             return None
-        n = next((s.n_buckets for s in vis if s.n_buckets), None)
+        # prune only when EVERY visible commit used the same url-hash
+        # modulus: a mixed log (e.g. url-hash extract commits plus
+        # epoch-id streaming commits, n_buckets=None) cannot promise a
+        # url lives in one bucket, so it gets the safe full scan
+        moduli = {s.n_buckets for s in vis}
+        n = moduli.pop() if len(moduli) == 1 else None
         if n is None:
             df = self.read(spark)
             return None if df is None else df.where(F.col("url") == url)
@@ -228,16 +234,15 @@ class SnapshotLog:
         layout maintenance (compaction rewrites existing rows), so they
         are not part of the delta. Returns None when the window holds
         no commits."""
-        upper = self.chain(until)
-        paths = [
-            p
-            for s in upper
+        window = [
+            s
+            for s in self.chain(until)
             if s.op == "append" and (since is None or s.version > since)
-            for p in s.paths
         ]
+        paths = [p for s in window for p in s.paths]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, window, paths)
 
     def compact_bucket(
         self, spark: SparkSession, bucket: int, target_files: int = 1
@@ -345,7 +350,10 @@ class SnapshotLog:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-snapshot lineage + metrics as a DataFrame (north rule):
-        one row per commit with the bucket it landed and its counters."""
+        one row per commit with the bucket it landed and its counters.
+        Rows are per-COMMIT, not a table total: a replace (compaction)
+        re-counts rows an earlier append already counted, so ingest
+        totals should sum n_docs over ``op='append'`` rows only."""
         rows = [
             (
                 s.version,

@@ -373,6 +373,28 @@ def test_cdc_feeds_incremental_dedup(spark, webdocs, tmp_path):
     }  # every copy flagged, every fresh doc clean
 
 
+def test_lookup_url_mixed_modulus_falls_back(spark, tmp_path):
+    """A log mixing url-hash commits with epoch-id commits (streaming)
+    cannot promise a url lives in one bucket — lookup must full-scan,
+    never prune to a possibly-wrong bucket."""
+    out = str(tmp_path / "mix")
+    log = SnapshotLog(out)
+    p0 = os.path.join(out, "data", "bucket=0")
+    spark.createDataFrame([("u-hash", 1)], "url string, n int").write.mode(
+        "overwrite"
+    ).parquet(p0)
+    log.commit(0, [p0], {"n_docs": 1}, n_buckets=3)
+    p1 = os.path.join(out, "data", "bucket=1")
+    spark.createDataFrame([("u-epoch", 2)], "url string, n int").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    log.commit(1, [p1], {"n_docs": 1})  # epoch commit: no modulus
+
+    hit = log.lookup_url(spark, "u-epoch")
+    assert hit.count() == 1  # found even though xxhash would point elsewhere
+    assert len(hit.inputFiles()) == len(log.read(spark).inputFiles())
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     """A later commit may add columns; the read resolves the union
     schema from MANIFEST metadata (no footer sweep when schemas agree)
