@@ -34,6 +34,7 @@ class SnapshotLogMachine(RuleBasedStateMachine):
         self.model = []  # list of (bucket, paths) in commit order
         self.next_bucket = 0
         self.debris = set()
+        self.replaced = {}  # bucket -> its current (post-replace) paths
 
     def teardown(self):
         shutil.rmtree(self.root, ignore_errors=True)
@@ -105,6 +106,30 @@ class SnapshotLogMachine(RuleBasedStateMachine):
         self.log.commit(b, [data], {"n_docs": 3}, n_buckets=1024)
         self.model.append((b, [data]))
 
+    @rule(n_docs=st.integers(0, 50))
+    def replace_commit(self, n_docs):
+        """Compaction-style rewrite of a random committed bucket: its
+        earlier paths are superseded for readers but stay on disk until
+        vacuum."""
+        if not self.model:
+            return
+        b = self.model[len(self.model) // 2][0]
+        path = self._mkdata(f"bucket={b}-compact-v{len(self.model)}")
+        self.log.commit(b, [path], {"n_docs": n_docs}, op="replace")
+        self.model.append((b, [path]))
+        self.replaced[b] = [path]
+
+    @rule()
+    def vacuum(self):
+        """vacuum(retain_last=1) may remove superseded and debris dirs
+        but NEVER a path visible at the latest version."""
+        visible_before = {
+            os.path.normpath(p) for s in self.log.visible() for p in s.paths
+        }
+        removed = set(self.log.vacuum(retain_last=1))
+        assert not (removed & visible_before)
+        self.debris -= removed
+
     @rule()
     def crash_debris(self):
         """A bucket directory written but never committed."""
@@ -130,12 +155,24 @@ class SnapshotLogMachine(RuleBasedStateMachine):
         assert self.log.committed_buckets() == {b for b, _ in self.model}
 
     @invariant()
-    def committed_data_is_on_disk(self):
+    def replace_supersedes(self):
+        if not hasattr(self, "log") or not self.replaced:
+            return
+        vis: dict[int, list[str]] = {}
+        for s in self.log.visible():
+            vis.setdefault(s.bucket, []).extend(s.paths)
+        for b, paths in self.replaced.items():
+            assert vis[b] == paths, f"bucket {b} not superseded cleanly"
+
+    @invariant()
+    def visible_data_is_on_disk(self):
+        # superseded (replaced) paths may be vacuumed; paths VISIBLE at
+        # the latest version must always exist
         if not hasattr(self, "log"):
             return
-        for s in self.log.chain():
+        for s in self.log.visible():
             for p in s.paths:
-                assert os.path.isdir(p), f"committed data removed: {p}"
+                assert os.path.isdir(p), f"visible data removed: {p}"
 
 
 TestSnapshotLogProtocol = SnapshotLogMachine.TestCase
