@@ -288,6 +288,25 @@ class SnapshotLog:
             columns=df.columns,
         )
 
+    def compact_where_needed(
+        self, spark: SparkSession, min_commits: int = 4, target_files: int = 1
+    ) -> dict[int, int]:
+        """Selective maintenance pass: compact only buckets fragmented
+        across >= *min_commits* visible commits (the steady state of an
+        appending ingest — every streaming epoch or resume wave adds a
+        commit). The decision is metadata-only; untouched buckets cost
+        nothing. Returns {bucket: new version}."""
+        counts: dict[int, int] = {}
+        for s in self.visible():
+            counts[s.bucket] = counts.get(s.bucket, 0) + 1
+        done = {}
+        for b, c in sorted(counts.items()):
+            if c >= min_commits:
+                v = self.compact_bucket(spark, b, target_files=target_files)
+                if v is not None:
+                    done[b] = v
+        return done
+
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Reclaim data files no retained version can see — Iceberg's
         expire_snapshots + remove_orphan_files combined, correct for

@@ -322,6 +322,33 @@ def test_compaction_replace_and_vacuum(spark, webdocs, tmp_path):
     assert ops[4] == "replace" and ops[0] == "append"
 
 
+def test_compact_where_needed_is_selective(spark, tmp_path):
+    out = str(tmp_path / "sel")
+    log = SnapshotLog(out)
+    # bucket 0: five append waves (fragmented); bucket 1: one commit
+    for i in range(5):
+        p = os.path.join(out, "data", f"bucket=0-wave{i}")
+        spark.createDataFrame(
+            [(f"u0-{i}", i)], "url string, n int"
+        ).write.mode("overwrite").parquet(p)
+        log.commit(0, [p], {"n_docs": 1}, n_buckets=2)
+    p1 = os.path.join(out, "data", "bucket=1")
+    spark.createDataFrame([("u1", 9)], "url string, n int").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    log.commit(1, [p1], {"n_docs": 1}, n_buckets=2)
+
+    done = log.compact_where_needed(spark, min_commits=4)
+    assert list(done) == [0]  # only the fragmented bucket compacted
+    vis = {s.bucket: s for s in log.visible()}
+    assert vis[0].op == "replace" and vis[1].op == "append"
+    df = log.read(spark)
+    assert df.count() == 6
+    assert {r.url for r in df.collect()} == {f"u0-{i}" for i in range(5)} | {"u1"}
+    # idempotent: nothing left above the threshold
+    assert log.compact_where_needed(spark, min_commits=4) == {}
+
+
 def test_cdc_feeds_incremental_dedup(spark, webdocs, tmp_path):
     """End-to-end incremental-ingestion shape: extract batch A through
     the snapshot log, then batch B (half of it duplicating A's texts);
