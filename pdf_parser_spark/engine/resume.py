@@ -65,13 +65,16 @@ def batched_resumable_extract(
     sees every previously committed batch and processes only the rest.
 
     ``on_batch(i)`` fires after each commit (progress/kill hooks in the
-    resume bench). The per-batch anti-join rescans the input — at
-    corpus scale the committed-url side is a snapshot metadata read;
-    here it is a parquet url-column scan, counted in the bench's
-    resume_overhead number."""
+    resume bench). The per-batch anti-join re-executes against the
+    committed side, so that side is localCheckpointed ONCE (url column
+    only — the narrow key set, never payloads); without it every batch
+    re-scanned the committed parquet, which the resume bench measured
+    as most of the overhead. At Iceberg scale the committed side is a
+    snapshot metadata read (see engine/snapshots.py for that form)."""
     done = committed_urls(spark, output_dir)
     todo = webdocs
     if done is not None:
+        done = done.localCheckpoint(eager=True)
         todo = webdocs.join(done, "url", "left_anti")
     bucket = F.pmod(F.xxhash64("url"), F.lit(n_batches))
     for b in range(n_batches):
