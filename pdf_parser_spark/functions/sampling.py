@@ -220,3 +220,29 @@ def mix_corpus(
         _bucket16(key_col, salt) * F.lit(W) * F.col("strat_toks")
         < F.lit(65536) * F.col("w") * F.lit(t_out)
     ).drop("strat_toks", "w")
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    shard_col: str = "shard",
+    key_out: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the reorder
+    every training run does between curation and sequence packing.
+
+    ``shuffle_key = md5(key || seed)`` is a seeded pseudorandom
+    permutation coordinate: reproducible across engines and re-runs,
+    refreshed per epoch by changing *seed*. ``shard`` is the SAME
+    draw's 16-bit coordinate mod *n_shards*, so each shard is an
+    independent random slice a data-loader worker can read alone.
+    Map-only here; the writer's job is ``repartition(shard_col)`` +
+    ``sortWithinPartitions(key_out)`` — a partitioned sort, never a
+    single global exchange."""
+    key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    return df.withColumn(key_out, key).withColumn(
+        shard_col,
+        F.pmod(_bucket16(key_col, seed), F.lit(n_shards)).cast("int"),
+    )

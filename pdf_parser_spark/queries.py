@@ -4112,6 +4112,43 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # highest-risk first; the back half holds near-twins of windowed entries
 # (e.g. dedup_embedding vs dedup_embedding_bucketed) that the local gate
 # (tools/check_oracle.py) still covers in full.
+
+_ORDER_BUCKET_SQL = _MIX_BUCKET_SQL.replace("substr(h,", "substr(k,")
+
+
+@q(
+    "training_order",
+    "WITH b AS (SELECT doc_id, "
+    "md5(doc_id::VARCHAR || 'epoch0') AS k, "
+    f"len({duck_toks('text')})::INT AS n_tokens FROM documents), "
+    "s AS (SELECT doc_id, k, n_tokens, "
+    f"(({_ORDER_BUCKET_SQL}) % 16)::INT AS shard FROM b) "
+    f"SELECT {URL_SQL} AS url, shard, "
+    "row_number() OVER (PARTITION BY shard ORDER BY k)::INT AS pos, "
+    "n_tokens FROM s",
+)
+def training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order: seeded md5 permutation key + shard
+    assignment from the same draw (sampling.training_order), position =
+    rank within shard. The permutation is reproducible across engines
+    and epochs (seed string), and the sort is PARTITIONED by shard —
+    the writer shape at cluster scale is repartition(shard) +
+    sortWithinPartitions(key), one exchange keyed on 16 shards, never
+    a global total order."""
+    from .functions import sampling as _sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    ordered = _sampling.training_order(docs.select("doc_id", "text"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return ordered.select(
+        F.expr(URL_SQL).alias("url"),
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        textstats.ws_token_count("text").alias("n_tokens"),
+    )
+
+
+
 _PRIORITY_WINDOW = [
     # extraction kernel + sources
     "flagship_extract", "warc_ingest", "payload_sniff",

@@ -439,3 +439,14 @@ def test_bpe_tokenize_topk_without_unpartitioned_window(spark):
     plan = _plan(spark, "bpe_tokenize")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_training_order_sort_is_shard_partitioned(spark):
+    """The training-order rank must run over hashpartitioning(shard),
+    never an unpartitioned Window or a global range sort: the writer
+    shape at scale is one exchange keyed on shards with per-shard
+    sorts."""
+    plan = _plan(spark, "training_order")
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan.lower()
