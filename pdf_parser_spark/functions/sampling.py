@@ -246,3 +246,36 @@ def training_order(
         shard_col,
         F.pmod(_bucket16(key_col, seed), F.lit(n_shards)).cast("int"),
     )
+
+
+def upsample(
+    df: DataFrame,
+    factor: float,
+    key_col: str = "doc_id",
+    salt: str = "up",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional upsampling: repeat every row
+    floor(factor) times and give a deterministic extra copy to the
+    fraction of keys the 16-bit hash coordinate selects — e.g. data
+    recipes that run a high-quality source for 2.25 epochs. Reproducible
+    (no RNG), map-only (explode of a per-row integer sequence, no
+    shuffle), and stable under corpus growth: a document's copy count
+    never changes when other documents are added. ``copy_col`` numbers
+    the replicas 0..n-1 so downstream packing can decorrelate them
+    (e.g. different shuffle seed per copy)."""
+    if factor <= 0:
+        raise ValueError(f"factor must be > 0, got {factor}")
+    whole = int(factor)
+    frac = factor - whole
+    n = F.lit(whole) + F.when(
+        hash_prefix(key_col, salt) < F.lit(_threshold_hex(frac)), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )

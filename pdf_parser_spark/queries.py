@@ -4149,6 +4149,33 @@ def training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+@q(
+    "upsample_repeat",
+    "WITH b AS (SELECT doc_id, "
+    "2 + CASE WHEN substr(md5(doc_id::VARCHAR || 'up'), 1, 4) < '4000' "
+    "THEN 1 ELSE 0 END AS n_copies, "
+    f"len({duck_toks('text')})::INT AS n_tokens FROM documents) "
+    f"SELECT {URL_SQL} AS url, unnest(range(n_copies))::INT AS copy, "
+    "n_tokens FROM b",
+)
+def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2.25x upsampling (sampling.upsample): every doc
+    twice, a hash-selected quarter of them three times — the data-
+    recipe epoch-repeat op. Map-only explode of a per-row sequence; no
+    RNG, no shuffle, copy counts stable under corpus growth."""
+    from .functions import sampling as _sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    up = _sampling.upsample(docs.select("doc_id", "text"), 2.25)
+    return up.select(
+        F.expr(URL_SQL).alias("url"),
+        F.col("copy").cast("int").alias("copy"),
+        textstats.ws_token_count("text").alias("n_tokens"),
+    )
+
+
+
 _PRIORITY_WINDOW = [
     # extraction kernel + sources
     "flagship_extract", "warc_ingest", "payload_sniff",

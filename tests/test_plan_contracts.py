@@ -450,3 +450,11 @@ def test_training_order_sort_is_shard_partitioned(spark):
     assert "Window" in plan
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_upsample_repeat_is_map_only(spark):
+    """Epoch-repeat upsampling must be a pure map-side explode: no
+    Exchange anywhere — copy counts derive from the row itself."""
+    plan = _plan(spark, "upsample_repeat")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
