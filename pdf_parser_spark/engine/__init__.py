@@ -11,4 +11,11 @@ from .session import build_session  # noqa: F401
 from .corpus import synthesize_webdocs, WEBDOCS_SCHEMA  # noqa: F401
 from .extractor import extract_batch, run_extraction, PARSED_SCHEMA  # noqa: F401
 from .partitioning import salted_repartition  # noqa: F401
-from .snapshots import SnapshotLog, snapshot_resumable_extract  # noqa: F401
+from .snapshots import (  # noqa: F401
+    AtomicStore,
+    MemoryStore,
+    PosixStore,
+    SnapshotExpiredError,
+    SnapshotLog,
+    snapshot_resumable_extract,
+)

@@ -8,22 +8,38 @@ This module is the metadata-only form, the shape Iceberg actually has:
 Layout under ``<output_dir>``::
 
     data/bucket=<b>/…parquet    one directory per committed url-hash bucket
-    _snapshots/v<N>.json        immutable manifests (O_EXCL-created)
-    _snapshots/LATEST           current version, written via tmp+rename
+    data/epoch=<e>/…parquet     streaming-epoch commits (kind="epoch")
+    _snapshots/v<N>.json        immutable manifests (published atomically)
+    _snapshots/LATEST           current version (monotonic pointer)
 
-Each manifest records ``{version, parent, bucket, paths, metrics, ts}``.
-Readers resolve LATEST → v<N> → the parent chain → the set of committed
-buckets, and read ONLY those data directories — so a crash mid-write
-(partial bucket dir with no manifest) is invisible, resume decides what
-to re-run from a handful of JSON reads instead of scanning committed
-data, and any historical version stays readable (time travel).
+Each manifest records ``{version, parent, bucket, kind, paths, metrics,
+ts}``. Readers resolve LATEST → v<N> → the parent chain → the set of
+committed buckets, and read ONLY those data directories — so a crash
+mid-write (partial bucket dir with no manifest) is invisible, resume
+decides what to re-run from a handful of JSON reads instead of scanning
+committed data, and any historical version stays readable (time travel)
+until :meth:`SnapshotLog.vacuum` reclaims it, after which reads raise
+:class:`SnapshotExpiredError` instead of an opaque missing-path failure.
 
-Commit protocol (Delta/Iceberg optimistic concurrency, single-store
-analog): the manifest file ``v<N>.json`` is created with ``O_EXCL`` —
-if another writer already claimed version N the create fails, the loser
-re-reads the log and retries at the next version. LATEST is advanced
-with ``os.replace`` (atomic on POSIX); a reader that races the pointer
-update sees the previous version, never a torn state.
+Commit protocol (Delta/Iceberg optimistic concurrency): all atomicity
+lives behind :class:`AtomicStore` — two primitives, *create-exclusive
+publish* of a complete object and a *monotonic pointer advance*. The
+manifest ``v<N>.json`` is published all-or-nothing: if another writer
+already claimed version N the publish fails, the loser adopts the
+winner's commit (rolls the pointer forward, never backward) and retries
+at the next version. Because publish is all-or-nothing, a visible
+manifest is always complete — a concurrent writer's in-flight commit
+can never be mistaken for torn debris and deleted.
+
+The default :class:`PosixStore` implements publish as write-tmp + fsync
++ ``os.link`` (hard-link creation fails atomically if the name is
+claimed) and the pointer as an flock-serialized compare-and-swap-up.
+On an object store the same interface maps to: publish = conditional
+PUT (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) of the full
+manifest body; pointer = a catalog compare-and-swap (DynamoDB
+conditional update / Glue-Nessie commit), i.e. exactly the contract
+Iceberg's catalog layer requires. :class:`MemoryStore` is the
+fault-injectable twin the protocol tests run against.
 
 The wall-clock ``ts`` in manifests comes from ``time.time()`` at commit
 — lineage of a side-effecting write, not query output, so it stays out
@@ -32,6 +48,7 @@ of the oracle-checked surface (tests pin ordering, not values).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -41,6 +58,176 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extractor import parse_webdocs
+
+
+class SnapshotExpiredError(RuntimeError):
+    """A read targeted a version whose data files vacuum() reclaimed."""
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by MemoryStore fault hooks to model a writer dying."""
+
+
+# ---------------------------------------------------------------------------
+# atomicity primitives
+
+
+class AtomicStore:
+    """The two primitives the commit protocol needs, pluggable so the
+    log survives deployment beyond POSIX (see module docstring for the
+    S3/GCS/catalog mapping):
+
+    - :meth:`publish`: create-exclusive, all-or-nothing write of a
+      complete object. Exactly one concurrent publisher of a name wins;
+      a reader never observes a partial object.
+    - :meth:`advance_pointer`: move a named integer pointer forward,
+      NEVER backward — a stale loser advancing an old version must not
+      roll visibility back.
+    """
+
+    def read(self, name: str) -> bytes | None:
+        raise NotImplementedError
+
+    def publish(self, name: str, data: bytes) -> bool:
+        """Atomically create *name* with *data*; False if already claimed."""
+        raise NotImplementedError
+
+    def remove(self, name: str) -> None:
+        """Delete an object (legacy torn-manifest reclaim only)."""
+        raise NotImplementedError
+
+    def read_pointer(self, name: str) -> int | None:
+        raise NotImplementedError
+
+    def advance_pointer(self, name: str, version: int) -> None:
+        raise NotImplementedError
+
+
+_TMP_SEQ = itertools.count()
+
+
+class PosixStore(AtomicStore):
+    """Default store over a local/NFS directory.
+
+    publish: write the full body to a uniquely named temp file, fsync,
+    then ``os.link`` it to the final name — link creation is atomic and
+    fails with EEXIST if claimed, so a visible object is always the
+    complete bytes of exactly one publisher. advance_pointer: an
+    flock-serialized read-compare-replace, so the pointer is monotonic
+    even under concurrent advances.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _tmp(self, name: str) -> str:
+        return self._p(f".tmp.{name}.{os.getpid()}.{next(_TMP_SEQ)}")
+
+    def _fsync_dir(self) -> None:
+        try:
+            fd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:  # pragma: no cover - platform quirk
+            pass
+
+    def read(self, name: str) -> bytes | None:
+        try:
+            with open(self._p(name), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def publish(self, name: str, data: bytes) -> bool:
+        tmp = self._tmp(name)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._p(name))
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        self._fsync_dir()
+        return True
+
+    def remove(self, name: str) -> None:
+        try:
+            os.remove(self._p(name))
+        except FileNotFoundError:
+            pass
+
+    def read_pointer(self, name: str) -> int | None:
+        b = self.read(name)
+        return None if b is None else int(b.decode().strip())
+
+    def advance_pointer(self, name: str, version: int) -> None:
+        import fcntl
+
+        lock_fd = os.open(self._p(f".lock.{name}"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            cur = self.read_pointer(name)
+            if cur is not None and cur >= version:
+                return  # monotonic: a stale advance never rolls back
+            tmp = self._tmp(name)
+            with open(tmp, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._p(name))
+            self._fsync_dir()
+        finally:
+            os.close(lock_fd)  # closing drops the flock
+
+
+class MemoryStore(AtomicStore):
+    """In-memory twin for protocol tests, with crash-fault hooks.
+
+    ``fail_after_publish(name) -> bool``: return True to die (raise
+    :class:`SimulatedCrash`) AFTER the manifest became visible but
+    BEFORE the pointer advanced — the orphan-adoption window.
+    """
+
+    def __init__(self, fail_after_publish=None) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._pointers: dict[str, int] = {}
+        self.fail_after_publish = fail_after_publish
+
+    def read(self, name: str) -> bytes | None:
+        return self._objects.get(name)
+
+    def publish(self, name: str, data: bytes) -> bool:
+        if name in self._objects:
+            return False
+        self._objects[name] = bytes(data)
+        if self.fail_after_publish is not None and self.fail_after_publish(name):
+            raise SimulatedCrash(name)
+        return True
+
+    def remove(self, name: str) -> None:
+        self._objects.pop(name, None)
+
+    def read_pointer(self, name: str) -> int | None:
+        return self._pointers.get(name)
+
+    def advance_pointer(self, name: str, version: int) -> None:
+        cur = self._pointers.get(name)
+        if cur is None or version > cur:
+            self._pointers[name] = version
+
+
+# ---------------------------------------------------------------------------
+# the log
 
 
 @dataclass
@@ -57,28 +244,29 @@ class Snapshot:
     # earlier paths — compaction/rewrite commits)
     columns: list[str] | None = None  # column names at commit time
     # (schema-evolution detection without opening data files)
+    kind: str = "extract"  # commit id-space: "extract" buckets are
+    # url-hash cells, "epoch" buckets are streaming micro-batch ids.
+    # Disjoint namespaces — bucket 3 of each are unrelated.
 
 
 class SnapshotLog:
     """Append-only snapshot log over a parquet output directory."""
 
-    def __init__(self, output_dir: str) -> None:
+    def __init__(self, output_dir: str, store: AtomicStore | None = None) -> None:
         self.output_dir = output_dir
         self.log_dir = os.path.join(output_dir, "_snapshots")
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.store = store if store is not None else PosixStore(self.log_dir)
 
     # -- reads ---------------------------------------------------------
 
     def latest_version(self) -> int | None:
-        try:
-            with open(os.path.join(self.log_dir, "LATEST")) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+        return self.store.read_pointer("LATEST")
 
     def snapshot(self, version: int) -> Snapshot:
-        with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
-            d = json.load(f)
+        raw = self.store.read(f"v{version}.json")
+        if raw is None:
+            raise FileNotFoundError(f"v{version}.json")
+        d = json.loads(raw)
         return Snapshot(
             version=d["version"],
             parent=d["parent"],
@@ -90,6 +278,7 @@ class SnapshotLog:
             stats=d.get("stats"),
             op=d.get("op", "append"),
             columns=d.get("columns"),
+            kind=d.get("kind", "extract"),
         )
 
     def chain(self, version: int | None = None) -> list[Snapshot]:
@@ -103,35 +292,62 @@ class SnapshotLog:
         out.reverse()
         return out
 
-    def committed_buckets(self, version: int | None = None) -> set[int]:
-        """Metadata-only: which url-hash buckets are durably committed."""
-        return {s.bucket for s in self.chain(version)}
+    def committed_buckets(
+        self, version: int | None = None, kind: str | None = None
+    ) -> set[int]:
+        """Metadata-only: which buckets are durably committed. *kind*
+        filters to one id-space ("extract" url-hash cells vs "epoch"
+        streaming batches) — resume decisions must pass their own kind,
+        since the two spaces share integers but not meaning."""
+        return {
+            s.bucket
+            for s in self.chain(version)
+            if kind is None or s.kind == kind
+        }
 
     def visible(self, version: int | None = None) -> list[Snapshot]:
         """Commits whose data is part of the table at *version*: an
         ``append`` adds to its bucket, a ``replace`` (compaction)
-        supersedes every earlier commit for the same bucket. Returned
-        in version order."""
-        per_bucket: dict[int, list[Snapshot]] = {}
+        supersedes every earlier commit for the same (kind, bucket).
+        Returned in version order."""
+        per_bucket: dict[tuple[str, int], list[Snapshot]] = {}
         for s in self.chain(version):
+            key = (s.kind, s.bucket)
             if s.op == "replace":
-                per_bucket[s.bucket] = [s]
+                per_bucket[key] = [s]
             else:
-                per_bucket.setdefault(s.bucket, []).append(s)
+                per_bucket.setdefault(key, []).append(s)
         out = [s for lst in per_bucket.values() for s in lst]
         out.sort(key=lambda s: s.version)
         return out
+
+    def _require_live(self, paths: list[str], what: str) -> None:
+        """Vacuum-expiry guard: a manifest-listed LOCAL path that no
+        longer exists means the retention window passed — surface that
+        as :class:`SnapshotExpiredError`, not an opaque Spark path
+        error. Remote-scheme paths (s3://, hdfs://) are skipped; there
+        the guard belongs to the storage layer."""
+        missing = [
+            p for p in paths if "://" not in p and not os.path.exists(p)
+        ]
+        if missing:
+            raise SnapshotExpiredError(
+                f"{what} references {len(missing)} vacuumed data path(s) "
+                f"(e.g. {missing[0]}); the retention window has passed"
+            )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """Time-travel read: the table as of *version* (default latest).
 
         Reads only manifest-listed directories that a later compaction
         has not superseded — uncommitted bucket dirs (crash debris) are
-        never visible. None when no snapshot exists yet."""
+        never visible. None when no snapshot exists yet; raises
+        :class:`SnapshotExpiredError` for a vacuumed version."""
         vis = self.visible(version)
         paths = [p for s in vis for p in s.paths]
         if not paths:
             return None
+        self._require_live(paths, f"read(version={version})")
         return self._read_paths(spark, vis, paths)
 
     def _read_paths(
@@ -183,6 +399,7 @@ class SnapshotLog:
         paths = [p for s in kept for p in s.paths]
         if not paths:
             return None
+        self._require_live(paths, f"scan({col})")
         df = self._read_paths(spark, kept, paths)
         if lo is not None:
             df = df.where(F.col(col) >= lo)
@@ -219,6 +436,7 @@ class SnapshotLog:
         paths = [p for s in vis if s.bucket == b for p in s.paths]
         if not paths:
             return None
+        self._require_live(paths, f"lookup_url({url!r})")
         return spark.read.parquet(*paths).where(F.col("url") == url)
 
     def changes_between(
@@ -233,7 +451,9 @@ class SnapshotLog:
         ``since=None`` means "from the beginning". Replace commits are
         layout maintenance (compaction rewrites existing rows), so they
         are not part of the delta. Returns None when the window holds
-        no commits."""
+        no commits; raises :class:`SnapshotExpiredError` when the
+        window reaches behind the vacuum horizon (a compaction
+        superseded the appends and vacuum reclaimed their files)."""
         window = [
             s
             for s in self.chain(until)
@@ -242,10 +462,15 @@ class SnapshotLog:
         paths = [p for s in window for p in s.paths]
         if not paths:
             return None
+        self._require_live(paths, f"changes_between(since={since})")
         return self._read_paths(spark, window, paths)
 
     def compact_bucket(
-        self, spark: SparkSession, bucket: int, target_files: int = 1
+        self,
+        spark: SparkSession,
+        bucket: int,
+        target_files: int = 1,
+        kind: str = "extract",
     ) -> int | None:
         """Small-file compaction, Iceberg rewrite_data_files shape:
         coalesce a bucket's visible files into *target_files* and
@@ -260,14 +485,17 @@ class SnapshotLog:
         every ingest wave appends small files; per-bucket rewrites run
         from the maintenance job, bucket by bucket, without blocking
         ingest on OTHER buckets (single-writer per log, as elsewhere)."""
-        vis = [s for s in self.visible() if s.bucket == bucket]
+        vis = [
+            s for s in self.visible() if s.bucket == bucket and s.kind == kind
+        ]
         paths = [p for s in vis for p in s.paths]
         if not paths:
             return None
+        prefix = "bucket" if kind == "extract" else "epoch"
         dest = os.path.join(
             self.output_dir,
             "data",
-            f"bucket={bucket}-compact-v{(self.latest_version() or 0) + 1}",
+            f"{prefix}={bucket}-compact-v{(self.latest_version() or 0) + 1}",
         )
         df = spark.read.parquet(*paths).coalesce(target_files)
         df.write.mode("overwrite").parquet(dest)
@@ -286,6 +514,7 @@ class SnapshotLog:
             else None,
             op="replace",
             columns=df.columns,
+            kind=kind,
         )
 
     def compact_where_needed(
@@ -296,16 +525,30 @@ class SnapshotLog:
         appending ingest — every streaming epoch or resume wave adds a
         commit). The decision is metadata-only; untouched buckets cost
         nothing. Returns {bucket: new version}."""
-        counts: dict[int, int] = {}
+        counts: dict[tuple[str, int], int] = {}
         for s in self.visible():
-            counts[s.bucket] = counts.get(s.bucket, 0) + 1
+            key = (s.kind, s.bucket)
+            counts[key] = counts.get(key, 0) + 1
         done = {}
-        for b, c in sorted(counts.items()):
+        for (k, b), c in sorted(counts.items()):
             if c >= min_commits:
-                v = self.compact_bucket(spark, b, target_files=target_files)
+                v = self.compact_bucket(spark, b, target_files=target_files, kind=k)
                 if v is not None:
                     done[b] = v
         return done
+
+    @staticmethod
+    def _path_keys(p: str) -> set[str]:
+        """Spelling-insensitive identity of a data path: its realpath
+        (canonicalizes relative-vs-absolute and symlinks, assuming the
+        CWD of the committing and GC-ing run agree) plus its basename
+        under data/ (robust even across CWD changes — bucket/compaction
+        dir names are unique within a log). A data-dir entry is
+        deletable only when NEITHER key matches any referenced path, so
+        a spelling mismatch can only under-delete, never drop live data
+        (the r4 vacuum bug: commit via SnapshotLog('out') + vacuum via
+        SnapshotLog(abspath('out')) deleted every committed bucket)."""
+        return {os.path.realpath(p), os.path.basename(os.path.normpath(p))}
 
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Reclaim data files no retained version can see — Iceberg's
@@ -314,9 +557,10 @@ class SnapshotLog:
         EVERY one of the last *retain_last* versions (e.g. superseded
         by a compaction at least *retain_last* commits ago) or is
         crash debris no manifest references. Manifests stay (they are
-        bytes); time travel to a vacuumed version raises on read, which
-        is exactly Iceberg's behavior for expired snapshots. Returns
-        removed paths. Single-writer, like :meth:`remove_orphans`."""
+        bytes); time travel to a vacuumed version raises
+        :class:`SnapshotExpiredError`, which is exactly Iceberg's
+        behavior for expired snapshots. Returns removed paths.
+        Single-writer, like :meth:`remove_orphans`."""
         import shutil
 
         data_dir = os.path.join(self.output_dir, "data")
@@ -325,17 +569,15 @@ class SnapshotLog:
             return []
         keep: set[str] = set()
         for v in range(max(0, latest - retain_last + 1), latest + 1):
-            keep |= {
-                os.path.normpath(p)
-                for s in self.visible(v)
-                for p in s.paths
-            }
+            for s in self.visible(v):
+                for p in s.paths:
+                    keep |= self._path_keys(p)
         removed = []
         for name in sorted(os.listdir(data_dir)):
-            p = os.path.normpath(os.path.join(data_dir, name))
-            if p not in keep:
+            p = os.path.join(data_dir, name)
+            if self._path_keys(p).isdisjoint(keep):
                 shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
+                removed.append(os.path.normpath(p))
         return removed
 
     def remove_orphans(self) -> list[str]:
@@ -356,15 +598,16 @@ class SnapshotLog:
         data_dir = os.path.join(self.output_dir, "data")
         if not os.path.isdir(data_dir):
             return []
-        live = {
-            os.path.normpath(p) for s in self.chain() for p in s.paths
-        }
+        live: set[str] = set()
+        for s in self.chain():
+            for p in s.paths:
+                live |= self._path_keys(p)
         removed = []
         for name in sorted(os.listdir(data_dir)):
-            p = os.path.normpath(os.path.join(data_dir, name))
-            if p not in live:
+            p = os.path.join(data_dir, name)
+            if self._path_keys(p).isdisjoint(live):
                 shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
+                removed.append(os.path.normpath(p))
         return removed
 
     def lineage(self, spark: SparkSession) -> DataFrame:
@@ -379,6 +622,7 @@ class SnapshotLog:
                 s.parent,
                 s.bucket,
                 s.op,
+                s.kind,
                 int(s.metrics.get("n_docs", 0)),
                 int(s.metrics.get("n_failures", 0)),
                 int(s.metrics.get("bytes_in", 0)),
@@ -388,8 +632,8 @@ class SnapshotLog:
         ]
         return spark.createDataFrame(
             rows,
-            "version int, parent int, bucket int, op string, n_docs long, "
-            "n_failures long, bytes_in long, ts double",
+            "version int, parent int, bucket int, op string, kind string, "
+            "n_docs long, n_failures long, bytes_in long, ts double",
         )
 
     # -- writes --------------------------------------------------------
@@ -403,15 +647,21 @@ class SnapshotLog:
         stats: dict | None = None,
         op: str = "append",
         columns: list[str] | None = None,
+        kind: str = "extract",
     ) -> int:
         """Atomically append one snapshot; returns its version.
 
-        O_EXCL on the manifest detects a concurrent writer claiming the
-        same version (the loser re-reads and retries at the next slot);
-        os.replace makes the LATEST pointer flip atomic. ``n_buckets``
-        records the url-hash modulus (point-lookup pruning);
-        ``stats`` records per-column min/max for scan-time file
-        skipping."""
+        The store's create-exclusive publish detects a concurrent
+        writer claiming the same version: the loser adopts the winner's
+        commit (monotonic pointer advance — never a rollback) and
+        retries at the next slot. A published manifest is complete by
+        construction, so an adopted foreign manifest is always a real
+        commit; an unparseable one can only be debris of a pre-publish-
+        protocol writer killed mid-json.dump (this protocol never
+        exposes partial bytes) and is safe to reclaim. ``n_buckets``
+        records the url-hash modulus (point-lookup pruning); ``stats``
+        records per-column min/max for scan-time file skipping;
+        ``kind`` names the bucket id-space ("extract" vs "epoch")."""
         while True:
             parent = self.latest_version()
             version = 0 if parent is None else parent + 1
@@ -426,37 +676,23 @@ class SnapshotLog:
                 "stats": stats,
                 "op": op,
                 "columns": columns,
+                "kind": kind,
             }
-            path = os.path.join(self.log_dir, f"v{version}.json")
+            name = f"v{version}.json"
+            if self.store.publish(name, json.dumps(manifest).encode()):
+                self.store.advance_pointer("LATEST", version)
+                return version
+            # lost the race, or a prior writer died between manifest
+            # publish and pointer advance: adopt the complete foreign
+            # commit and retry at the next slot. Torn bytes cannot come
+            # from this protocol (see docstring) — reclaim legacy debris.
             try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-            except FileExistsError:
-                # lost the race, or a prior writer died between manifest
-                # create and pointer flip. A complete orphan manifest is
-                # a real commit — roll LATEST forward and retry at the
-                # next slot (idempotent if the other writer also flips);
-                # a torn one was never referenced and is safe to drop.
-                try:
-                    self.snapshot(version)
-                except (json.JSONDecodeError, KeyError):
-                    os.remove(path)
-                    continue
-                self._advance_latest(version)
+                self.snapshot(version)
+            except (json.JSONDecodeError, KeyError):
+                self.store.remove(name)
                 continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
-            self._advance_latest(version)
-            return version
-
-    def _advance_latest(self, version: int) -> None:
-        tmp = os.path.join(self.log_dir, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.log_dir, "LATEST"))
+            self.store.advance_pointer("LATEST", version)
+            continue
 
 
 def snapshot_resumable_extract(
@@ -478,12 +714,16 @@ def snapshot_resumable_extract(
     manifest that makes it visible ever exists — exactly once per url
     under any kill point.
 
+    Resume filters to kind="extract" commits: a log shared with the
+    streaming sink (kind="epoch", data/epoch=<e> paths) never makes an
+    extract bucket look committed just because an epoch shares its id.
+
     Requires the same input across runs (bucket membership is
     xxhash64(url) % n_batches, deterministic); for changed inputs use
     the row-level anti-join path.
     """
     log = SnapshotLog(output_dir)
-    done = log.committed_buckets()
+    done = log.committed_buckets(kind="extract")
     bucket = F.pmod(F.xxhash64("url"), F.lit(n_batches))
     for b in range(n_batches):
         if b in done:

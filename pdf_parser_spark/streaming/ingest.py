@@ -80,7 +80,14 @@ def streaming_extract_to_snapshots(
     an epoch killed between data write and manifest commit leaves
     invisible debris that the rewrite (mode=overwrite) replaces before
     the commit lands. So every row is visible exactly once, with
-    per-epoch lineage metrics in the manifests for free."""
+    per-epoch lineage metrics in the manifests for free.
+
+    Epoch ids live in their own namespace: commits carry kind="epoch"
+    and write ``data/epoch=<id>`` directories, so a log shared with
+    :func:`snapshot_resumable_extract` (kind="extract",
+    ``data/bucket=<b>``) can never clobber an extract bucket whose id
+    matches an epoch, and neither side's resume mistakes the other's
+    commits for its own."""
     import os as _os
 
     from ..engine.snapshots import SnapshotLog
@@ -91,9 +98,9 @@ def streaming_extract_to_snapshots(
 
     def commit_epoch(df: DataFrame, epoch_id: int) -> None:
         b = int(epoch_id)
-        if b in log.committed_buckets():
+        if b in log.committed_buckets(kind="epoch"):
             return  # replayed epoch: already durably committed
-        path = _os.path.join(output_dir, "data", f"bucket={b}")
+        path = _os.path.join(output_dir, "data", f"epoch={b}")
         df.write.mode("overwrite").parquet(path)
         m = (
             df.sparkSession.read.parquet(path)
@@ -115,6 +122,7 @@ def streaming_extract_to_snapshots(
                 "bytes_in": int(m["bytes_in"] or 0),
             },
             columns=df.columns,
+            kind="epoch",
         )
 
     stream = (

@@ -1,10 +1,16 @@
 """Stateful property test for the snapshot-log commit protocol
 (engine/snapshots.py): under any interleaving of normal commits,
-orphan manifests (a writer that died before its pointer flip), torn
-manifests (killed mid-json write), stale LATEST pointers, and orphan
+orphan manifests (a writer that died between publish and pointer
+advance), torn legacy manifests, stale LATEST pointers, and orphan
 GC, the log must agree with a trivial in-memory model — committed
 buckets are exactly the model's, the parent chain is linear and
 complete, and GC never removes a referenced data directory.
+
+Runs the SAME machine against both AtomicStore implementations
+(PosixStore, the tmp+os.link default; MemoryStore, the conditional-PUT
+twin) — the protocol's guarantees are a property of the interface, not
+of POSIX semantics, which is what lets the log survive an object-store
+deployment.
 
 Pure metadata (no Spark): runs in milliseconds per example.
 """
@@ -23,14 +29,28 @@ from hypothesis.stateful import (
 )
 from hypothesis import strategies as st
 
-from pdf_parser_spark.engine.snapshots import SnapshotLog
+from pdf_parser_spark.engine.snapshots import (
+    MemoryStore,
+    PosixStore,
+    SnapshotLog,
+)
 
 
 class SnapshotLogMachine(RuleBasedStateMachine):
+    def make_store(self, log_dir):
+        raise NotImplementedError
+
+    def inject_manifest(self, version: int, data: bytes) -> None:
+        """Simulate a foreign writer's published (or legacy torn)
+        manifest bytes, bypassing commit()."""
+        raise NotImplementedError
+
     @initialize()
     def setup(self):
         self.root = tempfile.mkdtemp(prefix="snaplog_prop_")
-        self.log = SnapshotLog(self.root)
+        log_dir = os.path.join(self.root, "_snapshots")
+        self.store = self.make_store(log_dir)
+        self.log = SnapshotLog(self.root, store=self.store)
         self.model = []  # list of (bucket, paths) in commit order
         self.next_bucket = 0
         self.debris = set()
@@ -56,17 +76,17 @@ class SnapshotLogMachine(RuleBasedStateMachine):
 
     @rule()
     def orphan_manifest(self):
-        """A concurrent writer created the next manifest but died
-        before flipping LATEST: the next commit must adopt it."""
+        """A concurrent writer published the next manifest but died
+        before advancing LATEST: the next commit must adopt it."""
         v = (self.log.latest_version() or 0) + 1 if self.model else 0
-        path = os.path.join(self.log.log_dir, f"v{v}.json")
-        if os.path.exists(path):
+        if self.store.read(f"v{v}.json") is not None:
             return
         b = self.next_bucket
         self.next_bucket += 1
         data = self._mkdata(f"bucket={b}")
-        with open(path, "w") as f:
-            json.dump(
+        self.inject_manifest(
+            v,
+            json.dumps(
                 {
                     "version": v,
                     "parent": v - 1 if v else None,
@@ -76,9 +96,9 @@ class SnapshotLogMachine(RuleBasedStateMachine):
                     "ts": 0.0,
                     "n_buckets": 1024,
                     "stats": None,
-                },
-                f,
-            )
+                }
+            ).encode(),
+        )
         # visible to readers only after adoption (the model adds it
         # now because chain() follows parents from LATEST, which still
         # lags — adoption happens inside the next commit())
@@ -92,14 +112,14 @@ class SnapshotLogMachine(RuleBasedStateMachine):
 
     @rule()
     def torn_manifest_then_commit(self):
-        """A writer killed mid-json.dump leaves a torn next manifest;
-        the next commit must drop it and take the slot."""
+        """Torn manifest bytes in the next slot (debris of a PRE-link-
+        protocol writer killed mid-json.dump — the current publish is
+        all-or-nothing and can't produce this); the next commit must
+        reclaim the slot."""
         v = (self.log.latest_version() + 1) if self.model else 0
-        path = os.path.join(self.log.log_dir, f"v{v}.json")
-        if os.path.exists(path):
+        if self.store.read(f"v{v}.json") is not None:
             return
-        with open(path, "w") as f:
-            f.write('{"version": ')
+        self.inject_manifest(v, b'{"version": ')
         b = self.next_bucket
         self.next_bucket += 1
         data = self._mkdata(f"bucket={b}")
@@ -118,6 +138,16 @@ class SnapshotLogMachine(RuleBasedStateMachine):
         self.log.commit(b, [path], {"n_docs": n_docs}, op="replace")
         self.model.append((b, [path]))
         self.replaced[b] = [path]
+
+    @rule()
+    def stale_pointer_advance(self):
+        """A loser that raced at an OLD version advances the pointer
+        late: LATEST must never move backwards (monotonic CAS-up)."""
+        latest = self.log.latest_version()
+        if latest is None or latest == 0:
+            return
+        self.store.advance_pointer("LATEST", 0)
+        assert self.log.latest_version() == latest
 
     @rule()
     def vacuum(self):
@@ -175,7 +205,28 @@ class SnapshotLogMachine(RuleBasedStateMachine):
                 assert os.path.isdir(p), f"visible data removed: {p}"
 
 
-TestSnapshotLogProtocol = SnapshotLogMachine.TestCase
-TestSnapshotLogProtocol.settings = settings(
-    max_examples=40, stateful_step_count=30, deadline=None
-)
+class PosixMachine(SnapshotLogMachine):
+    def make_store(self, log_dir):
+        return PosixStore(log_dir)
+
+    def inject_manifest(self, version, data):
+        # a foreign/legacy writer's bytes land as a plain file
+        with open(os.path.join(self.log.log_dir, f"v{version}.json"), "wb") as f:
+            f.write(data)
+
+
+class MemoryMachine(SnapshotLogMachine):
+    def make_store(self, log_dir):
+        return MemoryStore()
+
+    def inject_manifest(self, version, data):
+        self.store._objects[f"v{version}.json"] = data
+
+
+_SETTINGS = settings(max_examples=40, stateful_step_count=30, deadline=None)
+
+TestSnapshotLogProtocolPosix = PosixMachine.TestCase
+TestSnapshotLogProtocolPosix.settings = _SETTINGS
+
+TestSnapshotLogProtocolMemory = MemoryMachine.TestCase
+TestSnapshotLogProtocolMemory.settings = _SETTINGS
