@@ -31,22 +31,41 @@ __all__ = ["pack_sequences"]
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     host_col: str = "host",
+    target_tokens_per_shard: int = 100_000_000,
 ) -> DataFrame:
     """Assign each document its packed position: output shard, running
     token start, sequence index within the shard, and offset within
     that sequence. Deterministic given (host, doc_id) order; one hash
     exchange + partition-scoped sort, no global sort.
+
+    ``n_shards=None`` derives the shard count from the corpus token
+    total (ceil(tokens / target_tokens_per_shard), floor 16 — one
+    bounded agg job), so the per-(host, shard) prefix-sum window stays
+    near *target_tokens_per_shard* as the corpus scales instead of
+    growing linearly at a fixed 16. The derivation pays one extra scan
+    for the total; at warehouse scale feed the total from table
+    statistics instead (``derive_n_shards(stats_total, target)`` +
+    explicit n_shards), which also pins the output-file layout.
     """
-    shard = (F.col(id_col) % n_shards).cast("int")
-    d = df.select(
+    toks = df.select(
         F.col(id_col),
         F.col(host_col),
-        shard.alias("shard"),
         ws_token_count(text_col).alias("n_tokens"),
+    )
+    if n_shards is None:
+        from .sampling import derive_n_shards
+
+        total = toks.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        n_shards = derive_n_shards(int(total), target_tokens_per_shard)
+    d = toks.select(
+        id_col,
+        host_col,
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        "n_tokens",
     )
     w = (
         Window.partitionBy(host_col, "shard")

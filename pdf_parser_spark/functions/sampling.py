@@ -222,13 +222,31 @@ def mix_corpus(
     ).drop("strat_toks", "w")
 
 
+def derive_n_shards(total: int, target_per_shard: int, floor: int = 16) -> int:
+    """Scale-aware shard count: ceil(total / target), floored at 16.
+
+    The consumer of a sharded layout sorts or ranks WITHIN each shard
+    (training_order's rank-within-shard, pack_sequences' prefix-sum
+    window), so a fixed shard count makes every window partition grow
+    linearly with the corpus — the per-reducer sort that breaks first
+    at 100×. Deriving the count from the corpus total keeps each
+    shard's size near *target_per_shard* regardless of scale: 60k docs
+    → the floor; 10^12 docs / 1M-doc target → 10^6 shards. Purely
+    arithmetic and deterministic, so sharded output stays oracle-
+    reproducible for a given corpus size."""
+    if total <= 0:
+        return floor
+    return max(floor, -(-int(total) // int(target_per_shard)))
+
+
 def training_order(
     df: DataFrame,
     key_col: str = "doc_id",
     seed: str = "epoch0",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     shard_col: str = "shard",
     key_out: str = "shuffle_key",
+    target_docs_per_shard: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the reorder
     every training run does between curation and sequence packing.
@@ -240,7 +258,16 @@ def training_order(
     independent random slice a data-loader worker can read alone.
     Map-only here; the writer's job is ``repartition(shard_col)`` +
     ``sortWithinPartitions(key_out)`` — a partitioned sort, never a
-    single global exchange."""
+    single global exchange.
+
+    ``n_shards=None`` derives the count from the corpus size
+    (:func:`derive_n_shards`: ceil(count / target_docs_per_shard),
+    floor 16) — one bounded count() job, the price of keeping the
+    per-shard rank window O(target) instead of O(corpus/16) at scale.
+    Pass an explicit count to pin layout across epochs of a growing
+    corpus."""
+    if n_shards is None:
+        n_shards = derive_n_shards(df.count(), target_docs_per_shard)
     key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
     return df.withColumn(key_out, key).withColumn(
         shard_col,

@@ -2828,9 +2828,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn(
         "host", F.expr(_HOST_ONLY_SQL)
     )
-    return packing.pack_sequences(
-        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS
-    )
+    # n_shards=None exercises the scale-aware derivation: at test SFs
+    # the token total is far below one shard's target, so the derived
+    # count is the floor — exactly _PACK_SHARDS, which the oracle SQL
+    # pins. At 100× the same call grows the shard count instead of the
+    # per-shard window.
+    return packing.pack_sequences(docs, seq_len=_PACK_SEQ_LEN)
 
 
 # ---------------------------------------------------------------------------

@@ -458,3 +458,71 @@ def test_upsample_repeat_is_map_only(spark):
     plan = _plan(spark, "upsample_repeat")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_derived_shard_counts_bound_window_partitions(spark):
+    """Scale contract of the derived n_shards default: as the corpus
+    grows, the shard count grows so the max per-shard row count stays
+    near the target instead of growing linearly with the corpus (the
+    per-reducer sort that breaks first at 100x)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions.sampling import (
+        derive_n_shards,
+        training_order,
+    )
+
+    # pure arithmetic: floor at small scale, linear growth at large
+    assert derive_n_shards(0, 1_000_000) == 16
+    assert derive_n_shards(60_000, 1_000_000) == 16
+    assert derive_n_shards(10**12, 1_000_000) == 10**6
+    assert derive_n_shards(10**12 + 1, 1_000_000) == 10**6 + 1
+
+    # executed: a 10x corpus growth with a small target keeps the max
+    # per-shard row count within hash variance of the target, because
+    # the shard count scales instead of the shard size
+    small = spark.range(800).withColumnRenamed("id", "doc_id")
+    big = spark.range(8000).withColumnRenamed("id", "doc_id")
+    target = 100
+    caps = {}
+    for name, df in (("small", small), ("big", big)):
+        shards = training_order(
+            df, key_col="doc_id", target_docs_per_shard=target
+        )
+        per = shards.groupBy("shard").count()
+        caps[name] = per.agg(F.max("count")).collect()[0][0]
+        n = per.count()
+        assert n >= df.count() // target, f"{name}: too few shards ({n})"
+    # both scales stay near the target (generous 3x hash-variance bound)
+    assert caps["small"] <= 3 * target
+    assert caps["big"] <= 3 * target
+
+
+def test_pack_sequences_derived_shards_bound_token_windows(spark):
+    """pack_sequences' derived shard count keeps the per-(host, shard)
+    prefix-sum window's token total near the target as the corpus
+    scales."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions.packing import pack_sequences
+
+    def corpus(n):
+        return (
+            spark.range(n)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("host", F.concat(F.lit("h"), F.col("doc_id") % 4))
+            .withColumn("text", F.lit("one two three four five"))
+        )
+
+    target = 500  # tokens per shard (5 tokens/doc)
+    for n in (400, 4000):
+        placed = pack_sequences(
+            corpus(n), seq_len=64, target_tokens_per_shard=target
+        )
+        per = placed.groupBy("host", "shard").agg(
+            F.sum("n_tokens").alias("toks")
+        )
+        # each (host, shard) window holds ~target/hosts tokens; bound
+        # the max generously — the point is it does NOT grow 10x with n
+        cap = per.agg(F.max("toks")).collect()[0][0]
+        assert cap <= 3 * target, (n, cap)
