@@ -4179,40 +4179,33 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# The driver records oracle results for the FIRST 50 registry entries
+# per round; this window rotates each round so every family lands in a
+# recorded CORRECTNESS_r{N}.json at least once. Round 5: the 24 queries
+# no round ever driver-checked, then the 28 last recorded in r1-r3
+# (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
-    # extraction kernel + sources
-    "flagship_extract", "warc_ingest", "payload_sniff",
-    "span_text_roundtrip", "audit_metrics", "fallback_extract",
-    "cid_extract", "encrypted_extract",
-    # write path (incl. encrypted + auto-insert)
-    "rewrite_roundtrip", "rewrite_autoinsert", "rewrite_encrypted",
-    # multimodal codecs
-    "multimodal_meta", "video_frames", "audio_features",
-    # streaming twins
-    "windowed_host_stats", "dedup_stream_twin", "stream_join_twin",
-    # dedup families
-    "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_quality",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_bucketed",
-    "dedup_pipeline", "substring_dup_spans", "incremental_dedup",
-    "neardup_verified",
-    # ANN
-    "ann_topk_bruteforce", "ann_ivf_int8",
-    # text analysis
-    "top_terms", "model_quality_score", "bigram_surprisal",
-    # cleaning
-    "line_dedup", "decontaminate", "nfc_normalize",
-    # filtering
-    "corpus_filter", "host_cap",
-    # packing / mixing / PII
-    "pack_sequences", "mix_corpus", "pii_scrub",
-    # link graph
-    "host_pagerank", "anchor_text",
-    # temporal
-    "asof_join", "range_join", "rollup_hypertable",
-    # sketches
-    "hll_merge", "countmin_freq",
-    # BPE
-    "bpe_train", "bpe_tokenize",
+    # --- never driver-checked in any round (r1-r4) ---
+    "training_order", "upsample_repeat",
+    "snapshot_diff", "compaction_plan", "bloom_prefilter", "zorder_layout",
+    "sessionize", "hll_distinct", "hll_stream_twin", "sketch_distinct",
+    "mojibake_score", "url_canonicalize", "host_blocklist",
+    "host_outlinks", "host_quality_prior",
+    "stratified_sample", "mix_temperature", "chunk_docs",
+    "inverted_index", "unigram_surprisal", "bpe_pair_counts",
+    "length_percentiles", "corpus_report", "embed_project",
+    # --- checked last in r1-r3, absent from r4's window ---
+    "span_geometry_clean", "host_running_totals", "instance_index",
+    "instance_selector", "rank_join", "containment_anti_join",
+    "spatial_block_join", "group_stats", "vocab_census", "oov_count",
+    "scalar_chain", "search_context", "distinct_sources",
+    "volume_by_nation", "orders_without_lineitems",
+    "dedup_embedding", "dedup_embedding_multiprobe",
+    "ann_topk_int8", "ann_ivf_bucketed",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "repetition_score", "dedup_components", "sample_split",
+    # positions 51+: multiply-recorded TPC-H classics (r1-r3 green)
+    "pricing_summary", "top_customers",
 ]
 
 

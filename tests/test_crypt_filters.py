@@ -489,3 +489,74 @@ def test_encrypt_metadata_default_xmp_encrypted():
     meta = doc.resolve(doc.catalog().get("Metadata"))
     assert doc.stream_bytes(meta) == xmp
     assert extract_pdf(pdf).text == "meta true body"
+
+
+# ------------------------------------------- external-writer fixtures
+
+
+def test_external_writer_fixtures_decrypt_and_extract():
+    """Interop against encryption bytes the repo did NOT produce: the
+    vendored fixtures were assembled by tests/fixtures/
+    make_external_crypt_fixtures.py — a byte-level PDF encryptor
+    written only from the ISO 32000 wording on hashlib + the
+    ``cryptography`` package, importing nothing from pdf_parser_spark.
+    (No external PDF generator exists in this sandbox — no qpdf/
+    pikepdf/mupdf/network — so an independent in-test writer is the
+    strongest available external pin for /U, /UE, /O, /OE, /Perms.)
+
+    Three guards: (1) regeneration reproduces the vendored bytes, so
+    the fixture can't silently drift to match a repo change; (2) the
+    sha256 of each fixture is pinned as a constant; (3) the repo's
+    reader decrypts both and extracts the exact text."""
+    import hashlib
+    import os
+    import sys
+
+    here = os.path.join(os.path.dirname(__file__), "fixtures")
+    sys.path.insert(0, here)
+    try:
+        import make_external_crypt_fixtures as gen
+    finally:
+        sys.path.remove(here)
+
+    pins = {
+        "external_aes256_r6.pdf": (
+            "600fe6e94b3ae782716d9a589c8b86de"
+            "5202fa546c89f1a5049fa6e1a7adc7d6"
+        ),
+        "external_rc4_r3.pdf": (
+            "4b6c7e149cf07ebf280e24da8b393f1f"
+            "c49dca99b3ccde297e5e2b004d9f46eb"
+        ),
+    }
+    for name, build in gen.FIXTURES.items():
+        with open(os.path.join(here, name), "rb") as f:
+            vendored = f.read()
+        assert build() == vendored, f"{name} drifted from its generator"
+        assert hashlib.sha256(vendored).hexdigest() == pins[name]
+        r = extract_pdf(vendored)
+        assert r.error is None, (name, r.error)
+        assert r.text == gen.EXPECTED_TEXT
+        # ciphertext really differs from plaintext at the byte level
+        assert b"external interop" not in vendored
+
+
+def test_external_aes256_fixture_rejects_corrupt_u():
+    """Flipping one /U byte must surface the typed 'encrypted' row —
+    proving the fixture's verification bytes are load-bearing, not
+    bypassed."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "external_aes256_r6.pdf"
+    )
+    with open(path, "rb") as f:
+        pdf = f.read()
+    m = re.search(rb"/U <([0-9A-F]+)>", pdf)
+    assert m
+    flipped = bytearray(m.group(1))
+    flipped[0] = ord("F") if flipped[0] != ord("F") else ord("0")
+    bad = pdf[: m.start(1)] + bytes(flipped) + pdf[m.end(1) :]
+    r = extract_pdf(bad)
+    assert r.error == "encrypted" and r.text == ""
