@@ -227,6 +227,76 @@ class MemoryStore(AtomicStore):
 
 
 # ---------------------------------------------------------------------------
+# manifest Bloom filters (point-probe file skipping)
+
+
+def _bloom_params(n_keys: int) -> tuple[int, int]:
+    """~10 bits/key (k=4 → ~1-2% FPR), power-of-two m, floor 8 KiB,
+    cap 1 Mi bits (128 KiB of manifest JSON) — beyond that a saturated
+    filter only loses pruning power, never correctness (Iceberg keeps
+    filters this large in puffin sidecars; a JSON manifest wants a
+    bound)."""
+    m = 8192
+    while m < 10 * max(1, n_keys) and m < (1 << 20):
+        m <<= 1
+    return m, 4
+
+
+def bloom_build(df: DataFrame, col: str, n_keys: int) -> dict:
+    """Bloom filter over *col*, computed distributed: each row's k bit
+    positions come from xxhash64(col, probe_index) — the SAME JVM hash
+    the read-side probe recomputes, so write and read can never drift.
+    The driver collects only DISTINCT set positions (≤ m of them), not
+    rows."""
+    m, k = _bloom_params(n_keys)
+    pos = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # bounded: at most m integers
+    )
+    bits = bytearray(m // 8)
+    for r in pos:
+        p = int(r["p"])
+        bits[p >> 3] |= 1 << (p & 7)
+    return {"col": col, "m": m, "k": k, "bits": bytes(bits).hex()}
+
+
+def _bloom_positions(spark: SparkSession, value, m: int, k: int) -> list[int]:
+    """One-row JVM round trip so the probe hashes EXACTLY like the
+    write path (never a Python xxhash reimplementation drifting)."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(value), F.lit(i)), F.lit(m)).alias(
+                    f"p{i}"
+                )
+                for i in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    return [int(row[f"p{i}"]) for i in range(k)]
+
+
+def bloom_might_contain(spark: SparkSession, bloom: dict, value) -> bool:
+    bits = bytes.fromhex(bloom["bits"])
+    return all(
+        (bits[p >> 3] >> (p & 7)) & 1
+        for p in _bloom_positions(spark, value, bloom["m"], bloom["k"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # the log
 
 
@@ -247,6 +317,8 @@ class Snapshot:
     kind: str = "extract"  # commit id-space: "extract" buckets are
     # url-hash cells, "epoch" buckets are streaming micro-batch ids.
     # Disjoint namespaces — bucket 3 of each are unrelated.
+    bloom: dict | None = None  # {"col", "m", "k", "bits"(hex)} — point-
+    # probe membership filter over this commit's rows (bloom_build)
 
 
 class SnapshotLog:
@@ -279,6 +351,7 @@ class SnapshotLog:
             op=d.get("op", "append"),
             columns=d.get("columns"),
             kind=d.get("kind", "extract"),
+            bloom=d.get("bloom"),
         )
 
     def chain(self, version: int | None = None) -> list[Snapshot]:
@@ -417,15 +490,39 @@ class SnapshotLog:
         vis = self.visible()
         if not vis:
             return None
-        # prune only when EVERY visible commit used the same url-hash
-        # modulus: a mixed log (e.g. url-hash extract commits plus
-        # epoch-id streaming commits, n_buckets=None) cannot promise a
-        # url lives in one bucket, so it gets the safe full scan
-        moduli = {s.n_buckets for s in vis}
+        # manifest Bloom pruning first: commits whose filter provably
+        # excludes the url drop out without a parquet footer ever being
+        # opened. Works on ANY layout (url-hash buckets, streaming
+        # epochs, mixed logs); a false positive only costs a read, the
+        # trailing exact filter keeps correctness. One JVM probe per
+        # distinct filter size, cached.
+        probes: dict[tuple[int, int], list[int]] = {}
+        kept = []
+        for s in vis:
+            bl = s.bloom
+            if bl and bl.get("col") == "url":
+                mk = (bl["m"], bl["k"])
+                if mk not in probes:
+                    probes[mk] = _bloom_positions(spark, url, *mk)
+                bits = bytes.fromhex(bl["bits"])
+                if not all((bits[p >> 3] >> (p & 7)) & 1 for p in probes[mk]):
+                    continue
+            kept.append(s)
+        if not kept:
+            return None  # provably absent — zero data files read
+        # bucket pruning only when EVERY surviving commit used the same
+        # url-hash modulus: a mixed log (e.g. url-hash extract commits
+        # plus epoch-id streaming commits, n_buckets=None) cannot
+        # promise a url lives in one bucket, so it gets the safe scan
+        # of the surviving commits
+        moduli = {s.n_buckets for s in kept}
         n = moduli.pop() if len(moduli) == 1 else None
         if n is None:
-            df = self.read(spark)
-            return None if df is None else df.where(F.col("url") == url)
+            paths = [p for s in kept for p in s.paths]
+            self._require_live(paths, f"lookup_url({url!r})")
+            return self._read_paths(spark, kept, paths).where(
+                F.col("url") == url
+            )
         # one-row JVM round-trip so the hash is EXACTLY the write
         # path's xxhash64 — never a Python reimplementation drifting
         b = (
@@ -433,7 +530,7 @@ class SnapshotLog:
             .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n)).alias("b"))
             .collect()[0]["b"]
         )
-        paths = [p for s in vis if s.bucket == b for p in s.paths]
+        paths = [p for s in kept if s.bucket == b for p in s.paths]
         if not paths:
             return None
         self._require_live(paths, f"lookup_url({url!r})")
@@ -515,6 +612,13 @@ class SnapshotLog:
             op="replace",
             columns=df.columns,
             kind=kind,
+            # the rewrite holds the same rows — rebuild the membership
+            # filter so point-probe pruning survives compaction
+            bloom=bloom_build(
+                spark.read.parquet(dest), "url", int(m["n_docs"] or 0)
+            )
+            if has_url and m["n_docs"]
+            else None,
         )
 
     def compact_where_needed(
@@ -648,6 +752,7 @@ class SnapshotLog:
         op: str = "append",
         columns: list[str] | None = None,
         kind: str = "extract",
+        bloom: dict | None = None,
     ) -> int:
         """Atomically append one snapshot; returns its version.
 
@@ -677,6 +782,7 @@ class SnapshotLog:
                 "op": op,
                 "columns": columns,
                 "kind": kind,
+                "bloom": bloom,
             }
             name = f"v{version}.json"
             if self.store.publish(name, json.dumps(manifest).encode()):
@@ -758,6 +864,11 @@ def snapshot_resumable_extract(
             if m["url_min"] is not None
             else None,
             columns=spark.read.parquet(path).columns,
+            bloom=bloom_build(
+                spark.read.parquet(path), "url", int(m["n_docs"] or 0)
+            )
+            if m["n_docs"]
+            else None,
         )
         if on_batch is not None:
             on_batch(b)

@@ -90,7 +90,7 @@ def streaming_extract_to_snapshots(
     commits for its own."""
     import os as _os
 
-    from ..engine.snapshots import SnapshotLog
+    from ..engine.snapshots import SnapshotLog, bloom_build
 
     from pyspark.sql import functions as _F
 
@@ -123,6 +123,16 @@ def streaming_extract_to_snapshots(
             },
             columns=df.columns,
             kind="epoch",
+            # epoch commits carry a url Bloom too, so point lookups on
+            # a streaming (or mixed) log prune to the epochs that might
+            # hold the url instead of scanning every epoch directory
+            bloom=bloom_build(
+                df.sparkSession.read.parquet(path),
+                "url",
+                int(m["n_docs"] or 0),
+            )
+            if m["n_docs"]
+            else None,
         )
 
     stream = (

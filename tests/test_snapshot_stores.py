@@ -294,3 +294,75 @@ def test_manifest_kind_roundtrip(tmp_path):
         )
     log.store.advance_pointer("LATEST", 2)
     assert log.snapshot(2).kind == "extract"
+
+
+# -- manifest Bloom point-probe pruning -------------------------------------
+
+
+def test_bloom_prunes_misses_without_reading_data(spark, tmp_path):
+    """A point lookup for an absent url must resolve from manifest
+    Bloom filters alone — zero parquet directories opened; a present
+    url still prunes to its one bucket. CDC/incremental-dedup probes
+    get the same skip for free."""
+    from pdf_parser_spark.engine.corpus import synthesize_webdocs
+    from pdf_parser_spark.engine.snapshots import snapshot_resumable_extract
+
+    docs = synthesize_webdocs(spark, "/root/testdata/sf0.001").limit(
+        40
+    ).localCheckpoint(eager=True)
+    out = str(tmp_path / "bloom")
+    full = snapshot_resumable_extract(spark, docs, out, n_batches=4)
+    log = SnapshotLog(out)
+    assert all(s.bloom is not None for s in log.visible())
+
+    # absent url: provably not in ANY commit -> None, no data read
+    assert log.lookup_url(spark, "https://definitely.absent/nothing") is None
+
+    # present url: found, and only its bucket's files are opened
+    target = docs.select("url").collect()[11].url
+    hit = log.lookup_url(spark, target)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].url == target
+    assert len(set(hit.inputFiles())) < len(set(full.inputFiles()))
+
+    # compaction rebuilds the filter: pruning survives a replace commit
+    log.compact_bucket(spark, bucket=0)
+    b0 = [s for s in log.visible() if s.bucket == 0]
+    assert len(b0) == 1 and b0[0].op == "replace" and b0[0].bloom
+    assert log.lookup_url(spark, "https://definitely.absent/nothing") is None
+    assert log.lookup_url(spark, target).count() == 1
+
+
+def test_bloom_prunes_epoch_commits_in_mixed_log(spark, tmp_path):
+    """On a mixed extract+epoch log the modulus fallback used to scan
+    EVERYTHING; with per-commit Blooms an absent url now resolves
+    metadata-only and a present one reads only the commits whose
+    filters fire."""
+    from pdf_parser_spark.engine.corpus import synthesize_webdocs
+    from pdf_parser_spark.engine.snapshots import snapshot_resumable_extract
+    from pdf_parser_spark.streaming.ingest import (
+        streaming_extract_to_snapshots,
+    )
+
+    docs = synthesize_webdocs(spark, "/root/testdata/sf0.001").limit(
+        30
+    ).localCheckpoint(eager=True)
+    batch = docs.limit(20)
+    rest = docs.subtract(batch).localCheckpoint(eager=True)
+    out = str(tmp_path / "mixb")
+    snapshot_resumable_extract(spark, batch, out, n_batches=2)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    rest.write.mode("overwrite").parquet(src)
+    q = streaming_extract_to_snapshots(
+        spark, src, out, ckpt, max_files_per_trigger=8, available_now=True
+    )
+    q.awaitTermination(180)
+
+    log = SnapshotLog(out)
+    assert log.lookup_url(spark, "https://definitely.absent/x") is None
+    u = rest.select("url").collect()[0].url
+    hit = log.lookup_url(spark, u)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].url == u
+    full_files = set(log.read(spark).inputFiles())
+    assert len(set(hit.inputFiles())) < len(full_files)
