@@ -492,3 +492,111 @@ def test_interval_join_batch_twin_equivalence(spark):
     assert [(r["view_id"], r["click_id"], r["gap_s"]) for r in out] == [
         (1, 2, 180)
     ]
+
+
+_KILL_WORKER = r"""
+import os, sys, time
+src, out, ckpt = sys.argv[1:4]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .appName("kill-worker")
+    .getOrCreate()
+)
+from pdf_parser_spark.streaming.ingest import streaming_extract_to_snapshots
+q = streaming_extract_to_snapshots(
+    spark, src, out, ckpt, max_files_per_trigger=1, available_now=True
+)
+q.awaitTermination(300)
+spark.stop()
+"""
+
+
+def test_snapshot_sink_exactly_once_across_sigkill(spark, webdocs, tmp_path):
+    """The exactly-once claim under a REAL crash: a separate OS process
+    runs the snapshot-committing stream and is SIGKILLed mid-run (after
+    at least one epoch's manifest landed — maximizing the chance its
+    checkpoint offset had not, so the restart REPLAYS that epoch). A
+    fresh run over the same checkpoint must drain the rest; the
+    snapshot-log read surface must hold every source row exactly once
+    and no epoch bucket may be committed twice."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from pdf_parser_spark.engine.snapshots import SnapshotLog
+    from pdf_parser_spark.streaming.ingest import (
+        streaming_extract_to_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = webdocs.where(F.col("doc_id") < 120).localCheckpoint(eager=True)
+    n_total = docs.count()
+    # many single-file epochs so the kill lands between micro-batches
+    docs.repartition(10).write.mode("overwrite").parquet(src)
+
+    worker = tmp_path / "kill_worker.py"
+    worker.write_text(_KILL_WORKER)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, str(worker), src, out, ckpt],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        env=env,
+    )
+    log_dir = os.path.join(out, "_snapshots")
+    try:
+        # kill the WHOLE process group (python + its JVM) the moment
+        # the second manifest lands — mid-stream, between commits
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            n_manifests = (
+                len([f for f in os.listdir(log_dir) if f.startswith("v")])
+                if os.path.isdir(log_dir)
+                else 0
+            )
+            if n_manifests >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.05)
+        assert proc.poll() is None, "worker drained before the kill landed"
+    finally:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(30)
+
+    log = SnapshotLog(out)
+    epochs_before = log.committed_buckets(kind="epoch")
+    assert epochs_before, "kill landed before any commit"
+    n_before = log.read(spark).count()
+    assert n_before < n_total, "worker finished everything before the kill"
+
+    # restart over the same checkpoint: drains the remainder, replays
+    # at most the in-flight epoch, skips every committed one
+    q = streaming_extract_to_snapshots(
+        spark, src, out, ckpt, max_files_per_trigger=1, available_now=True
+    )
+    q.awaitTermination(240)
+
+    final = log.read(spark)
+    assert final.count() == n_total
+    assert final.select("url").distinct().count() == n_total
+    epoch_commits = [s for s in log.chain() if s.kind == "epoch"]
+    buckets = [s.bucket for s in epoch_commits]
+    assert len(buckets) == len(set(buckets)), "an epoch committed twice"
+    # batch-equivalent content, url for url
+    want = {
+        r.url: r.text
+        for r in parse_webdocs(docs).select("url", "text").collect()
+    }
+    got = {r.url: r.text for r in final.select("url", "text").collect()}
+    assert got == want
