@@ -6,8 +6,10 @@ steps are Pandas UDFs over ``mapInPandas``. The image/audio libraries
 are not in this container, so every modality carries a real
 from-the-spec pure-Python decoder: PNG (this module), baseline JPEG
 (:mod:`.jpegcore`), GIF (:mod:`.gifcore`), WAV PCM audio and
-AVI-MJPEG video (:mod:`.riffcore`). Compressed audio/video codecs
-(mp3/ogg/webm) degrade to a clearly labeled deterministic
+AVI-MJPEG video (:mod:`.riffcore`), and MP3 frame-header metadata
+(:mod:`.mp3core` — duration/bitrate/rate/channels from the framing
+layout; PCM stays undecoded, labeled per row). Remaining compressed
+codecs (ogg/webm) degrade to a clearly labeled deterministic
 byte-histogram feature. Everything Spark-side —
 schema, batch iteration, partition-pruned metadata extraction, UDF
 signature — is real and tested.
@@ -33,6 +35,13 @@ _MAGIC = [
     ("47494638", "image/gif"),
     ("25504446", "application/pdf"),
     ("494433", "audio/mpeg"),
+    # raw (untagged) Layer III frame sync: MPEG1 / MPEG2 / MPEG2.5
+    ("fffa", "audio/mpeg"),
+    ("fffb", "audio/mpeg"),
+    ("fff2", "audio/mpeg"),
+    ("fff3", "audio/mpeg"),
+    ("ffe2", "audio/mpeg"),
+    ("ffe3", "audio/mpeg"),
     ("4f676753", "audio/ogg"),
     ("1a45dfa3", "video/webm"),
 ]
@@ -286,6 +295,25 @@ def extract_features(
 
                         feats.append(video_feature(raw, dim))
                         errs.append(None)
+                    elif ct == "audio/mpeg":
+                        # frame-header walk (mp3core): real duration/
+                        # bitrate/rate metadata; PCM stays undecoded and
+                        # the distinction is recorded per row. Streams
+                        # with no parseable frame sequence (tag-only or
+                        # corrupt) keep the labeled histogram fallback.
+                        from .mp3core import mp3_feature
+
+                        try:
+                            feats.append(mp3_feature(raw, dim))
+                            errs.append(
+                                "metadata_feature: mp3 frame headers "
+                                "parsed, PCM not decoded"
+                            )
+                        except (ValueError, NotImplementedError) as exc:
+                            feats.append(_fake_feature(raw, dim))
+                            errs.append(
+                                f"fallback_feature: {type(exc).__name__}: {exc}"
+                            )
                     else:
                         feats.append(_fake_feature(raw, dim))
                         errs.append(

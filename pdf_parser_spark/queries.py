@@ -2346,6 +2346,81 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mp3_metadata",
+    # synthesis contract (mirrors the query body): rate cycles the
+    # MPEG1/MPEG2 tables, base bitrate cycles values valid in BOTH
+    # tables, every 5th doc is VBR with ONE +32kbps frame, so the
+    # integer average is base + 32 // n.
+    "WITH p AS (SELECT doc_id, "
+    "(5 + doc_id % 11)::BIGINT AS n_frames, "
+    "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050 ELSE 32000 END"
+    "::BIGINT AS sample_rate, "
+    "CASE doc_id % 3 WHEN 1 THEN 576 ELSE 1152 END::BIGINT AS spf, "
+    "CASE doc_id % 4 WHEN 0 THEN 48 WHEN 1 THEN 64 WHEN 2 THEN 96 "
+    "ELSE 128 END::BIGINT AS base, "
+    "(1 + doc_id % 2)::BIGINT AS channels, "
+    "(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS vbr "
+    "FROM documents) "
+    f"SELECT {URL_SQL} AS url, sample_rate, channels, n_frames, "
+    "(n_frames * spf * 1000 // sample_rate)::BIGINT AS duration_ms, "
+    "(CASE WHEN vbr = 1 THEN (n_frames * base + 32) // n_frames "
+    "ELSE base END)::BIGINT AS bitrate_kbps, vbr "
+    "FROM p",
+)
+def mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio metadata end-to-end: synthesize a real Layer III
+    frame sequence per document (rate/bitrate/channels/VBR derived from
+    doc_id, ID3v2-tagged), then recover duration, average bitrate,
+    sample rate, channel count, and the VBR flag from the BYTES via the
+    from-scratch frame-header walk (functions/mp3core.py — ISO 11172-3
+    framing arithmetic, no PCM decode). The oracle recomputes every
+    value arithmetically from doc_id, so a misread bitrate table or
+    frame-length coefficient fails the hash."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.engine.corpus import host_for
+        from pdf_parser_spark.functions.mp3core import (
+            encode_mp3_frames,
+            mp3_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 5 + d % 11
+                rate = (44100, 22050, 32000)[d % 3]
+                base = (48, 64, 96, 128)[d % 4]
+                brs = [base] * n
+                if d % 5 == 0:
+                    brs[-1] = base + 32
+                data = encode_mp3_frames(
+                    brs, rate, channels=1 + d % 2, id3_payload=b"t" * (d % 17)
+                )
+                st = mp3_stats(data)
+                st["url"] = f"https://{host_for(d)}/doc/{d}"
+                rows.append(st)
+            yield _pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "sample_rate BIGINT, channels BIGINT, n_frames BIGINT, "
+            "duration_ms BIGINT, bitrate_kbps BIGINT, vbr BIGINT, "
+            "url STRING"
+        ),
+    ).select(
+        "url", "sample_rate", "channels", "n_frames", "duration_ms",
+        "bitrate_kbps", "vbr",
+    )
+
+
+@q(
     "video_frames",
     "SELECT "
     f"{URL_SQL} AS url, "
@@ -4185,6 +4260,8 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no round ever driver-checked, then the 28 last recorded in r1-r3
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
+    # --- new in round 5 ---
+    "mp3_metadata",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
     "snapshot_diff", "compaction_plan", "bloom_prefilter", "zorder_layout",
