@@ -26,6 +26,13 @@ _COMMENT_RE = re.compile(rb"[^\r\n]*")
 _TOKEN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _STRING_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 _STR_PLAIN_RE = re.compile(rb"[^\\()]+")
+# indirect reference "num gen R" in one C-level match (the trailing
+# lookahead pins R at a token boundary) — replaces a three-token
+# lookahead-and-rewind dance on every integer parsed
+_REF_RE = re.compile(
+    rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
 
 
 @dataclass(frozen=True)
@@ -104,7 +111,12 @@ class PdfLexer:
             return self._parse_array()
         if c == 0x5D:  # ']'
             raise ValueError("unexpected ']'")
-        # keyword or number (possibly an indirect reference "n g R")
+        # number (possibly an indirect reference "n g R") or keyword
+        if 0x30 <= c <= 0x39:  # digit: try the one-match ref fast path
+            m = _REF_RE.match(self.data, self.pos)
+            if m:
+                self.pos = m.end()
+                return Ref(int(m.group(1)), int(m.group(2)))
         tok = self._read_token()
         if tok == b"true":
             return True
@@ -112,28 +124,10 @@ class PdfLexer:
             return False
         if tok == b"null":
             return None
-        return self._parse_numeric_or_ref(tok)
-
-    def _parse_numeric_or_ref(self, tok: bytes):
         try:
-            if b"." in tok:
-                return float(tok)
-            num = int(tok)
+            return float(tok) if b"." in tok else int(tok)
         except ValueError as exc:
             raise ValueError(f"bad token {tok!r} at {self.pos}") from exc
-        # lookahead for "gen R"
-        save = self.pos
-        self._skip_ws()
-        tok2_start = self.pos
-        tok2 = self._read_token()
-        if tok2.isdigit():
-            self._skip_ws()
-            tok3 = self._read_token()
-            if tok3 == b"R":
-                return Ref(num, int(tok2))
-        self.pos = save if not tok2 else tok2_start
-        self.pos = save
-        return num
 
     def _parse_name(self) -> Name:
         assert self.data[self.pos] == 0x2F

@@ -169,6 +169,8 @@ class _ContentLexer:
             if c == 0x7B or c == 0x7D:
                 self.pos += 1
                 continue
+            # per-byte loop beats a regex here: tokens are 1-4 chars,
+            # so match-object overhead dominates any C-side win
             start = self.pos
             while (
                 self.pos < n
@@ -388,18 +390,15 @@ def extract_spans(
         )
         seq += 1
 
+    def nums(k: int) -> list[float]:
+        vals = [v for t, v in stack[-k:] if t == "num"] if k else []
+        return vals if len(vals) == k else []
+
     for kind, val in _ContentLexer(content).tokens():
-        if kind in ("num", "str", "name"):
-            stack.append((kind, val))
-            continue
-        if kind == "op":
+        if kind != "kw":
             stack.append((kind, val))
             continue
         op = val  # keyword / operator
-
-        def nums(k: int) -> list[float]:
-            vals = [v for t, v in stack[-k:] if t == "num"] if k else []
-            return vals if len(vals) == k else []
 
         if op == "Tf":
             if len(stack) >= 2 and stack[-2][0] == "name" and stack[-1][0] == "num":
