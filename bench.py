@@ -101,6 +101,9 @@ HEADLINE = [
     "containment_anti_join",
     "spatial_block_join",
     "rank_join",
+    "training_order",
+    "upsample_repeat",
+    "mp3_metadata",
 ]
 
 
