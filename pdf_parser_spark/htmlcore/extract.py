@@ -25,16 +25,19 @@ from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>|[^<]+", re.S)
 _TAG_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
-# single-pass tokenizer: same alternatives and order as _TOKEN_RE, but
-# named tags capture (closing, name) directly so the hot loop never
-# re-matches _TAG_RE; group(3) present = text, group(2) = named tag,
-# neither = comment/CDATA/nameless markup (skipped, uncounted — same
-# as _TAG_RE failing to match)
-_TOKEN_TAG_RE = re.compile(
+# markup-only tokenizer (round-5 rework): text between tags is taken by
+# SLICING the source between consecutive markup matches, so text tokens
+# allocate no match objects at all. Alternatives and order match
+# _TOKEN_RE's markup half exactly; group(2) = named tag, else
+# comment/CDATA/nameless markup (skipped, uncounted — same as _TAG_RE
+# failing to match). An inter-tag slice can never contain '<': any '<'
+# with a later '>' is consumed as markup by `<[^>]*>`, so only the tail
+# after the last markup can hold bare '<'s (handled by split('<'),
+# which reproduces the old regex's skip-one-char resync per token).
+_MARKUP_RE = re.compile(
     r"<!--.*?-->|<!\[CDATA\[.*?\]\]>"
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"
-    r"|<[^>]*>"
-    r"|([^<]+)",
+    r"|<[^>]*>",
     re.S,
 )
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
@@ -51,6 +54,20 @@ BOILERPLATE_CONTAINERS = frozenset(("nav", "footer", "aside", "header", "form"))
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.33
+
+# one dict probe replaces four frozenset probes per tag in the hot loop
+_F_SKIP, _F_BLOCK, _F_MAIN, _F_BOILER, _F_A = 1, 2, 4, 8, 16
+_TAG_FLAGS: dict[str, int] = {}
+for _t in SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in SEMANTIC_MAIN:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_MAIN
+for _t in BOILERPLATE_CONTAINERS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BOILER
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_A
+del _t
 
 
 def normalize_ws(text: str) -> str:
@@ -82,13 +99,16 @@ def html_blocks(html_text: str) -> list[Block]:
     boiler_depth = 0
     a_depth = 0
 
+    unescape = _html.unescape
+    flags_get = _TAG_FLAGS.get
+    buf_append = buf.append
+
     def flush() -> None:
-        nonlocal buf, buf_link_chars, buf_tag_count
+        nonlocal buf_link_chars, buf_tag_count
         if not buf:  # nothing buffered: only the tag counter can be set
             buf_tag_count = 0
             return
-        raw = "".join(buf)
-        text = normalize_ws(raw)
+        text = normalize_ws("".join(buf))
         if text:
             blocks.append(
                 Block(
@@ -100,39 +120,63 @@ def html_blocks(html_text: str) -> list[Block]:
                     tag_count=buf_tag_count,
                 )
             )
-        buf = []
+        buf.clear()
         buf_link_chars = 0
         buf_tag_count = 0
 
-    for m in _TOKEN_TAG_RE.finditer(html_text):
-        text = m.group(3)
-        if text is not None:
-            if skip_depth > 0:
-                continue
-            text = _html.unescape(text)
-            buf.append(text)
+    pos = 0
+    for m in _MARKUP_RE.finditer(html_text):
+        start = m.start()
+        if start > pos and not skip_depth:
+            seg = html_text[pos:start]
+            if "&" in seg:
+                seg = unescape(seg)
+            buf_append(seg)
             if a_depth > 0:
-                buf_link_chars += len(normalize_ws(text))
-            continue
+                buf_link_chars += len(normalize_ws(seg))
+        pos = m.end()
         name = m.group(2)
         if name is None:  # comment / CDATA / nameless markup
             continue
-        closing = m.group(1) == "/"
-        tag = name.lower()
-        self_closing = m.group(0).endswith("/>") or tag in ("br", "hr", "img", "input", "meta", "link")
         buf_tag_count += 1
-        if tag in SKIP_TAGS:
-            if not self_closing:
+        flags = flags_get(name)
+        if flags is None:
+            flags = flags_get(name.lower(), 0)
+            if not flags:  # unknown tag: counted, nothing else to do
+                continue
+        # a markup match always ends in '>', so char pos-2 == '/' is
+        # exactly the old m.group(0).endswith('/>') without building
+        # the match string; the always-self-closing names (br/hr/img/
+        # input/meta/link) carry none of the depth flags below, so the
+        # old `or tag in (...)` term can never fire on these branches
+        if flags & _F_SKIP:
+            if html_text[pos - 2] != "/":
+                closing = m.group(1) == "/"
                 skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
             continue
-        if tag in BLOCK_TAGS:
+        if flags & _F_BLOCK:
             flush()
-        if tag in SEMANTIC_MAIN and not self_closing:
-            main_depth = max(0, main_depth - 1) if closing else main_depth + 1
-        if tag in BOILERPLATE_CONTAINERS and not self_closing:
-            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
-        if tag == "a":
-            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+        if flags & (_F_MAIN | _F_BOILER):
+            if html_text[pos - 2] != "/":
+                closing = m.group(1) == "/"
+                if flags & _F_MAIN:
+                    main_depth = max(0, main_depth - 1) if closing else main_depth + 1
+                else:
+                    boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+        if flags & _F_A:
+            a_depth = max(0, a_depth - 1) if m.group(1) == "/" else a_depth + 1
+    if pos < len(html_text) and not skip_depth:
+        # tail after the last markup: the only place bare '<'s can
+        # survive; split('<') reproduces the old tokenizer's
+        # skip-one-char resync (each piece was its own text token)
+        for seg in html_text[pos:].split("<"):
+            if not seg:
+                continue
+            if "&" in seg:
+                seg = unescape(seg)
+            buf_append(seg)
+            if a_depth > 0:
+                buf_link_chars += len(normalize_ws(seg))
     flush()
     return blocks
 
