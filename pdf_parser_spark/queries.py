@@ -2118,11 +2118,16 @@ _SESSION_GAP_S = 14_400  # 4 hours
 
 @q(
     "sessionize",
-    "WITH lagd AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+    # both windows order by (ts, event_id): with duplicate ts per user
+    # (e.g. the replicated sf1 sweep corpus) a bare ORDER BY ts lets
+    # the lag pass and the cumsum pass order ties DIFFERENTLY, so a
+    # tie group can straddle two sids — nondeterministic session
+    # counts; the tiebreaker makes sid assignment total-ordered
+    "WITH lagd AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR "
     f"epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_S * 1_000_000} "
     "THEN 1 ELSE 0 END AS brk FROM events "
-    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS UNBOUNDED PRECEDING) AS sid FROM lagd) "
     "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
     "(epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_micros "
