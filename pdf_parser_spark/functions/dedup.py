@@ -513,13 +513,19 @@ def embedding_topk_pairs(
     """
     from .similarity import cosine_expr
 
+    # the a<b predicate is non-equi, so this compiles to a
+    # BroadcastNestedLoopJoin whose parallelism is the STREAMED side's
+    # partition count — a small single-file input would otherwise run
+    # the whole O(n²) scan on one core; repartition the streamed side
+    # to the cluster's parallelism and pin the broadcast side
+    par = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
-    ).alias("a")
+    ).repartition(par).alias("a")
     b = emb.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
     ).alias("b")
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
     scored = pairs.select(
         "a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("_cos")
     )
