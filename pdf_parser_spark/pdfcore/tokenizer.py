@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from itertools import accumulate as _accumulate
 
 from .cmap import CMap
 
@@ -276,18 +277,33 @@ class _ContentLexer:
 class FontMetrics:
     """Glyph advance widths (1000-unit glyph space) for one font resource."""
 
-    __slots__ = ("first_char", "widths", "default_width")
+    __slots__ = ("first_char", "widths", "default_width", "_table")
 
     def __init__(self, first_char=0, widths=None, default_width=500.0):
         self.first_char = int(first_char)
         self.widths = [float(w) for w in (widths or [])]
         self.default_width = float(default_width)
+        self._table = None
 
     def advance(self, code: int) -> float:
         idx = code - self.first_char
         if 0 <= idx < len(self.widths):
             return self.widths[idx]
         return self.default_width
+
+    def table(self) -> list[float]:
+        """256-entry byte→advance lookup (built lazily, cached): one
+        list index replaces an advance() call per glyph in the span
+        hot loop; table[c] == advance(c) exactly."""
+        t = self._table
+        if t is None:
+            adv = self.advance
+            t = self._table = [adv(c) for c in range(256)]
+        return t
+
+
+# advance table for text drawn with no /Widths entry: 500 glyph units
+_DEFAULT_WTAB = [500.0] * 256
 
 
 def extract_spans(
@@ -351,27 +367,59 @@ def extract_spans(
         char_xs: list[float] = []
         text_parts: list[str] = []
         groups = kern_groups if kern_groups is not None else [raw]
-        # hot loop: localize tm cells and pre-bind the advance method —
-        # float ops and order are identical to the indexed form
+        # hot loop: localize tm cells and pre-resolve the per-byte
+        # advance into a 256-entry table — float ops and their ORDER
+        # are identical to the per-byte advance() form (span x/width
+        # feed value-hashed oracles, so reassociation is not allowed)
         tm0, tm1, tmx, tmy = tm[0], tm[1], tm[4], tm[5]
-        adv = fm.advance if fm else None
+        wtab = fm.table() if fm else _DEFAULT_WTAB
         push_x = char_xs.append
-        for g in groups:
-            if isinstance(g, float):  # TJ kerning: move by -g/1000 em
-                t = -g * scale * zh
-                tmx += t * tm0
-                tmy += t * tm1
-                continue
-            for b in g:
-                push_x(tmx)
-                t = (
-                    (adv(b) if adv else 500.0) * scale
-                    + char_sp
-                    + (word_sp if b == 0x20 else 0.0)
-                ) * zh
-                tmx += t * tm0
-                tmy += t * tm1
-            text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
+        if tm1 == 0.0:
+            # unrotated text (the overwhelming case): tmy never moves,
+            # so per-glyph deltas fold into one comprehension and a
+            # C-level prefix sum; each delta keeps the exact op order
+            # ((w*scale + Tc + Tw?)*zh)*tm0 of the general loop below
+            for g in groups:
+                if isinstance(g, float):  # TJ kerning: move by -g/1000 em
+                    tmx += (-g * scale * zh) * tm0
+                    continue
+                xs = list(
+                    _accumulate(
+                        [
+                            (
+                                (
+                                    wtab[b] * scale
+                                    + char_sp
+                                    + (word_sp if b == 0x20 else 0.0)
+                                )
+                                * zh
+                            )
+                            * tm0
+                            for b in g
+                        ],
+                        initial=tmx,
+                    )
+                )
+                tmx = xs.pop()
+                char_xs.extend(xs)
+                text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
+        else:
+            for g in groups:
+                if isinstance(g, float):  # TJ kerning: move by -g/1000 em
+                    t = -g * scale * zh
+                    tmx += t * tm0
+                    tmy += t * tm1
+                    continue
+                for b in g:
+                    push_x(tmx)
+                    t = (
+                        wtab[b] * scale
+                        + char_sp
+                        + (word_sp if b == 0x20 else 0.0)
+                    ) * zh
+                    tmx += t * tm0
+                    tmy += t * tm1
+                text_parts.append(cmap.decode(g) if cmap else g.decode("latin1"))
         tm[4], tm[5] = tmx, tmy
         text = "".join(text_parts)
         if not text.strip():
