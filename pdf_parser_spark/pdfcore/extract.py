@@ -87,6 +87,15 @@ def _synthesized_cmap(enc_name: str) -> CMap:
     return parse_cmap(synthesize_tounicode_cmap(enc_name))
 
 
+@lru_cache(maxsize=256)
+def _parsed_tounicode(cmap_str: str, multibyte: bool) -> CMap:
+    """Parsed /ToUnicode CMap keyed by the exact stream text. Same
+    safety argument as _synthesized_cmap (CMap is never mutated after
+    construction); a crawl re-embeds the identical subset CMaps by the
+    million, so per-worker reuse beats re-parsing per document."""
+    return parse_cmap(cmap_str, multibyte=multibyte)
+
+
 def _font_cmaps_and_metrics(
     doc: PdfDocument, page: dict, multibyte_cmaps: bool = False
 ) -> tuple[dict[str, CMap], dict[str, FontMetrics]]:
@@ -96,7 +105,7 @@ def _font_cmaps_and_metrics(
         tounicode = doc.resolve(fdict.get("ToUnicode"))
         if isinstance(tounicode, Stream):
             cmap_str = doc.stream_bytes(tounicode).decode("utf-8", errors="ignore")
-            cmaps[fname] = parse_cmap(cmap_str, multibyte=multibyte_cmaps)
+            cmaps[fname] = _parsed_tounicode(cmap_str, multibyte_cmaps)
         else:
             enc = doc.resolve(fdict.get("Encoding"))
             enc_name = "/" + str(enc) if isinstance(enc, Name) else "/WinAnsiEncoding"
