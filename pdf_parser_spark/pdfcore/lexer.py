@@ -29,9 +29,39 @@ _STR_PLAIN_RE = re.compile(rb"[^\\()]+")
 # indirect reference "num gen R" in one C-level match (the trailing
 # lookahead pins R at a token boundary) — replaces a three-token
 # lookahead-and-rewind dance on every integer parsed
+# inter-token separator: whitespace runs and/or %-comments (a comment
+# is legal anywhere whitespace is — _skip_ws eats both, so the C-level
+# multi-token matchers must too)
+_SEP = rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
 _REF_RE = re.compile(
-    rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R"
+    rb"(\d+)" + _SEP + rb"(\d+)" + _SEP + rb"R"
     rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+# one-match dict entry "/Key value" for the four scalar value shapes
+# that cover almost every entry in real object dicts (ref, number,
+# name, bool/null) — replaces ~8 Python-level calls per entry with a
+# single C-level match. Alternation order matters: the ref shape must
+# win over a bare number. Every alternative ends at an exact token
+# boundary (trailing lookahead = not-a-regular-char), and a name
+# containing '#' fails the boundary lookahead so hex-escaped names
+# fall back to the per-byte parser.
+_TOKB = rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"  # token-boundary lookahead
+_DICT_ENTRY_RE = re.compile(
+    rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)" + _TOKB +
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*(?:"
+    rb"(\d+)" + _SEP + rb"(\d+)" + _SEP + rb"R" + _TOKB +
+    rb"|([+-]?(?:\d+\.?\d*|\.\d+))" + _TOKB +
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)" + _TOKB +
+    rb"|(true|false|null)" + _TOKB +
+    rb")"
+)
+# all-numeric array fast path (e.g. /MediaBox, /Widths, /Index, /W):
+# numbers separated by PDF whitespace, bulk-split after one match.
+# \x00 is deliberately NOT in the separator class — bytes.split()
+# below doesn't split on it, so NUL-separated arrays take the
+# per-object path instead of mis-parsing.
+_NUMARRAY_RE = re.compile(
+    rb"\[[\t\n\x0c\r ]*(?:[+-]?(?:\d+\.?\d*|\.\d+)(?:[\t\n\x0c\r ]+|(?=\])))*\]"
 )
 
 
@@ -230,6 +260,13 @@ class PdfLexer:
 
     def _parse_array(self) -> list:
         assert self.data[self.pos] == 0x5B
+        m = _NUMARRAY_RE.match(self.data, self.pos)
+        if m:  # all-numeric array: one C match + bulk split
+            self.pos = m.end()
+            return [
+                float(t) if b"." in t else int(t)
+                for t in m.group()[1:-1].split()
+            ]
         self.pos += 1
         out = []
         while True:
@@ -245,11 +282,35 @@ class PdfLexer:
         assert self.data[self.pos : self.pos + 2] == b"<<"
         self.pos += 2
         d: dict = {}
+        data = self.data
         while True:
             self._skip_ws()
-            if self.data[self.pos : self.pos + 2] == b">>":
-                self.pos += 2
+            pos = self.pos
+            if data[pos : pos + 2] == b">>":
+                self.pos = pos + 2
                 break
+            m = _DICT_ENTRY_RE.match(data, pos)
+            if m:  # scalar-valued entry: one C match, no recursion
+                self.pos = m.end()
+                g = m.group
+                num = g(2)
+                if num is not None:
+                    value = Ref(int(num), int(g(3)))
+                else:
+                    num = g(4)
+                    if num is not None:
+                        value = float(num) if b"." in num else int(num)
+                    else:
+                        nm = g(5)
+                        if nm is not None:
+                            value = Name(nm.decode("latin1"))
+                        else:
+                            kw = g(6)
+                            value = True if kw == b"true" else (
+                                False if kw == b"false" else None
+                            )
+                d[g(1).decode("latin1")] = value
+                continue
             if self._peek() != 0x2F:
                 raise ValueError(f"expected name key at {self.pos}")
             key = self._parse_name()

@@ -99,3 +99,76 @@ def test_cmap_decode_reverse_consistency(mapping):
     # every (code→char) that survives inversion decodes back to itself
     for ch, code in rev.items():
         assert cmap.decode(bytes([code]))[0] == ch
+
+
+# --- lexer differential property: the C-level dict-entry / numeric-array
+# fast paths (lexer._DICT_ENTRY_RE / _NUMARRAY_RE) must parse every
+# serialized COS value identically to the per-byte recursive parser the
+# fast paths short-circuit. Values are rendered with randomized PDF
+# whitespace so the token-boundary lookaheads are exercised.
+
+from pdf_parser_spark.pdfcore.lexer import Name, PdfLexer, Ref  # noqa: E402
+
+_ws = st.sampled_from([" ", "\n", "\r\n", "\t", "  ", " % comment\n"])
+_scalar = st.one_of(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.decimals(
+        min_value=-1000, max_value=1000, places=3
+    ).map(lambda d: float(d)),
+    st.booleans(),
+    st.none(),
+    st.from_regex(r"[A-Za-z0-9.+-]{0,12}", fullmatch=True).map(Name),
+    st.builds(
+        Ref,
+        st.integers(min_value=0, max_value=99999),
+        st.integers(min_value=0, max_value=99),
+    ),
+)
+_value = st.recursive(
+    _scalar, lambda inner: st.lists(inner, max_size=6), max_leaves=12
+)
+
+
+def _render(v, ws: str) -> str:
+    if isinstance(v, Ref):
+        return f"{v.num}{ws}{v.gen}{ws}R"
+    if isinstance(v, Name):
+        return "/" + str(v)
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ws.join(_render(x, ws) for x in v) + "]"
+    return str(v)
+
+
+def _norm(v):
+    # the lexer returns ints for dot-less numerics; mirror that on the
+    # expected side (e.g. float 5.0 rendered by repr as "5.0" stays
+    # float — only Decimal-sourced whole floats rendered "5" collapse)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, float) and "." not in repr(v) and "e" not in repr(v):
+        return int(v)
+    return v
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    entries=st.dictionaries(
+        st.from_regex(r"[A-Za-z0-9]{1,10}", fullmatch=True),
+        _value,
+        max_size=6,
+    ),
+    ws=_ws,
+)
+def test_lexer_dict_differential(entries, ws):
+    body = ws.join(f"/{k}{ws}{_render(v, ws)}" for k, v in entries.items())
+    data = f"<<{ws}{body}{ws}>>".encode("latin1")
+    parsed = PdfLexer(data).parse_object()
+    assert parsed == {k: _norm(v) for k, v in entries.items()}

@@ -1,0 +1,76 @@
+"""Single-process profile of the extraction kernel over real sf payloads.
+
+Usage: python tools/profile_kernel.py [n_docs] [--cprofile]
+
+Loads documents.parquet via pyarrow (no Spark), runs the same per-doc
+path the mapInArrow kernel runs (sniff -> extract_pdf / extract_html),
+prints docs/sec and, with --cprofile, the top cumulative hotspots.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_parser_spark.engine.corpus import payload_for
+from pdf_parser_spark.engine.extractor import _sniff
+from pdf_parser_spark.htmlcore.extract import extract_html
+from pdf_parser_spark.pdfcore.extract import extract_pdf
+
+
+def run(payloads):
+    n_pdf = n_html = 0
+    for raw in payloads:
+        if _sniff(raw) == "pdf":
+            extract_pdf(raw)
+            n_pdf += 1
+        else:
+            extract_html(raw.decode("utf-8", errors="replace"))
+            n_html += 1
+    return n_pdf, n_html
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 5000
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids = tbl.column("doc_id").to_pylist()[:n]
+    texts = tbl.column("text").to_pylist()[:n]
+    langs = tbl.column("lang").to_pylist()[:n]
+    payloads = [
+        payload_for(int(i), t or "", l or "en")
+        for i, t, l in zip(ids, texts, langs)
+    ]
+    total_bytes = sum(len(p) for p in payloads)
+    # warm caches the way a long-lived worker would
+    run(payloads[:50])
+    t0 = time.perf_counter()
+    if "--cprofile" in sys.argv:
+        import cProfile
+        import pstats
+
+        pr = cProfile.Profile()
+        pr.enable()
+        n_pdf, n_html = run(payloads)
+        pr.disable()
+        dt = time.perf_counter() - t0
+        stats = pstats.Stats(pr)
+        stats.sort_stats("cumulative").print_stats(30)
+    else:
+        n_pdf, n_html = run(payloads)
+        dt = time.perf_counter() - t0
+    print(
+        f"{len(payloads)} docs ({n_pdf} pdf / {n_html} html), "
+        f"{total_bytes/1e6:.1f} MB in {dt:.2f}s -> "
+        f"{len(payloads)/dt:.0f} docs/s, {total_bytes/dt/1e6:.1f} MB/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
