@@ -47,6 +47,7 @@ _REF_RE = re.compile(
 # fall back to the per-byte parser.
 _TOKB = rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"  # token-boundary lookahead
 _DICT_ENTRY_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # leading ws folded in
     rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)" + _TOKB +
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*(?:"
     rb"(\d+)" + _SEP + rb"(\d+)" + _SEP + rb"R" + _TOKB +
@@ -284,12 +285,7 @@ class PdfLexer:
         d: dict = {}
         data = self.data
         while True:
-            self._skip_ws()
-            pos = self.pos
-            if data[pos : pos + 2] == b">>":
-                self.pos = pos + 2
-                break
-            m = _DICT_ENTRY_RE.match(data, pos)
+            m = _DICT_ENTRY_RE.match(data, self.pos)
             if m:  # scalar-valued entry: one C match, no recursion
                 self.pos = m.end()
                 g = m.group
@@ -311,6 +307,10 @@ class PdfLexer:
                             )
                 d[g(1).decode("latin1")] = value
                 continue
+            self._skip_ws()
+            if data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
             if self._peek() != 0x2F:
                 raise ValueError(f"expected name key at {self.pos}")
             key = self._parse_name()

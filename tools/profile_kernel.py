@@ -63,8 +63,12 @@ def main():
         stats = pstats.Stats(pr)
         stats.sort_stats("cumulative").print_stats(30)
     else:
-        n_pdf, n_html = run(payloads)
-        dt = time.perf_counter() - t0
+        # best-of-5: single ~1.5s passes swing ±30% on this VM
+        dt = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            n_pdf, n_html = run(payloads)
+            dt = min(dt, time.perf_counter() - t0)
     print(
         f"{len(payloads)} docs ({n_pdf} pdf / {n_html} html), "
         f"{total_bytes/1e6:.1f} MB in {dt:.2f}s -> "
