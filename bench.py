@@ -149,7 +149,9 @@ def main() -> None:
     # honestly via corpus_synthesis_cached; the timed entry then
     # measures validation, not re-synthesis. Atomic rename publishes
     # the directory so a killed run can't leave a half-written cache.
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/")) + f"_r{replicate}"
+    # _mf suffix: corpus layout v2 (multi-file — synthesis repartitions
+    # before gen, so the cache from the single-file era must not hit)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/")) + f"_r{replicate}_mf"
     corpus_path = f"{scratch}/bench_corpus_{tag}"
     base_count = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     expected = base_count * replicate
@@ -179,6 +181,24 @@ def main() -> None:
         _noop(parse_webdocs(corpus))
         extract_trials.append(time.perf_counter() - t0)
     per_query["flagship_extract"] = round(statistics.median(extract_trials), 3)
+
+    # Scan-partitioned twin: same kernel, no payload shuffle — the
+    # parse maps directly over fine parquet splits (the plan a
+    # stateless extract ships at 10^12-doc scale; see parse_webdocs
+    # num_partitions=0). Reported alongside the salted headline, not
+    # in place of it, so the series stays comparable across rounds.
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    scan_corpus = spark.read.parquet(corpus_path)
+    scan_trials = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _noop(parse_webdocs(scan_corpus, num_partitions=0))
+        scan_trials.append(time.perf_counter() - t0)
+    per_query["flagship_extract_scanpart"] = round(
+        statistics.median(scan_trials), 3
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     queries_cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -215,6 +235,9 @@ def main() -> None:
         "docs_per_sec_extraction": round(
             n_docs / per_query["flagship_extract"], 2
         ),
+        "docs_per_sec_scan_partitioned": round(
+            n_docs / per_query["flagship_extract_scanpart"], 2
+        ),
         "n_docs": n_docs,
     }
     # Full per-query detail goes to a FILE; stdout must stay one SHORT
@@ -241,6 +264,9 @@ def main() -> None:
         "n_queries": len(per_query),
         "sf": sf,
         "docs_per_sec_extraction": detail["docs_per_sec_extraction"],
+        "docs_per_sec_scan_partitioned": detail[
+            "docs_per_sec_scan_partitioned"
+        ],
         "n_docs": n_docs,
         "detail": "BENCH/BENCH_detail.json",
     }

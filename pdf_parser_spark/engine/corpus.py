@@ -301,6 +301,18 @@ def synthesize_webdocs(
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1)))
         )
+        # Spread replicated synthesis across the cluster: the source
+        # table is tiny (usually ONE scan split), so without this the
+        # generator — and any parquet written from it — runs as a
+        # single task producing a single file, which then serializes
+        # every downstream scan and the map side of the first shuffle.
+        # A real crawl corpus is many files; this makes the scaled
+        # synthetic one shaped like it. The shuffle moves only
+        # (doc_id, text, lang, rep) rows — payload bytes don't exist
+        # yet, which is the point of repartitioning BEFORE gen.
+        # replicate=1 (the per-query path) stays Exchange-free so the
+        # 100+ oracle plans keep their pinned shuffle counts.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism * 4)
     else:
         docs = docs.withColumn("rep", F.lit(0))
 

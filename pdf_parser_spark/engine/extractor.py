@@ -337,8 +337,22 @@ def parse_webdocs(
     ``multibyte=True`` enables the kernel's CID 2-byte CMap extension
     on every PDF in the batch (extract.extract_pdf multibyte_cmaps);
     off by default for reference-identical output.
+
+    ``num_partitions=0`` preserves the input partitioning — no
+    repartition, no salt, the kernel maps directly over the source's
+    own splits. For file-backed corpora this is the plan to ship at
+    10^12-doc scale: a stateless parse needs no shuffle at all (the
+    scan's byte-range splits already balance payload bytes), and
+    re-shuffling 100 TB of payloads costs a full extra write+read of
+    the corpus. Pair it with ``spark.sql.files.maxPartitionBytes``
+    sized so one split is a few MB of payloads (fine tasks absorb
+    stragglers). The salted shuffle remains the default because it is
+    required when the upstream is UDF-generated (one giant synthesis
+    partition) or when a downstream stage groups by host (skew).
     """
     spark = webdocs.sparkSession
+    if num_partitions == 0:
+        salt = False
     if num_partitions is None:
         # ~8 task waves per core slot, NOT one-task-per-slot: documents
         # are grouped by (host, salt) buckets whose byte sizes vary
@@ -350,7 +364,9 @@ def parse_webdocs(
         num_partitions = spark.sparkContext.defaultParallelism * 8
     cols = ["url", "html"] + (["host"] if "host" in webdocs.columns else [])
     slim = webdocs.select(*cols)
-    if salt and "host" in slim.columns:
+    if num_partitions == 0:
+        pass  # scan-parallel: keep the source's own splits
+    elif salt and "host" in slim.columns:
         slim = salted_repartition(slim, num_partitions, salt_map=salt_map)
     else:
         slim = slim.repartition(num_partitions, F.col("url"))

@@ -160,3 +160,20 @@ def test_batched_resume_after_midrun_crash(spark, tmp_path):
     # idempotent: a third run appends nothing
     again = batched_resumable_extract(spark, webdocs, out, n_batches=6)
     assert again.count() == n_total
+
+
+def test_scan_partitioned_matches_salted(spark, tmp_path, webdocs, parsed):
+    """num_partitions=0 (no shuffle, scan-parallel) extracts the exact
+    same (url, text) set as the salted default, and its physical plan
+    contains no Exchange — the property that makes it the shippable
+    plan for a stateless parse at 10^12-doc scale."""
+    corpus_path = str(tmp_path / "corpus")
+    webdocs.write.parquet(corpus_path)
+    scan = parse_webdocs(
+        spark.read.parquet(corpus_path), num_partitions=0
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {(r.url, r.text) for r in scan.select("url", "text").collect()}
+    want = {(r.url, r.text) for r in parsed.select("url", "text").collect()}
+    assert got == want
