@@ -107,6 +107,70 @@ def extract_text_items(
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
+# Fused command matcher: one anchored C-level match per *command* for
+# the alphabet that covers ordinary text-only content streams —
+# Tm(6), Td/TD(2), Tj(simple literal string), Tf, TL/Tc/Tw/Tz, BT/ET/T*.
+# Anything outside it (hex strings, TJ arrays, ' / ", nested-paren
+# strings, graphics operators, malformed operand stacks) makes the
+# match FAIL, and extract_spans falls back to the general token
+# interpreter for the whole stream — the fast path can only produce
+# output identical to the interpreter or no output at all (pinned by
+# test_tokenizer's fast-vs-interpreter differential). re.S so "\<LF>"
+# line continuations stay inside the string alternative.
+_SP = rb"[\x00\t\n\x0c\r ]"
+_NP = rb"([+-]?(?:\d+\.?\d*|\.\d+))"
+_KB = rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"  # keyword boundary
+_FAST_CMD_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*(?:"
+    + _NP + _SP + rb"+" + _NP + _SP + rb"+" + _NP + _SP + rb"+"
+    + _NP + _SP + rb"+" + _NP + _SP + rb"+" + _NP + _SP + rb"*Tm" + _KB
+    + rb"|" + _NP + _SP + rb"+" + _NP + _SP + rb"*(Td|TD)" + _KB
+    + rb"|\(((?:[^()\\]|\\.)*)\)" + _SP + rb"*Tj" + _KB
+    + rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _SP + rb"+" + _NP
+    + _SP + rb"*Tf" + _KB
+    + rb"|" + _NP + _SP + rb"*(TL|Tc|Tw|Tz)" + _KB
+    + rb"|(BT|ET|T\*)" + _KB
+    + rb")",
+    re.S,
+)
+
+
+def _unescape_literal(seg: bytes) -> bytes:
+    """Escape-decode the inside of a literal string with no unescaped
+    parens — byte-identical to _ContentLexer._string for such input."""
+    out = bytearray()
+    pos, n = 0, len(seg)
+    while pos < n:
+        m = _STR_PLAIN_RE.match(seg, pos)
+        if m:
+            out += m.group()
+            pos = m.end()
+            if pos >= n:
+                break
+        # seg contains no bare parens, so this byte is a backslash
+        pos += 1
+        if pos >= n:
+            break
+        e = seg[pos]
+        if e in _STR_ESC:
+            out.append(_STR_ESC[e])
+            pos += 1
+        elif e in b"01234567":
+            digits = bytearray([e])
+            pos += 1
+            while pos < n and len(digits) < 3 and seg[pos] in b"01234567":
+                digits.append(seg[pos])
+                pos += 1
+            out.append(int(digits, 8) & 0xFF)
+        elif e in b"\r\n":
+            pos += 1
+            if e == 0x0D and pos < n and seg[pos] == 0x0A:
+                pos += 1
+        else:
+            out.append(e)
+            pos += 1
+    return bytes(out)
+
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMS = b"()<>[]{}/%"
 
@@ -311,6 +375,7 @@ def extract_spans(
     font_cmaps: dict[str, CMap],
     font_metrics: dict[str, FontMetrics] | None = None,
     page_no: int = 0,
+    use_fast: bool = True,
 ) -> list[Span]:
     """Interpret text-positioning operators and emit one Span per text run.
 
@@ -441,6 +506,72 @@ def extract_spans(
     def nums(k: int) -> list[float]:
         vals = [v for t, v in stack[-k:] if t == "num"] if k else []
         return vals if len(vals) == k else []
+
+    if use_fast:
+        # fused fast path: one C-level match per command; ANY byte it
+        # cannot account for aborts to the general interpreter below
+        # with all state (including emitted spans) reset
+        data = content.rstrip(b"\x00\t\n\x0c\r ")
+        pos, n = 0, len(data)
+        completed = True
+        while pos < n:
+            m = _FAST_CMD_RE.match(data, pos)
+            if m is None:
+                completed = False
+                break
+            pos = m.end()
+            g = m.group
+            raw = g(10)
+            if raw is not None:  # (str) Tj — the hot command
+                emit(raw if b"\\" not in raw else _unescape_literal(raw))
+                continue
+            v = g(7)
+            if v is not None:  # Td / TD
+                ty = float(g(8))
+                translate_line(float(v), ty)
+                if g(9) == b"TD":
+                    leading = -ty
+                continue
+            if g(1) is not None:  # Tm
+                tm = [float(g(i)) for i in range(1, 7)]
+                tlm = list(tm)
+                continue
+            nm = g(11)
+            if nm is not None:  # Tf
+                font = "/" + nm.decode("latin1")
+                size = float(g(12))
+                continue
+            v = g(13)
+            if v is not None:  # TL / Tc / Tw / Tz
+                op = g(14)
+                if op == b"TL":
+                    leading = float(v)
+                elif op == b"Tc":
+                    char_sp = float(v)
+                elif op == b"Tw":
+                    word_sp = float(v)
+                else:
+                    hscale = float(v)
+                continue
+            op = g(15)
+            if op == b"BT":
+                tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+                tlm = list(tm)
+            elif op == b"T*":
+                translate_line(0.0, -leading)
+            # ET: no state change
+        if completed:
+            return spans
+        spans.clear()
+        seq = 0
+        font = None
+        size = 0.0
+        leading = 0.0
+        char_sp = 0.0
+        word_sp = 0.0
+        hscale = 100.0
+        tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        tlm = list(tm)
 
     for kind, val in _ContentLexer(content).tokens():
         if kind != "kw":

@@ -1,7 +1,7 @@
 """Golden tests for the content-stream text pass — pins the reference's
 tokenizer quirks (/root/reference/pdf_parser/api.py:90-128)."""
 
-from pdf_parser_spark.pdfcore.cmap import parse_cmap, synthesize_tounicode_cmap
+from pdf_parser_spark.pdfcore.cmap import CMap, parse_cmap, synthesize_tounicode_cmap
 from pdf_parser_spark.pdfcore.tokenizer import (
     extract_spans,
     extract_text_items,
@@ -189,3 +189,99 @@ def test_spans_quote_op_sets_spacing_operands():
     assert s.y == 686  # dropped one leading
     # 'b'=5+2, ' '=5+2+5, 'c'=5+2
     assert s.width == 7 + 12 + 7
+
+
+class TestFastSpanPath:
+    """The fused command matcher must be invisible: identical spans to
+    the general interpreter on in-alphabet streams, and a clean abort
+    (interpreter output) on everything else."""
+
+    CMAPS = {"/F1": CMap({c: chr(c) for c in range(0x20, 0x7F)})}
+
+    def _both(self, content: bytes):
+        fast = extract_spans(content, self.CMAPS)
+        slow = extract_spans(content, self.CMAPS, use_fast=False)
+        return fast, slow
+
+    def assert_same(self, content: bytes):
+        fast, slow = self._both(content)
+        assert [
+            (s.seq, s.text, s.x, s.y, s.font, s.size, s.width, s.char_xs)
+            for s in fast
+        ] == [
+            (s.seq, s.text, s.x, s.y, s.font, s.size, s.width, s.char_xs)
+            for s in slow
+        ]
+
+    def test_corpus_shape(self):
+        self.assert_same(
+            b"BT\n/F1 12 Tf\n1 0 0 1 72 720 Tm\n(hello world) Tj\n"
+            b"1 0 0 1 72 706 Tm\n(second line) Tj\nET"
+        )
+
+    def test_td_tl_tstar_tc_tw_tz(self):
+        self.assert_same(
+            b"BT /F1 10.5 Tf 14 TL 0.5 Tc 1.5 Tw 80 Tz "
+            b"72 700 Td (one) Tj 0 -14 TD (two) Tj T* (three) Tj ET"
+        )
+
+    def test_escapes_in_string(self):
+        self.assert_same(rb"BT /F1 12 Tf (a\(b\)c \\ \101 \n x) Tj ET")
+
+    def test_line_continuation_aborts_or_matches(self):
+        # backslash-LF inside a literal: either path must agree
+        self.assert_same(b"BT /F1 12 Tf (split\\\nline) Tj ET")
+
+    def test_abort_on_tj_array(self):
+        # TJ arrays are outside the fast alphabet: abort must yield the
+        # interpreter's exact kerned output
+        self.assert_same(
+            b"BT /F1 12 Tf 1 0 0 1 10 10 Tm [(ab) -120 (cd)] TJ ET"
+        )
+
+    def test_abort_on_hex_string_and_quote(self):
+        self.assert_same(b"BT /F1 12 Tf <4142> Tj ET")
+        self.assert_same(b"BT /F1 12 Tf 14 TL (x) ' (y) ' ET")
+
+    def test_abort_on_graphics_ops(self):
+        self.assert_same(
+            b"q 0.5 0 0 0.5 0 0 cm BT /F1 12 Tf 5 5 Td (g) Tj ET Q"
+        )
+
+    def test_abort_midstream_resets_spans(self):
+        # fast path emits (a) then hits the unknown op: the fallback
+        # must not double-emit
+        self.assert_same(b"BT /F1 12 Tf 5 5 Td (a) Tj 1 0 rg (b) Tj ET")
+
+    def test_nested_paren_string(self):
+        self.assert_same(b"BT /F1 12 Tf (outer (inner) tail) Tj ET")
+
+    def test_rotated_tm(self):
+        self.assert_same(
+            b"BT /F1 12 Tf 0 1 -1 0 100 100 Tm (rot) Tj ET"
+        )
+
+    def test_fuzz_mixed_commands(self):
+        import random
+
+        rng = random.Random(20260819)
+        ops = [
+            lambda: f"{rng.randint(-5,5)} {rng.randint(-20,20)} Td",
+            lambda: f"{rng.randint(-5,5)} {rng.randint(-20,20)} TD",
+            lambda: "1 0 0 1 %d %d Tm" % (rng.randint(0, 600), rng.randint(0, 790)),
+            lambda: f"{rng.randint(5,30)} TL",
+            lambda: f"{rng.uniform(-1,1):.2f} Tc",
+            lambda: f"{rng.uniform(-1,1):.2f} Tw",
+            lambda: f"{rng.choice([50,100,120])} Tz",
+            lambda: "T*",
+            lambda: "(%s) Tj" % "".join(
+                rng.choice("abc XYZ09\\(\\)") for _ in range(rng.randint(0, 12))
+            ),
+            lambda: "/F1 %d Tf" % rng.randint(6, 24),
+            lambda: "BT",
+            lambda: "ET",
+            lambda: rng.choice(["0.3 g", "<41> Tj", "[(q) 5 (r)] TJ", "q", "Q"]),
+        ]
+        for _ in range(300):
+            body = " ".join(rng.choice(ops)() for _ in range(rng.randint(1, 25)))
+            self.assert_same(("BT /F1 12 Tf " + body + " ET").encode("latin1"))
