@@ -409,6 +409,86 @@ def bigram_surprisal(
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed-n-gram data selection)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    over hashed unigram features, with both bag-of-words models trained
+    on the corpus itself: *target* is the rows where ``target_col`` is
+    true (the high-quality seed set), *raw* is the whole corpus.
+
+    Per feature bucket b (md5(token) folded into ``n_buckets``), the
+    add-one-smoothed log importance ratio is
+
+        lw(b) = round(ln( (ct(b)+1)·(Nr+B) / ((cr(b)+1)·(Nt+B)) ) · 1e6)
+
+    an int64 — the products are exact in int64, one double division +
+    ln per bucket TYPE, rounded before any per-document sum (the same
+    integer-parity discipline as :func:`unigram_surprisal`).
+    ``dsir_weight(doc) = Σ_tokens lw(bucket)`` is the document's log
+    importance weight; ``selected`` is the deterministic variant of
+    DSIR's Gumbel resampling — keep documents whose features look more
+    target-like than raw-like (weight > 0).
+
+    Plan: ONE explode feeding a single map-side-combined
+    groupBy(bucket) that produces BOTH counts (the target count is a
+    conditional sum, not a second aggregation), a single-row totals
+    crossJoin, and the ≤ ``n_buckets``-row weight table BROADCASTS back
+    onto the token stream for one final groupBy(doc) — two shuffles
+    total regardless of corpus size; state is bounded by B, so the
+    model "training" costs one pass at 100 TB.
+    """
+    tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    tok = df.select(
+        F.col(id_col),
+        tgt.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).select(
+        id_col,
+        "_tgt",
+        (_hash_bucket(F.md5("term")) % n_buckets).alias("bucket"),
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("ct").cast("bigint").alias("nt"),
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    lw = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + b))
+                / ((F.col("cr") + 1) * (F.col("nt") + b))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lw"),
+    )
+    agg = tok.join(F.broadcast(lw), "bucket").groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum("lw").cast("bigint").alias("dsir_weight"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "dsir_weight",
+        (F.col("dsir_weight") > 0).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge-candidate counting (tokenizer-training prep)
 
 

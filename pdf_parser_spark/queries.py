@@ -3075,6 +3075,51 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed-feature data selection)
+
+_DSIR_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 4096"
+)
+
+
+@q(
+    "dsir_select",
+    "WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, "
+    f"unnest({duck_toks('text')}) AS term FROM documents), "
+    f"bk AS (SELECT doc_id, tgt, {_DSIR_BUCKET_SQL} AS bucket "
+    "FROM (SELECT doc_id, tgt, md5(term) AS h FROM tok)), "
+    "counts AS (SELECT bucket, count(*)::BIGINT AS cr, "
+    "sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct "
+    "FROM bk GROUP BY bucket), "
+    "tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM counts), "
+    "lw AS (SELECT bucket, round(ln(((ct + 1) * (nr + 4096)) / "
+    "((cr + 1) * (nt + 4096))) * 1e6)::BIGINT AS lw FROM counts, tot), "
+    "agg AS (SELECT doc_id, count(*)::INT AS n_tokens, "
+    "sum(lw)::BIGINT AS dsir_weight FROM bk JOIN lw USING (bucket) "
+    "GROUP BY doc_id) "
+    f"SELECT {URL_SQL} AS url, n_tokens, dsir_weight, "
+    "dsir_weight > 0 AS selected FROM agg",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    weights of every document against a target seed set (here the
+    English half of the corpus), both bag-of-words models trained on
+    the corpus itself in one pass. Per-bucket log ratios are integer-
+    rounded before the per-doc sum (cross-engine parity); ``selected``
+    is the deterministic keep rule weight > 0. Two shuffles total: one
+    bucket count (map-side combined, state bounded by 4096 buckets) and
+    one per-doc sum under a broadcast weight table."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.dsir_weights(docs, F.col("lang") == "en")
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "n_tokens", "dsir_weight", "selected"
+    )
+
+
+# ---------------------------------------------------------------------------
 # temporal joins over the events table (as-of, bounded range) and the
 # hypertable rollup — the fetch-log shapes around the extraction engine
 
@@ -4266,7 +4311,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
-    "mp3_metadata",
+    "mp3_metadata", "dsir_select",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
     "snapshot_diff", "compaction_plan", "bloom_prefilter", "zorder_layout",

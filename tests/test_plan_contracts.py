@@ -281,6 +281,16 @@ def test_unigram_surprisal_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dsir_select_broadcasts_weight_table(spark):
+    """DSIR's per-bucket weight table (≤ 4096 rows) must broadcast back
+    onto the token stream; the only allowed nested-loop is the 1×1
+    totals crossJoin. Token buckets must never sort-merge."""
+    plan = _plan(spark, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_single_shuffle_no_theta_join(spark):
     """The as-of join must stay union-merge: one hash exchange on the
     keys feeding a window sort — never the per-left-row range join
