@@ -409,6 +409,82 @@ def bigram_surprisal(
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail per language)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    bin_unit: int = 1_000,
+) -> DataFrame:
+    """CCNet's per-language perplexity terciles (Wenzek et al. 2020):
+    every document is labeled head / middle / tail by where its
+    per-token LM surprisal falls within ITS LANGUAGE's distribution —
+    the standard pre-filter that keeps Wikipedia-like text in "head"
+    without discarding low-resource languages wholesale.
+
+    The LM is :func:`unigram_surprisal` (corpus-trained, integer
+    micro-nats). Tercile thresholds are computed scale-safely: average
+    surprisals quantize into fixed ``bin_unit`` micro-nat bins (the
+    domain is ≤ ln(N)·1e6, so tens of thousands of bins at most
+    regardless of corpus size), a
+    per-(lang, bin) count histogram is the ONLY corpus-wide shuffle,
+    and the cumulative window runs over ≤ #bins rows per language —
+    never a per-language sort of the corpus (CCNet itself thresholds on
+    sampled quantiles for the same reason). Thresholds are
+    nearest-rank: t_k = min bin whose cumulative count ≥ ceil(k·n/3).
+    The per-lang threshold table broadcasts back onto the scored docs.
+    """
+    from pyspark.sql import Window
+
+    s = unigram_surprisal(df, text_col=text_col, id_col=id_col)
+    sc = (
+        s.join(df.select(id_col, lang_col), id_col)
+        .select(
+            id_col,
+            lang_col,
+            "avg_surprisal",
+            F.expr(f"avg_surprisal div {bin_unit}").cast("bigint").alias("bin"),
+        )
+    )
+    hist = sc.groupBy(lang_col, "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(lang_col).orderBy("bin")
+    cum = hist.select(
+        lang_col,
+        "bin",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+    )
+    totals = hist.groupBy(lang_col).agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    thr = (
+        cum.join(totals, lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(F.expr("cum >= (n + 2) div 3"), F.col("bin"))
+            ).alias("t1"),
+            F.min(
+                F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("bin"))
+            ).alias("t2"),
+        )
+    )
+    return sc.join(F.broadcast(thr), lang_col).select(
+        id_col,
+        lang_col,
+        "avg_surprisal",
+        F.when(F.col("bin") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance resampling (hashed-n-gram data selection)
 
 

@@ -3075,6 +3075,51 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail per language)
+
+
+@q(
+    "ccnet_buckets",
+    f"WITH tok AS (SELECT doc_id, unnest({duck_toks('text')}) AS term "
+    "FROM documents), "
+    "vocab AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY term), "
+    "tot AS (SELECT sum(tf)::BIGINT AS n_total FROM vocab), "
+    "surp AS (SELECT term, round(ln(n_total / tf) * 1e6)::BIGINT AS surp "
+    "FROM vocab, tot), "
+    "agg AS (SELECT doc_id, count(*)::INT AS n_tokens, "
+    "sum(surp)::BIGINT AS surprisal FROM tok JOIN surp USING (term) "
+    "GROUP BY doc_id), "
+    "sb AS (SELECT a.doc_id, d.lang, "
+    "(surprisal // n_tokens)::BIGINT AS avg_surprisal, "
+    "((surprisal // n_tokens) // 1000)::BIGINT AS bin "
+    "FROM agg a JOIN documents d USING (doc_id)), "
+    "hist AS (SELECT lang, bin, count(*)::BIGINT AS cnt "
+    "FROM sb GROUP BY lang, bin), "
+    "cum AS (SELECT lang, bin, sum(cnt) OVER "
+    "(PARTITION BY lang ORDER BY bin)::BIGINT AS cum FROM hist), "
+    "ntot AS (SELECT lang, sum(cnt)::BIGINT AS n FROM hist GROUP BY lang), "
+    "thr AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN bin END) "
+    "AS t1, min(CASE WHEN cum >= (2 * n + 2) // 3 THEN bin END) AS t2 "
+    "FROM cum JOIN ntot USING (lang) GROUP BY lang) "
+    f"SELECT {URL_SQL} AS url, lang, avg_surprisal, "
+    "CASE WHEN bin <= t1 THEN 'head' WHEN bin <= t2 THEN 'middle' "
+    "ELSE 'tail' END AS ppl_bucket FROM sb JOIN thr USING (lang)",
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per-language surprisal terciles over the corpus-trained
+    unigram LM. Thresholds come from a fixed-width micro-nat histogram
+    (≤ ~2000 bins) so the quantile pass never sorts the corpus — the
+    cumulative window runs per language over bin-count rows only, and
+    the tiny threshold table broadcasts back."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.ccnet_buckets(docs)
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "lang", "avg_surprisal", "ppl_bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance resampling (hashed-feature data selection)
 
 _DSIR_BUCKET_SQL = (
@@ -3085,10 +3130,28 @@ _DSIR_BUCKET_SQL = (
 )
 
 
+# the corpus's 31-word synthetic vocabulary is shared across languages
+# (lang is token-blind), so the target style has to be INJECTED to be
+# learnable: docs with doc_id % 5 == 0 get a distinctive 12-token tail
+# (the same determinism idiom as substring_dup_spans' quote), and the
+# SEED set DSIR trains on is only the doc_id % 10 == 0 HALF of them —
+# selection then has to generalize from the seed half to the unseen
+# styled half through the shared feature buckets, which is the point
+# of the method.
+_DSIR_STYLE = (
+    "encyclopedia reference citation footnote bibliography archive "
+    "manuscript treatise monograph journal lemma theorem"
+)
+_DSIR_TEXT_SQL = (
+    f"text || CASE WHEN doc_id % 5 = 0 THEN ' {_DSIR_STYLE}' ELSE '' END"
+)
+
+
 @q(
     "dsir_select",
-    "WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, "
-    f"unnest({duck_toks('text')}) AS term FROM documents), "
+    f"WITH t AS (SELECT doc_id, {_DSIR_TEXT_SQL} AS text FROM documents), "
+    "tok AS (SELECT doc_id, doc_id % 10 = 0 AS tgt, "
+    f"unnest({duck_toks('text')}) AS term FROM t), "
     f"bk AS (SELECT doc_id, tgt, {_DSIR_BUCKET_SQL} AS bucket "
     "FROM (SELECT doc_id, tgt, md5(term) AS h FROM tok)), "
     "counts AS (SELECT bucket, count(*)::BIGINT AS cr, "
@@ -3105,15 +3168,19 @@ _DSIR_BUCKET_SQL = (
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed-unigram importance
-    weights of every document against a target seed set (here the
-    English half of the corpus), both bag-of-words models trained on
-    the corpus itself in one pass. Per-bucket log ratios are integer-
-    rounded before the per-doc sum (cross-engine parity); ``selected``
-    is the deterministic keep rule weight > 0. Two shuffles total: one
-    bucket count (map-side combined, state bounded by 4096 buckets) and
-    one per-doc sum under a broadcast weight table."""
-    docs = _read(spark, sf_dir, "documents")
-    out = textstats.dsir_weights(docs, F.col("lang") == "en")
+    weights of every document against a SEED set (the even half of the
+    styled docs — see _DSIR_TEXT_SQL), both bag-of-words models trained
+    on the corpus itself in one pass. Per-bucket log ratios are
+    integer-rounded before the per-doc sum (cross-engine parity);
+    ``selected`` is the deterministic keep rule weight > 0, and the
+    styled-but-unseeded half of the corpus is what it must (and does)
+    generalize to. Two shuffles total: one bucket count (map-side
+    combined, state bounded by 4096 buckets) and one per-doc sum under
+    a broadcast weight table."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DSIR_TEXT_SQL).alias("text")
+    )
+    out = textstats.dsir_weights(docs, F.expr("doc_id % 10 = 0"))
     return out.select(
         F.expr(URL_SQL).alias("url"), "n_tokens", "dsir_weight", "selected"
     )
@@ -4311,7 +4378,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
-    "mp3_metadata", "dsir_select",
+    "mp3_metadata", "dsir_select", "ccnet_buckets",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
     "snapshot_diff", "compaction_plan", "bloom_prefilter", "zorder_layout",
