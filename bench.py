@@ -106,6 +106,8 @@ HEADLINE = [
     "mp3_metadata",
     "dsir_select",
     "ccnet_buckets",
+    "paragraph_dedup",
+    "gopher_rules",
 ]
 
 

@@ -14,6 +14,15 @@ primitives):
   repeated), so it BROADCASTS and the corpus side is never shuffled by
   the join — the only wide exchange is the per-line count and the
   final per-document reassembly.
+- ``paragraph_dedup``: cross-document FIRST-OCCURRENCE paragraph
+  dedup (the Falcon/RefinedWeb recipe). Unlike ``line_dedup``'s
+  frequency threshold, every exact paragraph occurrence except the
+  globally first one is struck — even a paragraph shared by just two
+  documents loses its second copy. The keeper table is one row per
+  DISTINCT paragraph (corpus-sized — it cannot broadcast), so both
+  sides shuffle once on md5(paragraph) for an equi-join; only
+  (hash, doc, pos) triples move in the keeper shuffle, never the
+  paragraph bytes.
 - ``decontaminate``: n-gram-overlap flagging of documents that quote a
   benchmark/eval set. The benchmark shingle table is small (even "all
   public benchmarks" is millions of rows, not billions) and
@@ -149,6 +158,58 @@ def line_dedup(
         .cast("int")
         .alias("n_kept"),
         F.sum(F.coalesce(F.col("boiler"), F.lit(0))).cast("int").alias("n_dropped"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    paras_col: str = "paras",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Falcon/RefinedWeb-style cross-document paragraph dedup: every
+    exact paragraph occurrence except the globally FIRST one — the
+    occurrence with the minimal (doc_id, pos) — is removed. This is
+    keeper election, not a frequency threshold: a paragraph shared by
+    only two documents already loses its second copy, which is what
+    kills quoted/syndicated content that :func:`line_dedup`'s
+    boilerplate-frequency rule deliberately spares.
+
+    Input: one row per document with an ordered ``array<string>`` of
+    paragraphs. Returns (id, clean_text, n_kept, n_dropped) with
+    survivors rejoined by blank lines in original order.
+
+    Scale shape (the 100 TB argument): the keeper table holds one row
+    per DISTINCT paragraph — it grows with the corpus and can NEVER
+    broadcast, so this operator is honest about paying two hash
+    shuffles: a map-side-combined min() per md5(paragraph) (only the
+    16-byte hash plus (doc, pos) moves, never paragraph bytes), then a
+    hash equi-join of the exploded stream against the keeper table on
+    the same well-distributed key (no skew: exact-duplicate groups are
+    small by construction after boilerplate removal). One final
+    groupBy(doc) reassembles survivors.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(paras_col)).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.col("para")))
+    keeper = paras.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("k")
+    )
+    flagged = paras.join(keeper, "h").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("k.kid")) & (F.col("pos") == F.col("k.kpos")),
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n", F.transform(kept_struct, lambda s: s["para"])
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("int")).cast("int").alias("n_dropped"),
     )
 
 

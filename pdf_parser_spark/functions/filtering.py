@@ -118,6 +118,91 @@ def quality_gate(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len_e6: int = 3_000_000,
+    max_mean_len_e6: int = 10_000_000,
+    min_alpha_e6: int = 800_000,
+    max_bullet_e6: int = 150_000,
+    max_ellipsis_e6: int = 95_000,
+) -> DataFrame:
+    """Gopher-style line-format quality rules (Rae et al. 2021 §A1.1):
+    per-document word count, mean word length, fraction of words with
+    an alphabetic character, fraction of lines that start as bullets
+    ('- '), and fraction of lines ending in an ellipsis ('...'), plus
+    a composite pass flag over the classic bounds.
+
+    All fractions are published as parts-per-million computed with
+    INTEGER division ((1e6 * num) div den) so Spark and any SQL oracle
+    agree bit-for-bit — no double rounding anywhere (the same
+    integer-parity discipline as textstats.unigram_surprisal).
+
+    Scale shape: map-only — every signal is an array expression over
+    the document's own lines; zero exchanges, fully codegen'd, the
+    cheapest possible 100 TB pass.
+    """
+    ls = F.col(lines_col)
+    words = F.flatten(
+        F.transform(
+            ls, lambda l: F.filter(F.split(l, " "), lambda w: w != F.lit(""))
+        )
+    )
+    out = (
+        df.select(F.col(id_col), ls.alias("_ls"), words.alias("_ws"))
+        .withColumn("n_words", F.size("_ws").cast("long"))
+        .withColumn("n_lines", F.size("_ls").cast("long"))
+        .withColumn(
+            "_sum_len",
+            F.aggregate(
+                "_ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ),
+        )
+        .withColumn(
+            "_n_alpha",
+            F.size(F.filter("_ws", lambda w: w.rlike("[a-z]"))).cast("long"),
+        )
+        .withColumn(
+            "_n_bullet",
+            F.size(F.filter("_ls", lambda l: l.startswith("- "))).cast("long"),
+        )
+        .withColumn(
+            "_n_ellipsis",
+            F.size(F.filter("_ls", lambda l: l.endswith("..."))).cast("long"),
+        )
+        .withColumn(
+            "mean_word_len_e6", F.expr("(1000000 * _sum_len) div n_words")
+        )
+        .withColumn("alpha_frac_e6", F.expr("(1000000 * _n_alpha) div n_words"))
+        .withColumn(
+            "bullet_frac_e6", F.expr("(1000000 * _n_bullet) div n_lines")
+        )
+        .withColumn(
+            "ellipsis_frac_e6", F.expr("(1000000 * _n_ellipsis) div n_lines")
+        )
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_e6").between(min_mean_len_e6, max_mean_len_e6)
+        & (F.col("alpha_frac_e6") >= min_alpha_e6)
+        & (F.col("bullet_frac_e6") <= max_bullet_e6)
+        & (F.col("ellipsis_frac_e6") <= max_ellipsis_e6)
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        "mean_word_len_e6",
+        "alpha_frac_e6",
+        "bullet_frac_e6",
+        "ellipsis_frac_e6",
+        passes.alias("passes"),
+    )
+
+
 def suffix_blocked_expr(host_col: Column | str, suffixes: list[str]) -> Column:
     """Domain-suffix blocklist test (public-suffix-style): a host is
     blocked when it equals an entry or ends with '.' + entry, so

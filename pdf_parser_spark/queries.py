@@ -2666,6 +2666,139 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus cleaning: first-occurrence paragraph dedup (Falcon/RefinedWeb)
+
+# Synthetic syndication: one paragraph every document carries and one
+# shared by every document on the same host. First-occurrence keeper
+# election means the global paragraph survives ONLY in doc 0 and each
+# host paragraph only in its host's first document — df=2 duplicates
+# are struck too (the exact case line_dedup's frequency rule spares).
+_PD_GLOBAL = "this article was originally published elsewhere"
+_PD_PARAS_SQL = (
+    f"list_concat(['{_PD_GLOBAL}', 'syndicated from ' || {_HOST_ONLY_SQL}], "
+    f"{CHUNKS_SQL})"
+)
+
+
+@q(
+    "paragraph_dedup",
+    f"WITH d AS (SELECT doc_id, {_PD_PARAS_SQL} AS ps FROM documents), "
+    "p AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1), "
+    "i -> {'pos': i - 1, 'para': ps[i]}), recursive := true) FROM d), "
+    "k AS (SELECT *, row_number() OVER (PARTITION BY para "
+    "ORDER BY doc_id, pos) = 1 AS keep FROM p) "
+    f"SELECT {URL_SQL} AS url, "
+    "coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos) "
+    "FILTER (WHERE keep), '') AS clean_text, "
+    "(count(*) FILTER (WHERE keep))::INT AS n_kept, "
+    "(count(*) FILTER (WHERE NOT keep))::INT AS n_dropped "
+    "FROM k GROUP BY doc_id",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falcon/RefinedWeb-style first-occurrence paragraph dedup: every
+    exact paragraph occurrence except the globally first (min
+    (doc_id, pos)) is struck. The keeper table is corpus-sized (one
+    row per distinct paragraph) so it can never broadcast — the plan
+    honestly pays two md5(paragraph) hash shuffles moving only
+    (hash, doc, pos) triples, never paragraph bytes."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array(
+                F.lit(_PD_GLOBAL),
+                F.concat(F.lit("syndicated from "), F.expr(_HOST_ONLY_SQL)),
+            ),
+            cleaning.wrap_chunks("text"),
+        ).alias("paras"),
+    )
+    out = cleaning.paragraph_dedup(docs, paras_col="paras")
+    return out.select(
+        F.expr(URL_SQL).alias("url"), "clean_text", "n_kept", "n_dropped"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher line-format quality rules
+
+# Deterministic format injection so the rules are non-vacuous on the
+# synthetic corpus: every 7th line (doc-offset) becomes a bullet, some
+# others gain a trailing ellipsis, and a header line carries digits —
+# so bullet/ellipsis/alpha fractions and the pass flag genuinely vary.
+_GR_LINES_SQL = (
+    "list_concat(['document ' || doc_id || ' rev 42'], "
+    "list_transform(range(1, len(cs) + 1), i -> "
+    "CASE WHEN (doc_id + i - 1) % 7 = 0 THEN '- ' || cs[i] "
+    "WHEN (doc_id + i - 1) % 11 = 3 THEN cs[i] || ' ...' "
+    "ELSE cs[i] END))"
+)
+
+
+@q(
+    "gopher_rules",
+    f"WITH d AS (SELECT doc_id, {CHUNKS_SQL} AS cs FROM documents), "
+    f"l AS (SELECT doc_id, {_GR_LINES_SQL} AS ls FROM d), "
+    "w AS (SELECT doc_id, ls, flatten(list_transform(ls, x -> "
+    "list_filter(string_split(x, ' '), t -> t <> ''))) AS ws FROM l), "
+    "m AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+    "len(ls)::BIGINT AS n_lines, "
+    "((1000000 * list_sum(list_transform(ws, t -> length(t)))) "
+    "// len(ws))::BIGINT AS mean_word_len_e6, "
+    "((1000000 * len(list_filter(ws, t -> regexp_matches(t, '[a-z]')))) "
+    "// len(ws))::BIGINT AS alpha_frac_e6, "
+    "((1000000 * len(list_filter(ls, x -> x LIKE '- %'))) "
+    "// len(ls))::BIGINT AS bullet_frac_e6, "
+    "((1000000 * len(list_filter(ls, x -> x LIKE '%...'))) "
+    "// len(ls))::BIGINT AS ellipsis_frac_e6 FROM w) "
+    f"SELECT {URL_SQL} AS url, n_words, n_lines, mean_word_len_e6, "
+    "alpha_frac_e6, bullet_frac_e6, ellipsis_frac_e6, "
+    "(n_words BETWEEN 50 AND 100000 "
+    "AND mean_word_len_e6 BETWEEN 3000000 AND 10000000 "
+    "AND alpha_frac_e6 >= 800000 AND bullet_frac_e6 <= 150000 "
+    "AND ellipsis_frac_e6 <= 95000) AS passes FROM m",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-format quality signals (Rae et al. 2021
+    §A1.1): word count, mean word length, alpha-word fraction, bullet
+    and ellipsis line fractions, and the composite pass flag — all
+    fractions as parts-per-million via INTEGER division so both
+    engines agree bit-for-bit. Map-only: zero exchanges at any SF."""
+    cs = cleaning.wrap_chunks("text")
+    lines = F.concat(
+        F.array(
+            F.concat(
+                F.lit("document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" rev 42"),
+            )
+        ),
+        F.transform(
+            cs,
+            lambda x, i: F.when(
+                (F.col("doc_id") + i) % 7 == 0, F.concat(F.lit("- "), x)
+            )
+            .when(
+                (F.col("doc_id") + i) % 11 == 3, F.concat(x, F.lit(" ..."))
+            )
+            .otherwise(x),
+        ),
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", lines.alias("lines")
+    )
+    out = filtering.gopher_rules(docs, lines_col="lines")
+    return out.select(
+        F.expr(URL_SQL).alias("url"),
+        "n_words",
+        "n_lines",
+        "mean_word_len_e6",
+        "alpha_frac_e6",
+        "bullet_frac_e6",
+        "ellipsis_frac_e6",
+        "passes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 
 _BENCH_PHRASES = [
@@ -4379,6 +4512,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
     "mp3_metadata", "dsir_select", "ccnet_buckets",
+    "paragraph_dedup", "gopher_rules",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
     "snapshot_diff", "compaction_plan", "bloom_prefilter", "zorder_layout",

@@ -227,3 +227,58 @@ def test_unigram_surprisal_matches_python(spark):
     assert out[0]["surprisal"] == exp0
     assert out[0]["avg_surprisal"] == exp0 // 3
     assert out[1]["surprisal"] == surp["a"] + surp["c"]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    # 'shared' appears in docs 0, 1, 2 — only doc 0 (min doc_id) keeps
+    # it; 'twice' repeats within doc 1 — only the first pos survives.
+    rows = [
+        (0, ["shared", "alpha"]),
+        (1, ["twice", "shared", "twice"]),
+        (2, ["beta", "shared"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, paras array<string>")
+    out = {
+        r["doc_id"]: r for r in cleaning.paragraph_dedup(df).collect()
+    }
+    assert out[0]["clean_text"] == "shared\n\nalpha"
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "twice"
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 2
+    assert out[2]["clean_text"] == "beta"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_pos_breaks_tie_within_doc(spark):
+    # same paragraph at pos 0 and pos 2 of ONE doc: pos 0 is keeper
+    rows = [(5, ["p", "mid", "p"])]
+    df = spark.createDataFrame(rows, "doc_id bigint, paras array<string>")
+    (r,) = cleaning.paragraph_dedup(df).collect()
+    assert r["clean_text"] == "p\n\nmid" and r["n_dropped"] == 1
+
+
+def test_gopher_rules_fractions_and_pass_flag(spark):
+    from pdf_parser_spark.functions import filtering
+
+    good = ["plain words here"] * 20  # no bullets, no ellipsis
+    rows = [
+        (0, good),
+        (1, ["- bullet line"] * 4 + ["tail words"]),  # 80% bullets
+        (2, ["ends with dots ..."] * 2 + ["clean line"] * 2),  # 50% ellipsis
+        (3, ["1 22 333 4444"]),  # zero alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in filtering.gopher_rules(df, min_words=3).collect()
+    }
+    assert out[0]["bullet_frac_e6"] == 0 and out[0]["ellipsis_frac_e6"] == 0
+    assert out[0]["passes"] is True
+    assert out[1]["bullet_frac_e6"] == 800000  # 4/5 exactly, integer div
+    assert out[1]["passes"] is False
+    assert out[2]["ellipsis_frac_e6"] == 500000
+    assert out[2]["passes"] is False
+    assert out[3]["alpha_frac_e6"] == 0 and out[3]["passes"] is False
+    # mean word length is ppm of an exact integer ratio: doc 3 has
+    # words 1,22,333,4444 -> 10 chars / 4 words = 2.5 -> 2_500_000
+    assert out[3]["mean_word_len_e6"] == 2500000

@@ -536,3 +536,24 @@ def test_pack_sequences_derived_shards_bound_token_windows(spark):
         # the max generously — the point is it does NOT grow 10x with n
         cap = per.agg(F.max("toks")).collect()[0][0]
         assert cap <= 3 * target, (n, cap)
+
+
+def test_gopher_rules_map_only(spark):
+    # every signal is an array expression over the doc's own lines:
+    # the whole query must run without a single exchange
+    plan = _plan(spark, "gopher_rules")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_hash_equi_join_never_cartesian(spark):
+    # the keeper join must stay a HASH EQUI-join on md5(para) — never
+    # a cartesian/nested-loop, never a global sort. At sf0.001 the
+    # stats-based planner broadcasts the (currently tiny) keeper side;
+    # at corpus scale the same equi-join becomes a shuffle join — both
+    # are the honest shapes, so the contract pins the join KIND only.
+    plan = _plan(spark, "paragraph_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
