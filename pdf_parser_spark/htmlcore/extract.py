@@ -165,7 +165,13 @@ def html_blocks(html_text: str) -> list[Block]:
                 skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
             continue
         if flags & _F_BLOCK:
-            flush()
+            # inline the empty-buffer case: most block tags arrive with
+            # nothing buffered (nested <div><p>…), and a Python call
+            # per tag is measurable at 50+ markup tokens per doc
+            if buf:
+                flush()
+            else:
+                buf_tag_count = 0
         if flags & (_F_MAIN | _F_BOILER):
             if html_text[pos - 2] != "/":
                 closing = m.group(1) == "/"
