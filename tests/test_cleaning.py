@@ -282,3 +282,15 @@ def test_gopher_rules_fractions_and_pass_flag(spark):
     # mean word length is ppm of an exact integer ratio: doc 3 has
     # words 1,22,333,4444 -> 10 chars / 4 words = 2.5 -> 2_500_000
     assert out[3]["mean_word_len_e6"] == 2500000
+
+
+def test_paragraph_dedup_kept_equals_corpus_distinct(spark):
+    # corpus invariant: exactly one occurrence of every distinct
+    # paragraph survives, so sum(n_kept) == |distinct paragraphs|
+    rows = [(i, [f"p{(i * 3 + j) % 5}" for j in range(i % 4 + 1)]) for i in range(8)]
+    distinct = {p for _, ps in rows for p in ps}
+    total = sum(len(ps) for _, ps in rows)
+    df = spark.createDataFrame(rows, "doc_id bigint, paras array<string>")
+    out = cleaning.paragraph_dedup(df).collect()
+    assert sum(r["n_kept"] for r in out) == len(distinct)
+    assert sum(r["n_kept"] + r["n_dropped"] for r in out) == total
