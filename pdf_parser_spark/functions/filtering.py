@@ -174,14 +174,32 @@ def gopher_rules(
             F.size(F.filter("_ls", lambda l: l.endswith("..."))).cast("long"),
         )
         .withColumn(
-            "mean_word_len_e6", F.expr("(1000000 * _sum_len) div n_words")
+            "mean_word_len_e6",
+            F.expr(
+                "CASE WHEN n_words > 0 "
+                "THEN (1000000 * _sum_len) div n_words ELSE 0 END"
+            ),
         )
-        .withColumn("alpha_frac_e6", F.expr("(1000000 * _n_alpha) div n_words"))
         .withColumn(
-            "bullet_frac_e6", F.expr("(1000000 * _n_bullet) div n_lines")
+            "alpha_frac_e6",
+            F.expr(
+                "CASE WHEN n_words > 0 "
+                "THEN (1000000 * _n_alpha) div n_words ELSE 0 END"
+            ),
         )
         .withColumn(
-            "ellipsis_frac_e6", F.expr("(1000000 * _n_ellipsis) div n_lines")
+            "bullet_frac_e6",
+            F.expr(
+                "CASE WHEN n_lines > 0 "
+                "THEN (1000000 * _n_bullet) div n_lines ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "ellipsis_frac_e6",
+            F.expr(
+                "CASE WHEN n_lines > 0 "
+                "THEN (1000000 * _n_ellipsis) div n_lines ELSE 0 END"
+            ),
         )
     )
     passes = (

@@ -535,6 +535,13 @@ def dsir_weights(
         F.count("*").cast("bigint").alias("cr"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("bigint").alias("ct"),
     )
+    # counts is consumed TWICE (the totals aggregate and the weight
+    # table) — without materialization each use recomputes the full
+    # corpus explode+shuffle, turning DSIR's two documented corpus
+    # passes into three. The table is bounded at n_buckets rows, so an
+    # eager localCheckpoint pins the trained model once (flat lineage,
+    # same pattern as the PageRank iterate).
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("cr").cast("bigint").alias("nr"),
         F.sum("ct").cast("bigint").alias("nt"),
