@@ -4506,8 +4506,10 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver records oracle results for the FIRST 50 registry entries
 # per round; this window rotates each round so every family lands in a
-# recorded CORRECTNESS_r{N}.json at least once. Round 5: the 24 queries
-# no round ever driver-checked, then the 28 last recorded in r1-r3
+# recorded CORRECTNESS_r{N}.json at least once. Round 5: every query
+# never driver-checked in r1-r4 (including the five r5 additions),
+# then the ones last recorded in r1-r3; the entries this pushes past
+# position 50 are all multiply-recorded green in earlier rounds
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
