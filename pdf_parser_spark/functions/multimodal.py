@@ -6,11 +6,13 @@ steps are Pandas UDFs over ``mapInPandas``. The image/audio libraries
 are not in this container, so every modality carries a real
 from-the-spec pure-Python decoder: PNG (this module), baseline JPEG
 (:mod:`.jpegcore`), GIF (:mod:`.gifcore`), WAV PCM audio and
-AVI-MJPEG video (:mod:`.riffcore`), and MP3 frame-header metadata
+AVI-MJPEG video (:mod:`.riffcore`), MP3 frame-header metadata
 (:mod:`.mp3core` — duration/bitrate/rate/channels from the framing
-layout; PCM stays undecoded, labeled per row). Remaining compressed
-codecs (ogg/webm) degrade to a clearly labeled deterministic
-byte-histogram feature. Everything Spark-side —
+layout; PCM stays undecoded, labeled per row), and Ogg/Vorbis page-walk
+metadata (:mod:`.oggcore` — RFC 3533 framing with per-page CRC checks,
+duration from the final granule position; packet payloads stay
+undecoded, labeled per row). The remaining compressed codec (webm)
+degrades to a clearly labeled deterministic byte-histogram feature. Everything Spark-side —
 schema, batch iteration, partition-pruned metadata extraction, UDF
 signature — is real and tested.
 
@@ -308,6 +310,25 @@ def extract_features(
                             errs.append(
                                 "metadata_feature: mp3 frame headers "
                                 "parsed, PCM not decoded"
+                            )
+                        except (ValueError, NotImplementedError) as exc:
+                            feats.append(_fake_feature(raw, dim))
+                            errs.append(
+                                f"fallback_feature: {type(exc).__name__}: {exc}"
+                            )
+                    elif ct == "audio/ogg":
+                        # page walk (oggcore): CRC-verified RFC 3533
+                        # framing, duration from the final granule;
+                        # Vorbis packets stay undecoded and the
+                        # distinction is recorded per row. Corrupt or
+                        # non-Vorbis streams keep the labeled fallback.
+                        from .oggcore import ogg_feature
+
+                        try:
+                            feats.append(ogg_feature(raw, dim))
+                            errs.append(
+                                "metadata_feature: ogg pages walked "
+                                "(CRC-checked), packets not decoded"
                             )
                         except (ValueError, NotImplementedError) as exc:
                             feats.append(_fake_feature(raw, dim))

@@ -2426,6 +2426,76 @@ def mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ogg_metadata",
+    # synthesis contract (mirrors the query body): n audio pages,
+    # sample rate, samples-per-page and channels all derive from
+    # doc_id; the walk adds the BOS header page, so n_pages = n + 1
+    # and the final granule is n * spp.
+    "WITH p AS (SELECT doc_id, "
+    "(3 + doc_id % 5)::BIGINT AS n, "
+    "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050 ELSE 48000 END"
+    "::BIGINT AS sample_rate, "
+    "CASE doc_id % 3 WHEN 0 THEN 1024 WHEN 1 THEN 2048 ELSE 4096 END"
+    "::BIGINT AS spp, "
+    "(1 + doc_id % 2)::BIGINT AS channels "
+    "FROM documents) "
+    f"SELECT {URL_SQL} AS url, sample_rate, channels, "
+    "(n + 1)::BIGINT AS n_pages, "
+    "(n * spp * 1000 // sample_rate)::BIGINT AS duration_ms, "
+    "1::BIGINT AS eos "
+    "FROM p",
+)
+def ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Vorbis metadata end-to-end: synthesize a real RFC 3533 page
+    sequence per document (valid per-page CRCs, BOS/EOS flags, a
+    spec-exact Vorbis identification header; page count / rate /
+    channels / granule schedule derived from doc_id), then recover
+    duration, sample rate, channel count, page count and the EOS flag
+    from the BYTES via the from-scratch page walk
+    (functions/oggcore.py — every page CRC-verified, packets never
+    decoded). The oracle recomputes every value arithmetically from
+    doc_id, so a wrong CRC polynomial, lacing-table read, or granule
+    interpretation fails the hash."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from pdf_parser_spark.engine.corpus import host_for
+        from pdf_parser_spark.functions.oggcore import (
+            encode_ogg_vorbis,
+            ogg_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 3 + d % 5
+                rate = (44100, 22050, 48000)[d % 3]
+                spp = (1024, 2048, 4096)[d % 3]
+                data = encode_ogg_vorbis(
+                    n, rate, 1 + d % 2, spp, serial=1 + d, payload_seed=d
+                )
+                st = ogg_stats(data)
+                st["url"] = f"https://{host_for(d)}/doc/{d}"
+                rows.append(st)
+            yield _pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "sample_rate BIGINT, channels BIGINT, n_pages BIGINT, "
+            "duration_ms BIGINT, eos BIGINT, url STRING"
+        ),
+    ).select(
+        "url", "sample_rate", "channels", "n_pages", "duration_ms", "eos",
+    )
+
+
+@q(
     "video_frames",
     "SELECT "
     f"{URL_SQL} AS url, "
@@ -4513,7 +4583,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
-    "mp3_metadata", "dsir_select", "ccnet_buckets",
+    "mp3_metadata", "ogg_metadata", "dsir_select", "ccnet_buckets",
     "paragraph_dedup", "gopher_rules",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
