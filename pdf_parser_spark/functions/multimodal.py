@@ -8,11 +8,15 @@ from-the-spec pure-Python decoder: PNG (this module), baseline JPEG
 (:mod:`.jpegcore`), GIF (:mod:`.gifcore`), WAV PCM audio and
 AVI-MJPEG video (:mod:`.riffcore`), MP3 frame-header metadata
 (:mod:`.mp3core` — duration/bitrate/rate/channels from the framing
-layout; PCM stays undecoded, labeled per row), and Ogg/Vorbis page-walk
+layout; PCM stays undecoded, labeled per row), Ogg/Vorbis page-walk
 metadata (:mod:`.oggcore` — RFC 3533 framing with per-page CRC checks,
 duration from the final granule position; packet payloads stay
-undecoded, labeled per row). The remaining compressed codec (webm)
-degrades to a clearly labeled deterministic byte-histogram feature. Everything Spark-side —
+undecoded, labeled per row), and WebM/Matroska EBML-tree metadata
+(:mod:`.webmcore` — RFC 8794 vint framing, CRC-32 element
+verification, duration/dims/audio shape from Info and Tracks; frame
+payloads stay undecoded, labeled per row). Every sniffed media type
+now has a real from-the-spec parser; the byte-histogram fallback
+remains only for corrupt streams and unknown types. Everything Spark-side —
 schema, batch iteration, partition-pruned metadata extraction, UDF
 signature — is real and tested.
 
@@ -329,6 +333,24 @@ def extract_features(
                             errs.append(
                                 "metadata_feature: ogg pages walked "
                                 "(CRC-checked), packets not decoded"
+                            )
+                        except (ValueError, NotImplementedError) as exc:
+                            feats.append(_fake_feature(raw, dim))
+                            errs.append(
+                                f"fallback_feature: {type(exc).__name__}: {exc}"
+                            )
+                    elif ct == "video/webm":
+                        # EBML tree walk (webmcore): duration, dims,
+                        # audio shape and cluster count from container
+                        # metadata, CRC-32 elements verified; frame
+                        # payloads stay undecoded, recorded per row.
+                        from .webmcore import webm_feature
+
+                        try:
+                            feats.append(webm_feature(raw, dim))
+                            errs.append(
+                                "metadata_feature: webm EBML tree walked"
+                                " (CRC-checked), frames not decoded"
                             )
                         except (ValueError, NotImplementedError) as exc:
                             feats.append(_fake_feature(raw, dim))

@@ -484,6 +484,12 @@ def _real_gif() -> bytes:
     return encode_gif(px, 8, 8)
 
 
+def _real_webm() -> bytes:
+    from pdf_parser_spark.functions.webmcore import encode_webm
+
+    return encode_webm(12_000, 640, 360, 48000, 2, 2)
+
+
 def test_extract_features_real_png_and_jpeg_path(spark):
     from pdf_parser_spark.functions.jpegcore import encode_jpeg
 
@@ -496,6 +502,7 @@ def test_extract_features_real_png_and_jpeg_path(spark):
             ("u3", bytearray(b"\xff\xd8\xffjunk...")),
             ("u4", bytearray(_real_gif())),
             ("u5", bytearray(b"ID3\x04audio-payload.....")),
+            ("u6", bytearray(_real_webm())),
         ],
         "url STRING, payload BINARY",
     )
@@ -517,6 +524,10 @@ def test_extract_features_real_png_and_jpeg_path(spark):
     # audio: labeled fallback (no decoder)
     assert out["u5"]["content_type"] == "audio/mpeg"
     assert out["u5"]["decode_error"].startswith("fallback_feature")
+    # webm: EBML metadata walk, labeled as metadata (frames undecoded)
+    assert out["u6"]["content_type"] == "video/webm"
+    assert out["u6"]["decode_error"].startswith("metadata_feature")
+    assert out["u6"]["feature"][3] == 1.0  # 48000 Hz / 48000
 
 
 def test_ivf_recall_perf_curve(spark):
