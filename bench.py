@@ -104,6 +104,8 @@ HEADLINE = [
     "training_order",
     "upsample_repeat",
     "mp3_metadata",
+    "ogg_metadata",
+    "webm_metadata",
     "dsir_select",
     "ccnet_buckets",
     "paragraph_dedup",

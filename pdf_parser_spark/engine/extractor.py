@@ -14,6 +14,7 @@ parse-failure counts per partition without a second pass over payloads.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 
@@ -50,14 +51,58 @@ def _sniff(payload: bytes) -> str:
     return "html"
 
 
+# Per-document payload ceiling. At 10^12 crawled documents a handful of
+# multi-GB rows WILL arrive (wrong content-length, tar bombs, video
+# mislabeled as text/html); parsing one would balloon a single task's
+# memory far past the executor's per-core budget and can fail the whole
+# stage. Oversize rows short-circuit to an error row — lineage keeps the
+# url and true byte count, the audit sink counts them, and the other
+# rows in the batch are unaffected. Override per job via
+# SPARK_GRAFT_MAX_PAYLOAD_BYTES (driver env, shipped in the closure) or
+# the parse_webdocs parameter; 0 disables the guard.
+DEFAULT_MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
+
+
+def _resolve_max_payload(max_payload_bytes: int | None) -> int:
+    if max_payload_bytes is not None:
+        return max_payload_bytes
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_MAX_PAYLOAD_BYTES", DEFAULT_MAX_PAYLOAD_BYTES
+        )
+    )
+
+
 def _extract_one(
-    url: str, payload, emit_items: bool = True, multibyte: bool = False
+    url: str,
+    payload,
+    emit_items: bool = True,
+    multibyte: bool = False,
+    max_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
 ) -> dict:
     t0 = time.perf_counter()
     if payload is None:
         payload = b""
     payload = bytes(payload)
     kind = _sniff(payload)
+    if max_bytes and len(payload) > max_bytes:
+        return {
+            "url": url,
+            "kind": kind,
+            "text": "",
+            "n_pages": 0,
+            "n_items": 0,
+            "n_spans": 0,
+            "error": (
+                f"PayloadTooLarge: {len(payload)} bytes > cap {max_bytes}"
+            ),
+            "parse_ms": (time.perf_counter() - t0) * 1000.0,
+            "payload_bytes": len(payload),
+            "fallback_pages": 0,
+            "recovered": 0,
+            "spans": [],
+            "items": [],
+        }
     text = ""
     n_pages = n_items = n_spans = fallback_pages = recovered = 0
     error = None
@@ -120,13 +165,15 @@ def extract_batch(
     batches: Iterator[pd.DataFrame],
     emit_items: bool = True,
     multibyte: bool = False,
+    max_payload_bytes: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, html[, ...]) batches → PARSED_SCHEMA batches."""
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    max_bytes = _resolve_max_payload(max_payload_bytes)
     for pdf in batches:
         rows = [
-            _extract_one(u, p, emit_items, multibyte)
+            _extract_one(u, p, emit_items, multibyte, max_bytes)
             for u, p in zip(pdf["url"], pdf["html"])
         ]
         out = pd.DataFrame(
@@ -187,7 +234,10 @@ def _arrow_schema():
 
 
 def extract_batch_arrow(
-    batches, emit_items: bool = True, multibyte: bool = False
+    batches,
+    emit_items: bool = True,
+    multibyte: bool = False,
+    max_payload_bytes: int | None = None,
 ) -> "Iterator":
     """mapInArrow body: columnar twin of extract_batch.
 
@@ -202,6 +252,7 @@ def extract_batch_arrow(
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    max_bytes = _resolve_max_payload(max_payload_bytes)
     schema = _arrow_schema()
     for batch in batches:
         urls = batch.column("url").to_pylist()
@@ -221,7 +272,11 @@ def extract_batch_arrow(
             kind = _sniff(raw)
             text, n_pages, n_items, error = "", 0, 0, None
             n_spans = fallback_pages = recovered = 0
-            if kind == "pdf":
+            if max_bytes and len(raw) > max_bytes:
+                error = (
+                    f"PayloadTooLarge: {len(raw)} bytes > cap {max_bytes}"
+                )
+            elif kind == "pdf":
                 r = _xpdf(raw, multibyte_cmaps=multibyte)
                 text, n_pages, n_items, error = r.text, r.n_pages, r.n_items, r.error
                 n_spans = len(r.spans)
@@ -321,6 +376,7 @@ def parse_webdocs(
     salt_map: dict[str, int] | None = None,
     emit_items: bool = False,
     multibyte: bool = False,
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
     """webdocs → parsed DataFrame (the single materialization point).
 
@@ -337,6 +393,12 @@ def parse_webdocs(
     ``multibyte=True`` enables the kernel's CID 2-byte CMap extension
     on every PDF in the batch (extract.extract_pdf multibyte_cmaps);
     off by default for reference-identical output.
+
+    ``max_payload_bytes`` caps per-document payload size (default 64
+    MiB, env ``SPARK_GRAFT_MAX_PAYLOAD_BYTES``, 0 disables): oversize
+    rows become error rows (``PayloadTooLarge``) with url + true byte
+    count preserved for the audit sink, instead of risking one
+    mislabeled multi-GB crawl row failing a whole stage.
 
     ``num_partitions=0`` preserves the input partitioning — no
     repartition, no salt, the kernel maps directly over the source's
@@ -378,16 +440,28 @@ def parse_webdocs(
     # the schema, empty when disabled.
     from functools import partial
 
+    # resolve the payload cap ON THE DRIVER so the env-var override
+    # rides the closure to every executor (workers don't inherit the
+    # driver's environment on a real cluster)
+    max_bytes = _resolve_max_payload(max_payload_bytes)
     try:
         return slim.mapInArrow(
             partial(
-                extract_batch_arrow, emit_items=emit_items, multibyte=multibyte
+                extract_batch_arrow,
+                emit_items=emit_items,
+                multibyte=multibyte,
+                max_payload_bytes=max_bytes,
             ),
             schema=PARSED_SCHEMA,
         )
     except AttributeError:  # very old Spark: no mapInArrow
         return slim.mapInPandas(
-            partial(extract_batch, emit_items=emit_items, multibyte=multibyte),
+            partial(
+                extract_batch,
+                emit_items=emit_items,
+                multibyte=multibyte,
+                max_payload_bytes=max_bytes,
+            ),
             schema=PARSED_SCHEMA,
         )
 

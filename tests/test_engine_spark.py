@@ -85,6 +85,45 @@ def test_audit_covers_all_partitions_and_docs(parsed):
     assert len(audit) <= 8
 
 
+def test_payload_cap_degrades_to_error_row(spark, webdocs):
+    # a mislabeled multi-GB crawl row must become an error row, not a
+    # task failure — and must not affect its batch neighbors
+    big = spark.createDataFrame(
+        [("https://big.example/doc/x", "big.example", bytearray(b"<p>" + b"A" * 4096))],
+        "url STRING, host STRING, html BINARY",
+    )
+    both = webdocs.select("url", "host", "html").limit(20).union(big)
+    out = parse_webdocs(both, num_partitions=2, max_payload_bytes=2048)
+    rows = {r.url: r for r in out.select("url", "text", "error", "payload_bytes").collect()}
+    bad = rows["https://big.example/doc/x"]
+    assert bad.error.startswith("PayloadTooLarge: ")
+    assert bad.payload_bytes == 4099 and bad.text == ""
+    others = [r for u, r in rows.items() if u != "https://big.example/doc/x"]
+    assert len(others) == 20 and all(r.error is None for r in others)
+    # cap=0 disables the guard
+    out2 = parse_webdocs(big, num_partitions=1, max_payload_bytes=0)
+    assert out2.filter(F.col("error").isNotNull()).count() == 0
+
+
+def test_payload_cap_pandas_twin(spark):
+    # the mapInPandas fallback body enforces the same cap
+    import pandas as pd
+
+    from pdf_parser_spark.engine.extractor import extract_batch
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2"],
+            "html": [b"<p>ok</p>", b"<p>" + b"B" * 9000],
+        }
+    )
+    out = pd.concat(list(extract_batch(iter([pdf]), max_payload_bytes=4096)))
+    by_url = out.set_index("url")
+    assert by_url.loc["u1", "error"] is None
+    assert str(by_url.loc["u2", "error"]).startswith("PayloadTooLarge")
+    assert by_url.loc["u2", "text"] == ""
+
+
 def test_salt_map_splits_hot_host(webdocs):
     salt_map = compute_salt_map(webdocs, target_docs_per_bucket=25)
     assert salt_map[HOT_HOST] >= 4  # ~200 docs / 25 per bucket
