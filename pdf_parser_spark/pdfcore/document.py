@@ -381,8 +381,24 @@ class PdfDocument:
     # --------------------------------------------------------------- objects
 
     def resolve(self, obj):
-        """Resolve indirect references (recursively for one level)."""
+        """Resolve indirect references (recursively for one level).
+
+        Cycle-guarded: a crawled corpus will eventually contain a PDF
+        whose object body is itself a reference forming a cycle
+        (``4 0 obj 4 0 R endobj``); the naive while-loop spins forever
+        and stalls an executor core. The common 0/1-hop path pays no
+        tracking cost; chains only start a seen-set from hop two."""
+        if not isinstance(obj, Ref):
+            return obj
+        first = obj.num
+        obj = self.get_object(first)
+        if not isinstance(obj, Ref):
+            return obj
+        seen = {first}
         while isinstance(obj, Ref):
+            if obj.num in seen:
+                raise PdfError(f"reference cycle at object {obj.num}")
+            seen.add(obj.num)
             obj = self.get_object(obj.num)
         return obj
 

@@ -240,3 +240,43 @@ def test_comments_and_whitespace_noise():
     r = extract_pdf(_classic_pdf(objs))
     assert r.error is None
     assert r.text == "comment noise"
+
+
+def test_reference_cycle_degrades_not_hangs():
+    """A self-referential object (4 0 obj 4 0 R) and a 2-cycle (5<->6)
+    must raise/degrade, never spin: pre-guard, resolve() looped forever
+    on these, stalling an executor core on one malformed crawl row."""
+    objs = _base_objects("unused")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Contents 6 0 R >>")
+    objs[4] = b"4 0 R"
+    objs[5] = b"6 0 R"
+    objs[6] = b"5 0 R"
+    pdf = _classic_pdf(objs)
+    import pytest
+
+    from pdf_parser_spark.pdfcore.document import PdfError, Ref
+
+    doc = PdfDocument(pdf)
+    with pytest.raises(PdfError, match="reference cycle"):
+        doc.resolve(Ref(4, 0))
+    with pytest.raises(PdfError, match="reference cycle"):
+        doc.resolve(Ref(5, 0))
+    # the full extraction surface degrades to an error row
+    r = extract_pdf(pdf)
+    assert r.text == "" and "reference cycle" in (r.error or "")
+
+
+def test_multi_hop_reference_chain_still_resolves():
+    """Legal (acyclic) multi-hop indirection keeps working: /Contents
+    -> 6 0 R -> 7 0 R -> the real stream."""
+    content = _content("three hops")
+    objs = _base_objects("ignored")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 6 0 R >>")
+    objs[6] = b"7 0 R"
+    objs[7] = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    del objs[4]
+    r = extract_pdf(_classic_pdf(objs))
+    assert r.error is None
+    assert r.text == "three hops"
