@@ -52,6 +52,7 @@ class PdfDocument:
         self._gens: dict[int, int] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._objstm_loading: set[int] = set()
         # RC4 standard-security support (crypt.py): decryptor is set when
         # the empty user password verifies; encryption_error is set when
         # an /Encrypt dict exists but is outside the supported subset
@@ -440,7 +441,19 @@ class PdfDocument:
     def _get_from_objstm(self, container: int, index: int):
         objs = self._objstm_cache.get(container)
         if objs is None:
-            st = self.get_object(container)
+            # a malformed xref can claim the container is itself stored
+            # compressed (possibly through a chain of containers);
+            # loading would recurse through get_object forever
+            loading = self._objstm_loading
+            if container in loading:
+                raise PdfError(
+                    f"object stream {container} contains itself"
+                )
+            loading.add(container)
+            try:
+                st = self.get_object(container)
+            finally:
+                loading.discard(container)
             if not isinstance(st, Stream):
                 raise PdfError(f"object stream {container} missing")
             data = decode_stream(st.raw, st.dict, resolve=self.resolve)

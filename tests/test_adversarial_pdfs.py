@@ -280,3 +280,53 @@ def test_multi_hop_reference_chain_still_resolves():
     r = extract_pdf(_classic_pdf(objs))
     assert r.error is None
     assert r.text == "three hops"
+
+
+def test_objstm_containing_itself_degrades():
+    """An xref stream whose index claims an object stream is stored
+    compressed inside ITSELF (type-2 entry pointing at its own number)
+    must raise PdfError, not recurse until the interpreter dies."""
+    import pytest
+
+    from pdf_parser_spark.pdfcore.document import PdfError
+
+    header = b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
+    out = bytearray(header)
+    offsets = {}
+
+    def emit(num, body):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>")
+    # objects 4 and 6: claimed compressed in container 6 (see xref below)
+    xref_num = 7
+    xref_at = len(out)
+    rows = []
+
+    def row(t, a, b):
+        rows.append(bytes([t]) + a.to_bytes(2, "big") + bytes([b]))
+
+    row(0, 0, 255)                 # obj 0: free
+    row(1, offsets[1], 0)          # 1-3: in file
+    row(1, offsets[2], 0)
+    row(1, offsets[3], 0)
+    row(2, 6, 0)                   # obj 4: "inside container 6"
+    row(0, 0, 255)                 # obj 5: free
+    row(2, 6, 1)                   # obj 6: "inside container 6" (itself!)
+    row(1, xref_at, 0)             # obj 7: this xref stream
+    data = b"".join(rows)
+    emit(xref_num,
+         b"<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R /Length %d >>\n"
+         b"stream\n" % len(data) + data + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    pdf = bytes(out)
+
+    doc = PdfDocument(pdf)
+    with pytest.raises(PdfError, match="contains itself"):
+        doc.get_object(6)
+    r = extract_pdf(pdf)
+    assert r.text == "" and r.error is not None
