@@ -32,9 +32,9 @@ _STR_PLAIN_RE = re.compile(rb"[^\\()]+")
 # inter-token separator: whitespace runs and/or %-comments (a comment
 # is legal anywhere whitespace is — _skip_ws eats both, so the C-level
 # multi-token matchers must too)
-_SEP = rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
+_SEP = rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)++"  # possessive: see below
 _REF_RE = re.compile(
-    rb"(\d+)" + _SEP + rb"(\d+)" + _SEP + rb"R"
+    rb"(\d++)" + _SEP + rb"(\d++)" + _SEP + rb"R"
     rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
 )
 # one-match dict entry "/Key value" for the four scalar value shapes
@@ -46,13 +46,23 @@ _REF_RE = re.compile(
 # containing '#' fails the boundary lookahead so hex-escaped names
 # fall back to the per-byte parser.
 _TOKB = rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"  # token-boundary lookahead
+# All quantifiers over ws-runs, comments, and digit-runs are POSSESSIVE
+# (++/*+, Python 3.11). The earlier greedy forms — (?:WS+|%…)* and
+# (\d+\.?\d*) repeated under a star — were catastrophically
+# backtracking: a mutated dict with a long whitespace run (or a long
+# numeric array with its closing ] corrupted) made a failing match
+# exponential (~10s at 28 ws bytes, measured), pinning an executor
+# core on one malformed crawl row. Possessiveness is semantically free
+# here: ws/comments can never be re-split into part of a token, and a
+# digit run never legally splits across two numbers, so no valid parse
+# is lost — failing matches just fail in O(n).
 _DICT_ENTRY_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # leading ws folded in
-    rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)" + _TOKB +
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*(?:"
-    rb"(\d+)" + _SEP + rb"(\d+)" + _SEP + rb"R" + _TOKB +
-    rb"|([+-]?(?:\d+\.?\d*|\.\d+))" + _TOKB +
-    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)" + _TOKB +
+    rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)*+"  # leading ws folded in
+    rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*+)" + _TOKB +
+    rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)*+(?:"
+    rb"(\d++)" + _SEP + rb"(\d++)" + _SEP + rb"R" + _TOKB +
+    rb"|([+-]?(?:\d++\.?\d*+|\.\d++))" + _TOKB +
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*+)" + _TOKB +
     rb"|(true|false|null)" + _TOKB +
     rb")"
 )
@@ -62,7 +72,8 @@ _DICT_ENTRY_RE = re.compile(
 # below doesn't split on it, so NUL-separated arrays take the
 # per-object path instead of mis-parsing.
 _NUMARRAY_RE = re.compile(
-    rb"\[[\t\n\x0c\r ]*(?:[+-]?(?:\d+\.?\d*|\.\d+)(?:[\t\n\x0c\r ]+|(?=\])))*\]"
+    rb"\[[\t\n\x0c\r ]*+"
+    rb"(?:[+-]?(?:\d++\.?\d*+|\.\d++)(?:[\t\n\x0c\r ]++|(?=\])))*+\]"
 )
 
 

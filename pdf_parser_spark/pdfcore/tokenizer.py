@@ -105,7 +105,7 @@ def extract_text_items(
 
 # --- span pass (real operator interpreter) ----------------------------------
 
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NUM_RE = re.compile(rb"[+-]?(?:\d++\.?\d*+|\.\d++)")
 
 # Fused command matcher: one anchored C-level match per *command* for
 # the alphabet that covers ordinary text-only content streams —
@@ -118,7 +118,14 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 # test_tokenizer's fast-vs-interpreter differential). re.S so "\<LF>"
 # line continuations stay inside the string alternative.
 _SP = rb"[\x00\t\n\x0c\r ]"
-_NP = rb"([+-]?(?:\d+\.?\d*|\.\d+))"
+# digit runs POSSESSIVE (\d++): the greedy form made a FAILING match
+# backtrack through every split of every number — ~k^6 tail retries on
+# the six-operand Tm alternative (0.54s per attempt at 12-digit
+# operands, measured), so one coordinate-heavy stream rejected by the
+# fast path could burn minutes before falling back. A digit run never
+# legally splits across operands (the separator class has no digits),
+# so possessiveness loses no valid match.
+_NP = rb"([+-]?(?:\d++\.?\d*+|\.\d++))"
 _KB = rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"  # keyword boundary
 _FAST_CMD_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]*(?:"

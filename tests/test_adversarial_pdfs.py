@@ -330,3 +330,33 @@ def test_objstm_containing_itself_degrades():
         doc.get_object(6)
     r = extract_pdf(pdf)
     assert r.text == "" and r.error is not None
+
+
+def test_regex_backtracking_bounded():
+    """Pathological inputs that made the C-level matchers exponential
+    pre-fix (possessive quantifiers): a long whitespace run in a dict,
+    a numeric array with the closing bracket corrupted, and 6-operand
+    Tm commands with long numbers and a failing keyword. Each took
+    seconds-to-unbounded before; bound them generously at 2s."""
+    import time
+
+    from pdf_parser_spark.pdfcore.lexer import _DICT_ENTRY_RE, _NUMARRAY_RE
+    from pdf_parser_spark.pdfcore.tokenizer import _FAST_CMD_RE
+
+    t0 = time.perf_counter()
+    _DICT_ENTRY_RE.match(b" " * 50_000 + b"\x80")
+    _NUMARRAY_RE.match(b"[" + b"123 " * 20_000 + b"\x80")
+    num = b"9" * 20
+    _FAST_CMD_RE.match(b" ".join([num] * 6) + b" Tx")
+    assert time.perf_counter() - t0 < 2.0
+
+    # a full document built around the hostile shapes still degrades
+    # (or parses) promptly end-to-end
+    objs = _base_objects("bounded")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R" + b" " * 10_000 +
+               b" /MediaBox [0 0 612 792] /Resources << /Font "
+               b"<< /F1 5 0 R >> >> /Contents 4 0 R >>")
+    t0 = time.perf_counter()
+    r = extract_pdf(_classic_pdf(objs))
+    assert time.perf_counter() - t0 < 2.0
+    assert r.text == "bounded"
