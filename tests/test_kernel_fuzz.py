@@ -1,0 +1,69 @@
+"""Seeded mutation fuzz over the document kernels (extract_pdf,
+extract_html): byte flips, truncations, splices and byte-run smears of
+valid documents must TERMINATE promptly and never leak an exception —
+extract_pdf's contract is errors-in-the-result ("never raises"), and
+extract_html returns a string for any input text.
+
+This suite is the pinned, fast subset of the larger ad-hoc fuzz that
+found three real defects in round 5 (reference-cycle resolve() hang,
+self-containing ObjStm recursion, catastrophic regex backtracking in
+the lexer/tokenizer fast paths). Seeds are fixed; each case that ever
+fails should be promoted to a named regression in
+test_adversarial_pdfs.py."""
+
+import random
+import time
+
+from pdf_parser_spark.htmlcore.extract import extract_html
+from pdf_parser_spark.htmlcore.gen import text_to_html
+from pdf_parser_spark.pdfcore.extract import extract_pdf
+from pdf_parser_spark.pdfgen import text_to_pdf
+
+
+def _mutate(valid: bytes, rng: random.Random) -> bytes:
+    b = bytearray(valid)
+    kind = rng.randrange(4)
+    if kind == 0:
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+    elif kind == 1:
+        b = b[: rng.randrange(len(b))]
+    elif kind == 2:
+        i, j = sorted(rng.randrange(len(b)) for _ in range(2))
+        b = b[:i] + b[j:] if rng.random() < 0.5 else b + b[i:j]
+    else:
+        i = rng.randrange(len(b))
+        run = rng.randrange(1, 200)
+        b[i : i + run] = bytes([rng.randrange(256)]) * min(run, len(b) - i)
+    return bytes(b)
+
+
+def test_fuzz_extract_pdf_never_raises():
+    src = "Alpha beta\ngamma (delta)\nmore text here"
+    bases = [
+        text_to_pdf(src, variant="classic"),
+        text_to_pdf(src, variant="xrefstream"),
+        text_to_pdf(src, variant="xrefstream", use_objstm=True),
+    ]
+    rng = random.Random(20260820)
+    t0 = time.perf_counter()
+    n_err = 0
+    for trial in range(600):
+        r = extract_pdf(_mutate(bases[trial % 3], rng))  # must not raise
+        n_err += r.error is not None
+    wall = time.perf_counter() - t0
+    # 600 sub-KB docs; pre-fix a single pathological one took seconds
+    assert wall < 30.0, wall
+    assert 0 < n_err < 600  # mix of degraded and survivable mutations
+
+
+def test_fuzz_extract_html_total_function():
+    base = text_to_html(
+        "Title here\nA paragraph with <odd> chars & entities\nmore"
+    ).encode()
+    rng = random.Random(5)
+    t0 = time.perf_counter()
+    for _ in range(600):
+        out = extract_html(_mutate(base, rng).decode("utf-8", "replace"))
+        assert isinstance(out, str)
+    assert time.perf_counter() - t0 < 30.0
