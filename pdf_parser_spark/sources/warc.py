@@ -122,6 +122,12 @@ def parse_warc_bytes(
             except ValueError:
                 yield None, None, None, "missing Content-Length"
                 break
+            if length < 0:
+                # a negative length is hostile input: with
+                # length == -(head_end+4) the cursor would not advance
+                # and the record loop would spin forever
+                yield None, None, None, f"negative Content-Length {length}"
+                break
             if len(rest) < head_end + 4 + length:
                 # a truncated final record must surface as an error row,
                 # not a silently short payload (errors-become-audit)

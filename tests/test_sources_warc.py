@@ -107,3 +107,49 @@ def test_warc_truncated_body_is_error_row():
     rows = list(parse_warc_bytes(both, gzipped=False))
     assert rows[0][0] == "https://x/1" and rows[0][2] == b"0123456789"
     assert rows[1][3] == "truncated record body"
+
+
+def test_warc_negative_content_length_is_error_row_not_hang():
+    """Content-Length: -(head_end+4) left the record cursor in place —
+    the while loop spun forever on one hostile record (found by fuzz,
+    round 5). Must yield an error row and stop."""
+    head = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+    assert head.find(b"\r\n\r\n") + 4 == 54  # the exact non-advancing shape
+    out = list(parse_warc_bytes(head + b"XYZ", gzipped=False))
+    assert out == [(None, None, None, "negative Content-Length -54")]
+
+
+def test_warc_mutation_fuzz_bounded():
+    """400 seeded mutations of a valid archive: the parser must
+    terminate and report malformations as error rows, never raise."""
+    import random
+    import time
+
+    recs = [
+        (f"https://ex.org/{i}", datetime(2026, 1, 1, tzinfo=timezone.utc),
+         b"<p>doc %d</p>" % i)
+        for i in range(5)
+    ]
+    base = records_to_warc_gz(recs)
+    rng = random.Random(11)
+    t0 = time.perf_counter()
+    for _ in range(400):
+        b = bytearray(base)
+        kind = rng.randrange(4)
+        if kind == 0:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif kind == 1:
+            b = b[: rng.randrange(len(b))]
+        elif kind == 2:
+            i, j = sorted(rng.randrange(len(b)) for _ in range(2))
+            b = b[:i] + b[j:] if rng.random() < 0.5 else b + b[i:j]
+        else:
+            i = rng.randrange(len(b))
+            run = rng.randrange(1, 100)
+            b[i : i + run] = bytes([rng.randrange(256)]) * min(run, len(b) - i)
+        for _ in parse_warc_bytes(bytes(b)):
+            pass
+        for _ in parse_warc_bytes(bytes(b), gzipped=False):
+            pass
+    assert time.perf_counter() - t0 < 30.0
