@@ -166,8 +166,10 @@ def _parse_cmap_cached(cmap_str: str, multibyte: bool = False) -> CMap:
         if nbytes == 1:
             if code <= 0xFF:
                 mapping[code] = dst
-        else:
+        elif code < (1 << (8 * nbytes)):
             multi[code.to_bytes(nbytes, "big")] = dst
+        # else: malformed entry (odd-digit hex like <ABC> makes the
+        # declared width smaller than the value) — skip, don't raise
 
     for line in cmap_str.splitlines():
         if multibyte:

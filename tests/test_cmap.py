@@ -196,3 +196,17 @@ def test_cid_three_and_four_byte_codespaces():
     )
     cm4 = parse_cmap(src4, multibyte=True)
     assert cm4.decode(b"\x00\x01\x00\x02") == "c"
+
+
+def test_odd_width_hex_entry_skipped_not_overflow():
+    """A malformed bfchar like <ABC> declares width 1 (3 hex digits //
+    2) while its value exceeds one byte; pre-guard this raised
+    OverflowError through extract_pdf (found by the round-5 CID fuzz).
+    Must be skipped silently; well-formed entries on other lines keep
+    working."""
+    cm = parse_cmap(
+        "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "beginbfchar\n<ABC> <0041>\n<0042> <0043>\nendbfchar",
+        multibyte=True,
+    )
+    assert cm.decode(b"\x00\x42") == "C"

@@ -57,6 +57,25 @@ def test_fuzz_extract_pdf_never_raises():
     assert 0 < n_err < 600  # mix of degraded and survivable mutations
 
 
+def test_fuzz_extract_pdf_encrypted_and_cid_bases():
+    """The decryption (RC4 R2/R3, AES R4/R6) and CID-multibyte decode
+    paths run different code than the plain kernel; fuzz them too
+    (this pass found the odd-width-hex OverflowError in cmap._put)."""
+    from pdf_parser_spark.pdfgen.writer import make_cid_text_pdf, make_text_pdf
+
+    lines = [["alpha beta", "gamma (delta)"], ["page two"]]
+    bases = [
+        make_text_pdf(lines, encrypted=True, encrypt_revision=r)
+        for r in (2, 3, 4, 6)
+    ] + [make_cid_text_pdf([["héllo wörld", "日本語テキスト", "ascii"]])]
+    rng = random.Random(99)
+    t0 = time.perf_counter()
+    for trial in range(500):
+        extract_pdf(_mutate(bases[trial % len(bases)], rng),
+                    multibyte_cmaps=(trial % len(bases) == 4))
+    assert time.perf_counter() - t0 < 30.0
+
+
 def test_fuzz_extract_html_total_function():
     base = text_to_html(
         "Title here\nA paragraph with <odd> chars & entities\nmore"
