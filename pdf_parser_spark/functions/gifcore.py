@@ -86,6 +86,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     sh = int.from_bytes(data[8:10], "little")
     if sw == 0 or sh == 0:
         raise ValueError("zero logical screen size")
+    from .multimodal import MAX_DECODE_PIXELS
+
+    if sw * sh > MAX_DECODE_PIXELS:
+        # decompression-bomb guard: LZW amplifies ~1500x, so a small
+        # file can declare a canvas costing GBs — fail before allocating
+        raise ValueError(f"image too large: {sw}x{sh}")
     packed = data[10]
     bg_index = data[11]
     pos = 13

@@ -69,6 +69,13 @@ def _sniff_bytes(raw: bytes) -> str:
             return ct
     return "application/octet-stream"
 
+# Decompression-bomb ceiling shared by the raster decoders (PNG here,
+# JPEG/GIF in their modules): max pixels per image. 64 MP passes every
+# real web image; a tiny crafted file declaring huge dimensions fails
+# fast as a ValueError row instead of minutes of CPU + GBs of buffer
+# on an executor core.
+MAX_DECODE_PIXELS = 64_000_000
+
 FEATURE_SCHEMA = (
     "url STRING, content_type STRING, payload_bytes BIGINT, "
     "feature ARRAY<FLOAT>, decode_error STRING"
@@ -165,6 +172,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    if w * h > MAX_DECODE_PIXELS:
+        # decompression-bomb guard (checked BEFORE the zlib inflate): a
+        # 62 KB all-zero 8000x8000 PNG already costs ~5 s and the full
+        # raw buffer; a crawled corpus will contain far worse on purpose
+        raise ValueError(f"image too large: {w}x{h}")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) < h * (stride + 1):

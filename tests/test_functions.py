@@ -1116,3 +1116,37 @@ def test_ivf_int8_recall(spark, emb):
     fls = {(r.q_id, r.neighbor_id) for r in fl}
     qzs = {(r.q_id, r.neighbor_id) for r in qz}
     assert len(fls & qzs) / len(fls) >= 0.7
+
+
+def test_raster_decompression_bomb_guard():
+    """Tiny files declaring huge dimensions (PNG 8200x8200, GIF/JPEG
+    60k-65k square) must fail fast as ValueError before inflating —
+    the 100 TB decompression-bomb vector. A measured 62 KB all-zero
+    8000x8000 PNG cost ~5 s and the full raw buffer pre-guard."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from pdf_parser_spark.functions.gifcore import decode_gif
+    from pdf_parser_spark.functions.jpegcore import decode_jpeg
+    from pdf_parser_spark.functions.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8200, 8200, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+    gif = (b"GIF89a" + (60000).to_bytes(2, "little")
+           + (60000).to_bytes(2, "little") + bytes([0x00, 0, 0]) + b"\x3b")
+    jpg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+           + struct.pack(">HH", 65000, 65000) + bytes([1, 1, 0x11, 0])
+           + b"\xff\xd9")
+    t0 = time.perf_counter()
+    for fn, blob in ((decode_png, png), (decode_gif, gif), (decode_jpeg, jpg)):
+        with pytest.raises(ValueError, match="image too large"):
+            fn(blob)
+    assert time.perf_counter() - t0 < 1.0
