@@ -55,18 +55,31 @@ def apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> byt
     return bytes(out)
 
 
+# Decompression-bomb ceiling for the amplifying filters (Flate ~1000:1,
+# LZW ~1500:1, RunLength 128:1): a measured 2 MB flate stream inflates
+# to 2 GiB in ~7 s — one hostile PDF per executor core OOMs the stage.
+# 256 MiB passes any real content stream / CMap / ObjStm / xref stream
+# by orders of magnitude; oversize decode raises ValueError (the
+# kernel's caught taxonomy, so it becomes an audited error row).
+MAX_DECODED_STREAM_BYTES = 256 * 1024 * 1024
+
+
 def flate_decode(data: bytes, decode_parms: dict | None = None) -> bytes:
-    """FlateDecode with optional /Predictor DecodeParms."""
+    """FlateDecode with optional /Predictor DecodeParms, output-capped
+    (decompressobj + max_length — the bomb never materializes).
+    Trailing garbage / missing adler are tolerated (seen in the wild);
+    genuinely corrupt data raises ValueError."""
     try:
-        raw = zlib.decompress(data)
-    except zlib.error:
-        # tolerate trailing garbage / missing adler (seen in the wild)
-        try:
-            raw = zlib.decompressobj().decompress(data)
-        except zlib.error as exc:
-            # genuinely corrupt stream → ValueError, the kernel's
-            # caught taxonomy ("never raises" extract_pdf contract)
-            raise ValueError(f"FlateDecode failed: {exc}") from exc
+        d = zlib.decompressobj()
+        raw = d.decompress(data, MAX_DECODED_STREAM_BYTES + 1)
+    except zlib.error as exc:
+        # genuinely corrupt stream → ValueError, the kernel's
+        # caught taxonomy ("never raises" extract_pdf contract)
+        raise ValueError(f"FlateDecode failed: {exc}") from exc
+    if len(raw) > MAX_DECODED_STREAM_BYTES:
+        raise ValueError(
+            f"FlateDecode output exceeds {MAX_DECODED_STREAM_BYTES} bytes"
+        )
     if decode_parms:
         predictor = int(decode_parms.get("Predictor", 1) or 1)
         if predictor >= 10:
@@ -120,6 +133,10 @@ def runlength_decode(data: bytes) -> bytes:
                 raise ValueError("RunLengthDecode: truncated repeat run")
             out += bytes([data[pos]]) * (257 - length)
             pos += 1
+        if len(out) > MAX_DECODED_STREAM_BYTES:
+            raise ValueError(
+                f"RunLengthDecode output exceeds {MAX_DECODED_STREAM_BYTES} bytes"
+            )
     return bytes(out)
 
 
@@ -165,6 +182,10 @@ def lzw_decode(data: bytes, decode_parms: dict | None = None) -> bytes:
             else:
                 raise ValueError(f"LZWDecode: invalid code {code}")
             out += entry
+            if len(out) > MAX_DECODED_STREAM_BYTES:
+                raise ValueError(
+                    f"LZWDecode output exceeds {MAX_DECODED_STREAM_BYTES} bytes"
+                )
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry

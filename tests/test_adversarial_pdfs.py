@@ -360,3 +360,36 @@ def test_regex_backtracking_bounded():
     r = extract_pdf(_classic_pdf(objs))
     assert time.perf_counter() - t0 < 2.0
     assert r.text == "bounded"
+
+
+def test_flate_bomb_rejected_without_materializing():
+    """A ~2 MB flate stream declaring 2 GiB of zeros must raise
+    ValueError via the output cap (decompressobj max_length), not
+    inflate: one hostile stream per core would OOM a 32-task stage."""
+    import time
+    import zlib
+
+    import pytest
+
+    from pdf_parser_spark.pdfcore.filters import (
+        MAX_DECODED_STREAM_BYTES,
+        flate_decode,
+        lzw_decode,
+        runlength_decode,
+    )
+
+    comp = zlib.compressobj(9)
+    parts = [comp.compress(b"\x00" * (1 << 20)) for _ in range(2048)]
+    parts.append(comp.flush())
+    bomb = b"".join(parts)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="exceeds"):
+        flate_decode(bomb)
+    with pytest.raises(ValueError, match="exceeds"):
+        runlength_decode(b"\x81\x00" * (3 * 1024 * 1024))
+    assert time.perf_counter() - t0 < 10.0
+    # tolerance behaviors preserved: trailing garbage and missing adler
+    data = b"hello world " * 1000
+    assert flate_decode(zlib.compress(data) + b"JUNK") == data
+    assert flate_decode(zlib.compress(data)[:-4]) == data
+    assert MAX_DECODED_STREAM_BYTES >= 64 * 1024 * 1024
