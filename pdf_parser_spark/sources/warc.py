@@ -77,16 +77,33 @@ def records_to_warc_gz(records: list[tuple[str, datetime, bytes]]) -> bytes:
     return out.getvalue()
 
 
+# Per-member inflate ceiling: WARC members are one-record gzip blobs;
+# a hostile archive can make a tiny member inflate to GBs (same
+# decompression-bomb class as pdfcore/filters.py). 256 MiB passes any
+# real crawl record with room to spare.
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
+class _MemberTooLarge(ValueError):
+    pass
+
+
 def _split_members(data: bytes) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream member-by-member."""
+    """Decompress a multi-member gzip stream member-by-member.
+    Raises :class:`_MemberTooLarge` when a member's output exceeds the
+    bomb ceiling (parse_warc_bytes turns that into an error row)."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(data[pos:])
+            chunk = d.decompress(data[pos:], MAX_MEMBER_BYTES + 1)
         except zlib.error:
             return  # trailing garbage / truncated member: stop cleanly
+        if len(chunk) > MAX_MEMBER_BYTES:
+            raise _MemberTooLarge(
+                f"gzip member inflates past {MAX_MEMBER_BYTES} bytes"
+            )
         yield chunk
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
@@ -100,7 +117,14 @@ def parse_warc_bytes(
     """(url, ts, payload, error) per record; header failures yield an
     error row instead of raising."""
     members = _split_members(data) if gzipped else iter([data])
-    for member in members:
+    while True:
+        try:
+            member = next(members)
+        except StopIteration:
+            break
+        except _MemberTooLarge as exc:
+            yield None, None, None, str(exc)
+            break
         # an uncompressed stream may hold many records back-to-back
         rest = member
         while rest.strip():

@@ -153,3 +153,19 @@ def test_warc_mutation_fuzz_bounded():
         for _ in parse_warc_bytes(bytes(b), gzipped=False):
             pass
     assert time.perf_counter() - t0 < 30.0
+
+
+def test_warc_gzip_member_bomb_is_error_row():
+    """A ~500 KB gzip member declaring 512 MB of zeros must surface as
+    one error row (bounded inflate via max_length), not materialize."""
+    import time
+    import zlib
+
+    comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+    parts = [comp.compress(b"\x00" * (1 << 20)) for _ in range(512)]
+    parts.append(comp.flush())
+    t0 = time.perf_counter()
+    rows = list(parse_warc_bytes(b"".join(parts)))
+    assert time.perf_counter() - t0 < 10.0
+    assert rows == [(None, None, None,
+                     "gzip member inflates past 268435456 bytes")]
