@@ -499,10 +499,19 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise PdfError("missing /Pages root")
         out: list[dict] = []
+        # Visit budget alongside the depth guard: depth alone does not
+        # bound the walk — a Pages node whose /Kids lists the same
+        # child twice, chained 40 deep, is 2^40 VISITS from 40 objects
+        # (verified: hangs without this). Real trees visit ~2x their
+        # page count.
+        budget = [1_000_000]
 
         def walk(node: dict, inherited: dict, depth: int = 0) -> None:
             if depth > 64:
                 raise PdfError("page tree too deep")
+            budget[0] -= 1
+            if budget[0] < 0:
+                raise PdfError("page tree too large")
             inh = dict(inherited)
             for key in INHERITABLE:
                 if key in node:
@@ -529,10 +538,14 @@ class PdfDocument:
         direct (non-Ref) kid — rare, and not incrementally updatable."""
         cat = self.catalog()
         out: list[int | None] = []
+        budget = [1_000_000]  # same shared-kid explosion guard as pages()
 
         def walk(ref_or_obj, depth: int = 0) -> None:
             if depth > 64:
                 raise PdfError("page tree too deep")
+            budget[0] -= 1
+            if budget[0] < 0:
+                raise PdfError("page tree too large")
             obj = self.resolve(ref_or_obj)
             if not isinstance(obj, dict):
                 return

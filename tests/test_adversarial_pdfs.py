@@ -393,3 +393,23 @@ def test_flate_bomb_rejected_without_materializing():
     assert flate_decode(zlib.compress(data) + b"JUNK") == data
     assert flate_decode(zlib.compress(data)[:-4]) == data
     assert MAX_DECODED_STREAM_BYTES >= 64 * 1024 * 1024
+
+
+def test_page_tree_shared_kid_explosion_bounded():
+    """A Pages chain whose every node lists the same child TWICE is
+    2^40 page-tree VISITS from 40 objects — it passes the depth guard
+    (depth 41) and hung the walk pre-budget. Must degrade fast."""
+    import time
+
+    N = 40
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    for k in range(2, 2 + N):
+        objs[k] = (b"<< /Type /Pages /Kids [%d 0 R %d 0 R] /Count 2 >>"
+                   % (k + 1, k + 1))
+    leaf = 2 + N
+    objs[leaf] = b"<< /Type /Page /MediaBox [0 0 612 792] >>"
+    pdf = _classic_pdf(objs)
+    t0 = time.perf_counter()
+    r = extract_pdf(pdf)
+    assert time.perf_counter() - t0 < 30.0
+    assert "page tree too large" in (r.error or "")
