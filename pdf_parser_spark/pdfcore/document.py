@@ -576,11 +576,21 @@ class PdfDocument:
         if contents is None:
             return b""
         if isinstance(contents, list):
+            # total-size cap: an array can reference the SAME stream
+            # many times (700 KB of refs x a 1 MB stream = 100 GB
+            # concat) — same shared-object amplification class as the
+            # page-tree visit budget. 256 MiB matches the filter cap.
+            cap = 256 * 1024 * 1024
+            total = 0
             parts = []
             for item in contents:
                 item = self.resolve(item)
                 if isinstance(item, Stream):
-                    parts.append(self.stream_bytes(item))
+                    data = self.stream_bytes(item)
+                    total += len(data)
+                    if total > cap:
+                        raise PdfError("contents array too large")
+                    parts.append(data)
             return b"".join(parts)
         if isinstance(contents, Stream):
             return self.stream_bytes(contents)

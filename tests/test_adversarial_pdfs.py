@@ -413,3 +413,29 @@ def test_page_tree_shared_kid_explosion_bounded():
     r = extract_pdf(pdf)
     assert time.perf_counter() - t0 < 30.0
     assert "page tree too large" in (r.error or "")
+
+
+def test_contents_array_amplification_bounded():
+    """A /Contents array referencing the same stream thousands of times
+    amplifies one stream into an unbounded concat; the per-page cap
+    degrades the page instead (error recorded, doc-level walk survives)."""
+    import zlib
+
+    content = _content("amplified")
+    # a ~1 MB decoded stream, flate-packed small
+    big = b"% pad\n" * 200_000 + content
+    comp = zlib.compress(big)
+    objs = _base_objects("ignored")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 6 0 R >>")
+    # 300 refs x ~1.4 MB decoded = ~420 MB > 256 MiB cap
+    objs[6] = b"[" + b" ".join(b"7 0 R" for _ in range(300)) + b"]"
+    objs[7] = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+               + comp + b"\nendstream")
+    del objs[4]
+    import time
+
+    t0 = time.perf_counter()
+    r = extract_pdf(_classic_pdf(objs))
+    assert time.perf_counter() - t0 < 30.0
+    assert "contents array too large" in (r.error or "")
