@@ -109,7 +109,16 @@ def html_blocks(html_text: str) -> list[Block]:
     boiler_depth = 0
     a_depth = 0
 
-    unescape = _html.unescape
+    def unescape(seg: str) -> str:
+        # html.unescape int()s numeric references; CPython raises
+        # ValueError past 4300 digits (int-str conversion limit), so a
+        # crawled `&#9…9;` bomb would leak through the total-function
+        # contract. Keep the segment raw in that case.
+        try:
+            return _html.unescape(seg)
+        except ValueError:
+            return seg
+
     flags_get = _TAG_FLAGS.get
     buf_append = buf.append
 

@@ -103,3 +103,19 @@ def test_adversarial_html_never_raises_or_hangs():
     for h in cases:
         assert isinstance(extract_html(h), str)
     assert time.time() - t0 < 20
+
+
+def test_numeric_entity_bomb_kept_raw():
+    """html.unescape raises ValueError past CPython's 4300-digit
+    int-conversion limit; a crawled &#99…9; bomb must not break the
+    total-function contract — the segment stays raw."""
+    bomb = "&#" + "9" * 100_000 + ";"
+    out = extract_html(f"<html><body><p>keep {bomb} going</p></body></html>")
+    assert "keep" in out and "going" in out
+    # normal numeric entities still decode (pad past the block-scoring
+    # threshold so the paragraph is treated as main content)
+    pad = "filler words to pass the main-content scorer " * 4
+    out2 = extract_html(
+        f"<html><body><p>A&#66;C and &#x44; {pad}</p></body></html>"
+    )
+    assert "ABC" in out2 and "D " in out2
