@@ -1150,3 +1150,34 @@ def test_raster_decompression_bomb_guard():
         with pytest.raises(ValueError, match="image too large"):
             fn(blob)
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_pii_spark_pattern_equivalent_and_linear(spark):
+    """The Java-side email pattern (start-of-run lookbehind) must have
+    the same match set as the RE2/oracle pattern — pinned here on
+    adversarial shapes — and must stay fast on the dotted hostile text
+    that made the bare pattern quadratic (24 s at 160 KB, measured)."""
+    import re
+    import time
+
+    from pdf_parser_spark.functions import pii
+
+    base = pii.PII_PATTERNS[0][1]
+    hard = pii.spark_pattern("email", base)
+    cases = [
+        "plain bob@x.io end",
+        "-bob@x.io", "..bob@x.io", "a@b@c.io", "pre@@dom.com",
+        "a@b.io c@d.io", "%+_@mail.example.co.uk",
+        "a." * 500 + "@", "@" * 50, "a@" + "b." * 300 + "cc",
+        "x" * 100 + "@y.io", "no match at all",
+        "trail.dot.@x.io", "a@-.-.io",
+    ]
+    for t in cases:
+        assert re.findall(hard, t) == re.findall(base, t), t
+    # hostile dotted text through the real Spark expression
+    hostile = "a." * 80_000 + "@ tail bob@x.io"
+    df = spark.createDataFrame([(1, hostile)], "doc_id INT, text STRING")
+    t0 = time.perf_counter()
+    row = pii.with_pii_scrub(df).head()
+    assert time.perf_counter() - t0 < 20.0  # bare pattern: ~24s regex alone
+    assert row["n_email"] == 1 and row["scrubbed"].endswith("<EMAIL>")
