@@ -108,3 +108,57 @@ def test_every_truncation_point_terminates():
                 pass
         # only a handful of boundary cuts may succeed
         assert n_ok < len(enc) // 10
+
+
+# ------------------------------------------------------ property round-trips
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_parser_spark.functions.webmcore import encode_webm, webm_stats
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    rate=st.sampled_from([8000, 22050, 44100, 48000]),
+    spp=st.integers(64, 8192),
+    ch=st.integers(1, 8),
+    serial=st.integers(1, 2**31 - 1),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ogg_roundtrip_property(n, rate, spp, ch, serial, seed):
+    s = ogg_stats(encode_ogg_vorbis(n, rate, ch, spp, serial, seed))
+    assert s == {
+        "sample_rate": rate,
+        "channels": ch,
+        "n_pages": n + 1,
+        "duration_ms": n * spp * 1000 // rate,
+        "eos": 1,
+    }
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    dur=st.integers(0, 10**9),
+    w=st.integers(1, 8192),
+    h=st.integers(1, 8192),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    ch=st.integers(1, 8),
+    nc=st.integers(0, 30),
+    seed=st.integers(0, 2**31 - 1),
+    unknown=st.booleans(),
+)
+def test_webm_roundtrip_property(dur, w, h, rate, ch, nc, seed, unknown):
+    s = webm_stats(
+        encode_webm(dur, w, h, rate, ch, nc, seed, unknown_segment_size=unknown)
+    )
+    assert s == {
+        "duration_ms": dur,
+        "width": w,
+        "height": h,
+        "sample_rate": rate,
+        "channels": ch,
+        "n_video": 1,
+        "n_audio": 1,
+        "n_clusters": nc,
+    }
