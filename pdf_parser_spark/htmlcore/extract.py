@@ -23,19 +23,26 @@ import html as _html
 import re
 from dataclasses import dataclass
 
-_TOKEN_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>|[^<]+", re.S)
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>|[^<]+", re.S
+)
 _TAG_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 # markup-only tokenizer (round-5 rework): text between tags is taken by
 # SLICING the source between consecutive markup matches, so text tokens
-# allocate no match objects at all. Alternatives and order match
-# _TOKEN_RE's markup half exactly; group(2) = named tag, else
+# allocate no match objects at all. group(2) = named tag, else
 # comment/CDATA/nameless markup (skipped, uncounted — same as _TAG_RE
-# failing to match). An inter-tag slice can never contain '<': any '<'
-# with a later '>' is consumed as markup by `<[^>]*>`, so only the tail
-# after the last markup can hold bare '<'s (handled by split('<'),
-# which reproduces the old regex's skip-one-char resync per token).
+# failing to match). An inter-tag slice can never contain '<': the
+# scan stops at the LAST '>' of the document (nothing past it can be
+# markup — see html_blocks), so within the scanned region every '<'
+# has a later '>' and is consumed by `<[^>]*>`; bare-'<' tails are
+# handled by split('<'), which reproduces the old regex's
+# skip-one-char resync per token. Unterminated comments/CDATA swallow
+# to the end of the region (`|$`) — the HTML spec's eof-in-comment
+# behavior, and the reason a failing `-->` scan can't repeat at every
+# `<!--` (a crawled `<!-- >' x n page was QUADRATIC pre-fix: 18 s at
+# 200 KB of markup junk).
 _MARKUP_RE = re.compile(
-    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>"
+    r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"
     r"|<[^>]*>",
     re.S,
@@ -144,7 +151,11 @@ def html_blocks(html_text: str) -> list[Block]:
         buf_tag_count = 0
 
     pos = 0
-    for m in _MARKUP_RE.finditer(html_text):
+    # markup can only exist up to the last '>' — bounding the scan
+    # there makes every '<' inside the region match (no '>'-less
+    # O(n) failure rescans), so a '<'-run page costs O(n), not O(n²)
+    markup_end = html_text.rfind(">") + 1
+    for m in _MARKUP_RE.finditer(html_text, 0, markup_end):
         start = m.start()
         if start > pos and not skip_depth:
             seg = html_text[pos:start]

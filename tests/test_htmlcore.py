@@ -119,3 +119,27 @@ def test_numeric_entity_bomb_kept_raw():
         f"<html><body><p>A&#66;C and &#x44; {pad}</p></body></html>"
     )
     assert "ABC" in out2 and "D " in out2
+
+
+def test_markup_junk_pages_linear():
+    """Crawled markup junk ('<'*n, '<a '*n, '<!-- >'*n) made the
+    tokenizer quadratic pre-fix (18 s at 200 KB): failing '>'-less or
+    '-->'-less scans repeated at every '<'. The last-'>' scan bound
+    plus eof-in-comment swallowing make these O(n); bound generously."""
+    import time
+
+    t0 = time.perf_counter()
+    for s in ("<" * 500_000, "<a " * 200_000, "<!-- >" * 100_000):
+        out = extract_html(s)
+        assert isinstance(out, str)
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_unterminated_comment_swallows_to_eof():
+    # HTML spec eof-in-comment: everything after an unterminated
+    # <!-- is comment, not content
+    out = extract_html(
+        "<html><body><p>keep this paragraph of reasonable length"
+        "</p><!-- cut " + "x" * 80 + "</body></html>"
+    )
+    assert "keep" in out and "xxx" not in out
