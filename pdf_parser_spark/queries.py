@@ -4173,6 +4173,102 @@ def host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "robots_gate",
+    # arithmetic reconstruction of the rule outcome (mirrors the
+    # synthesis contract in the query body): v = host-variant (0 ⇒ the
+    # host's robots grants Allow: /private/doc), p = private path,
+    # t = .tmp path. RFC 9309 longest-match: Allow(/private/doc, 12)
+    # beats Disallow(/private/, 9) and Disallow(/*.tmp$, 7).
+    "WITH d AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE 'site-' || (doc_id % 97) || '.example.com' END AS host, "
+    "CASE WHEN doc_id % 10 < 4 THEN 0 ELSE (doc_id % 97) % 2 END AS v, "
+    "(doc_id % 7 = 0) AS p, (doc_id % 5 = 0) AS t FROM documents), "
+    "p2 AS (SELECT *, '/' || CASE WHEN p THEN 'private' ELSE 'public' END "
+    "|| '/doc' || doc_id || CASE WHEN t THEN '.tmp' ELSE '.html' END "
+    "AS path FROM d) "
+    "SELECT 'https://' || host || path AS url, path, "
+    "CASE WHEN p AND v = 0 THEN 1 WHEN p THEN 0 WHEN t THEN 0 "
+    "ELSE 1 END::BIGINT AS allowed FROM p2",
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate end-to-end (functions/robots.py —
+    RFC 9309): synthesize a real robots.txt PER HOST (a hostile ``*``
+    group that disallows everything — so wrong agent-group selection
+    fails loudly — plus a ``trainbot`` group with prefix, longest-match
+    Allow-override, and ``$``-anchored wildcard rules; the Allow rule's
+    presence derives from the host name), parse it with the full text
+    parser executor-side, and apply the relational filter: broadcast
+    rule table, one JVM regexp per (url, rule), RFC winner via
+    ``max(struct(rule_len, allow))``. The oracle recomputes every
+    verdict arithmetically from doc_id, so a wrong group merge, length
+    tie-break, anchor translation, or a lost no-rule-matched url fails
+    the hash."""
+    from pdf_parser_spark.functions.robots import (
+        robots_filter,
+        robots_rules_df,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(
+        F.pmod("doc_id", F.lit(10)) < 4, F.lit("heavy.example.org")
+    ).otherwise(
+        F.concat(
+            F.lit("site-"),
+            F.pmod("doc_id", F.lit(97)).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("private")).otherwise(
+            F.lit("public")
+        ),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(".tmp")).otherwise(
+            F.lit(".html")
+        ),
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+    )
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def synth_robots(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        rows = []
+        for pdf in batches:
+            for h in pdf["host"]:
+                if h == "heavy.example.org":
+                    v = 0
+                else:
+                    v = int(h.split("-")[1].split(".")[0]) % 2
+                txt = (
+                    "# synthetic politeness file\n"
+                    "User-agent: *\nDisallow: /\n\n"
+                    "User-agent: trainbot\n"
+                    "Disallow: /private/\n"
+                    + ("Allow: /private/doc\n" if v == 0 else "")
+                    + "Disallow: /*.tmp$\n"
+                )
+                rows.append({"host": h, "robots_txt": txt})
+        yield _pd.DataFrame(rows, columns=["host", "robots_txt"])
+
+    robots = urls.select("host").distinct().mapInPandas(
+        synth_robots, schema="host STRING, robots_txt STRING"
+    )
+    rules = robots_rules_df(robots, agent="trainbot")
+    return robots_filter(urls, rules).select(
+        "url", "path", F.col("allowed").cast("bigint").alias("allowed")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (iterative merge learning)
 
@@ -4665,8 +4761,8 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
-    "mp3_metadata", "ogg_metadata", "webm_metadata", "dsir_select",
-    "ccnet_buckets",
+    "mp3_metadata", "ogg_metadata", "webm_metadata", "robots_gate",
+    "dsir_select", "ccnet_buckets",
     "paragraph_dedup", "gopher_rules",
     # --- never driver-checked in any round (r1-r4) ---
     "training_order", "upsample_repeat",
