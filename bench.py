@@ -106,6 +106,7 @@ HEADLINE = [
     "mp3_metadata",
     "ogg_metadata",
     "webm_metadata",
+    "robots_gate",
     "dsir_select",
     "ccnet_buckets",
     "paragraph_dedup",
