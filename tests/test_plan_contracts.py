@@ -557,3 +557,14 @@ def test_paragraph_dedup_hash_equi_join_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_robots_gate_broadcasts_rules_no_cartesian(spark):
+    """The rule table must broadcast against the corpus (rules are
+    per-host, tiny) and the RFC winner must be a hash aggregate —
+    no sort-merge join, no cartesian, no global sort."""
+    plan = _plan(spark, "robots_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "rangepartitioning" not in plan.lower()
