@@ -387,7 +387,13 @@ def test_flate_bomb_rejected_without_materializing():
         flate_decode(bomb)
     with pytest.raises(ValueError, match="exceeds"):
         runlength_decode(b"\x81\x00" * (3 * 1024 * 1024))
-    assert time.perf_counter() - t0 < 10.0
+    # Bound is generous on purpose: the guard itself is O(cap), but
+    # faulting the 256 MiB capped buffer varies 0.7-13s on this
+    # container (raw zlib.decompressobj().decompress(data, cap+1) of
+    # the identical bytes measured at both extremes back-to-back).
+    # Pre-fix behavior — materializing the full 2 GiB — takes minutes
+    # and still trips this.
+    assert time.perf_counter() - t0 < 60.0
     # tolerance behaviors preserved: trailing garbage and missing adler
     data = b"hello world " * 1000
     assert flate_decode(zlib.compress(data) + b"JUNK") == data
