@@ -107,6 +107,9 @@ HEADLINE = [
     "ogg_metadata",
     "webm_metadata",
     "robots_gate",
+    "crawl_schedule",
+    "sitemap_discovery",
+    "soft404_filter",
     "dsir_select",
     "ccnet_buckets",
     "paragraph_dedup",

@@ -234,3 +234,43 @@ def suffix_blocked_expr(host_col: Column | str, suffixes: list[str]) -> Column:
         F.array(*[F.lit(s) for s in suffixes]),
         lambda s: (h == s) | h.endswith(F.concat(F.lit("."), s)),
     )
+
+
+# Soft-404 phrase inventory: the page-body strings error pages emit
+# while still returning HTTP 200 (the classic crawl-corpus pollutant —
+# Bar-Yossef et al., "Sic transit gloria telae", WWW 2004). Matched
+# case-insensitively as plain substrings (no regex: the list is the
+# contract, and substring scans are linear and codegen-friendly).
+SOFT404_PHRASES = (
+    "page not found",
+    "404 error",
+    "error 404",
+    "does not exist",
+    "no longer available",
+    "has been removed",
+    "could not be found",
+)
+
+# A page this short that also carries an error phrase is almost
+# certainly a soft 404; the length signal alone is only a weak +1.
+SOFT404_SHORT_CHARS = 300
+
+
+def soft404_score_expr(text_col: Column | str) -> Column:
+    """Integer soft-404 evidence score: +2 per distinct error phrase
+    present (case-insensitive substring), +1 when the body is shorter
+    than SOFT404_SHORT_CHARS. Pure map-side built-ins — the score is
+    exact integer arithmetic so the relational result replays
+    bit-for-bit from SQL."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(t)
+    score = F.when(F.length(t) < SOFT404_SHORT_CHARS, 1).otherwise(0)
+    for p in SOFT404_PHRASES:
+        score = score + F.when(low.contains(p), 2).otherwise(0)
+    return score
+
+
+def soft404_flag_expr(text_col: Column | str, threshold: int = 2) -> Column:
+    """True when the evidence score reaches *threshold* (default 2 —
+    any error phrase flags; the short-body signal alone never does)."""
+    return soft404_score_expr(text_col) >= threshold

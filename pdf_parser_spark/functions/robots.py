@@ -41,10 +41,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_robots_text",
+    "parse_crawl_delay",
+    "parse_sitemaps",
     "rule_to_regex",
     "is_allowed",
     "robots_rules_df",
+    "robots_meta_df",
     "robots_filter",
+    "crawl_schedule",
 ]
 
 
@@ -81,6 +85,71 @@ def parse_robots_text(text: str, agent: str) -> list[tuple[bool, str]]:
         if "*" in cur_agents:
             star.append(rule)
     return exact if exact else star
+
+
+def parse_crawl_delay(text: str, agent: str) -> float | None:
+    """Group-scoped ``Crawl-delay:`` for *agent* — same RFC 9309 group
+    selection as the rules: a group naming the agent wins over the
+    ``*`` groups; within the binding groups the LARGEST delay applies
+    (the conservative merge when several groups bind). Not part of RFC
+    9309 itself (it ignores unknown lines) but the de-facto politeness
+    extension every major crawler honors; unparseable values are
+    ignored like any unknown line."""
+    agent = agent.lower()
+    exact: list[float] = []
+    star: list[float] = []
+    cur_agents: list[str] = []
+    in_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_header:
+                cur_agents = []
+                in_header = True
+            cur_agents.append(val.lower())
+            continue
+        in_header = False
+        if key != "crawl-delay":
+            continue
+        try:
+            delay = float(val)
+        except ValueError:
+            continue
+        if delay < 0:
+            continue
+        if agent in cur_agents:
+            exact.append(delay)
+        if "*" in cur_agents:
+            star.append(delay)
+    if exact:
+        return max(exact)
+    return max(star) if star else None
+
+
+def parse_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` lines are file-global (outside any group — the
+    sitemaps.org extension RFC 9309 §2.3 lets through as "other
+    records"): every one applies regardless of user-agent. Returned in
+    file order, first occurrence wins on duplicates."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
 
 
 def rule_to_regex(pattern: str) -> str:
@@ -141,6 +210,81 @@ def robots_rules_df(
 
     return robots.select(host_col, text_col).mapInPandas(
         run, schema="host STRING, allow BOOLEAN, rule_len INT, rule_re STRING"
+    )
+
+
+def robots_meta_df(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay, sitemaps) — the
+    non-rule politeness metadata: the agent's group-scoped
+    ``Crawl-delay`` (null when absent) and the file-global ``Sitemap``
+    list. One row per host either way, so the output broadcasts just
+    like the rule table."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for host, txt in zip(pdf[host_col], pdf[text_col]):
+                rows.append(
+                    {
+                        "host": host,
+                        "crawl_delay": parse_crawl_delay(txt or "", agent),
+                        "sitemaps": parse_sitemaps(txt or ""),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["host", "crawl_delay", "sitemaps"]
+            )
+
+    return robots.select(host_col, text_col).mapInPandas(
+        run,
+        schema="host STRING, crawl_delay DOUBLE, sitemaps ARRAY<STRING>",
+    )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    meta: DataFrame,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware fetch schedule: per host, URLs are assigned
+    sequential slots (deterministic url order) and a fetch offset of
+    ``slot * crawl_delay`` seconds — the frontier shape a distributed
+    fetcher consumes (sort the whole output by fetch_at_s and hosts
+    interleave into waves automatically; within a host the delay is
+    honored by construction).
+
+    Plan: the per-host metadata broadcasts (one row per host); the
+    slot is a row_number window PARTITIONED BY HOST — never a global
+    sort. A per-host sequential order is irreducible for politeness
+    (slots are inherently serial per host), so the window's partition
+    size is each host's URL count; at crawl scale that is exactly the
+    quantity `host_cap` bounds upstream, and the schedule horizon
+    (max fetch_at_s) makes oversized hosts visible rather than
+    hidden. Hosts with no robots metadata get *default_delay*."""
+    from pyspark.sql import Window
+
+    joined = urls.join(
+        F.broadcast(meta.select(host_col, "crawl_delay")),
+        on=host_col,
+        how="left",
+    )
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    slot = F.row_number().over(w) - F.lit(1)
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return joined.select(
+        *urls.columns,
+        slot.alias("slot"),
+        (slot.cast("double") * delay).alias("fetch_at_s"),
     )
 
 

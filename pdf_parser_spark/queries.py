@@ -4269,6 +4269,223 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared synthesis for the politeness-metadata queries (crawl_schedule,
+# sitemap_discovery): one robots.txt per host carrying a decoy ``*``
+# Crawl-delay (wrong group selection fails loudly), the trainbot
+# delay(s), and Sitemap lines (with a duplicate — first-wins dedup is
+# part of the contract). Hosts with num % 5 == 0 have NO robots file at
+# all, exercising the default-delay path. num = 0 for the heavy host,
+# 1 + doc_id % 97 for site hosts (so a site's num is never 0).
+def _synth_politeness_robots(urls):
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def synth(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for h in pdf["host"]:
+                if h == "heavy.example.org":
+                    num = 0
+                else:
+                    num = 1 + int(h.split("-")[1].split(".")[0])
+                if num != 0 and num % 5 == 0:
+                    continue  # no robots.txt for this host
+                delay = "0.5" if num == 0 else str(1 + num % 3)
+                txt = (
+                    "# synthetic politeness file\n"
+                    "User-agent: *\nCrawl-delay: 9\nDisallow: /tmp/\n\n"
+                    "User-agent: trainbot\n"
+                    f"Crawl-delay: {delay}\n"
+                    f"Sitemap: https://{h}/sitemap.xml\n"
+                )
+                if num != 0 and num % 4 == 0:
+                    txt += (
+                        "\nUser-agent: trainbot\nCrawl-delay: 2.5\n"
+                    )
+                if num % 2 == 0:
+                    txt += f"Sitemap: https://{h}/sitemap-news.xml\n"
+                # duplicate line: parse_sitemaps must first-wins dedup
+                txt += f"Sitemap: https://{h}/sitemap.xml\n"
+                rows.append({"host": h, "robots_txt": txt})
+            yield _pd.DataFrame(rows, columns=["host", "robots_txt"])
+
+    return urls.select("host").distinct().mapInPandas(
+        synth, schema="host STRING, robots_txt STRING"
+    )
+
+
+# num as derivable in SQL from a distinct-host row (mirrors the
+# synthesis contract above)
+_POLITE_HOSTS_SQL = (
+    "SELECT host, CASE WHEN host = 'heavy.example.org' THEN 0 "
+    "ELSE 1 + CAST(regexp_extract(host, 'site-(\\d+)', 1) AS BIGINT) END "
+    "AS num FROM (SELECT DISTINCT "
+    "CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE 'site-' || (doc_id % 97) || '.example.com' END AS host "
+    "FROM documents)"
+)
+
+
+@q(
+    "crawl_schedule",
+    # arithmetic twin of the parsed delay: heavy → 0.5 (exact trainbot
+    # group), site-num → max over the binding trainbot groups
+    # (1 + num % 3, plus 2.5 when num % 4 == 0), no-robots hosts
+    # (num % 5 == 0) → the 1.0 default. Slot/fetch arithmetic is the
+    # same per-host window both sides.
+    "WITH h AS (" + _POLITE_HOSTS_SQL + "), "
+    "d AS (SELECT host, CAST(CASE "
+    "WHEN num = 0 THEN 0.5 "
+    "WHEN num % 5 = 0 THEN 1.0 "
+    "WHEN num % 4 = 0 THEN greatest(1 + num % 3, 2.5) "
+    "ELSE 1 + num % 3 END AS DOUBLE) AS delay FROM h), "
+    "u AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 10 < 4 THEN 'heavy.example.org' "
+    "ELSE 'site-' || (doc_id % 97) || '.example.com' END AS host "
+    "FROM documents) "
+    "SELECT url, host, slot, slot * delay AS fetch_at_s FROM ("
+    "SELECT 'https://' || u.host || '/doc' || doc_id AS url, u.host, "
+    "CAST(row_number() OVER (PARTITION BY u.host "
+    "ORDER BY 'https://' || u.host || '/doc' || doc_id) - 1 AS BIGINT) "
+    "AS slot, d.delay FROM u JOIN d ON u.host = d.host)",
+)
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch schedule end-to-end: synthesize a
+    robots.txt per host (decoy ``*`` Crawl-delay, multiple binding
+    trainbot groups — the conservative max merge — fractional delays,
+    and hosts with no robots at all), parse the delays with the real
+    group-selection parser executor-side, and lay out the frontier
+    with :func:`robots.crawl_schedule` — broadcast metadata join plus
+    a host-partitioned row_number window, never a global sort. The
+    oracle reconstructs every delay arithmetically, so a wrong group
+    merge, a lost no-robots host, or a drifted slot ordering fails
+    the hash."""
+    from pdf_parser_spark.functions.robots import (
+        crawl_schedule as _sched,
+        robots_meta_df,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(
+        F.pmod("doc_id", F.lit(10)) < 4, F.lit("heavy.example.org")
+    ).otherwise(
+        F.concat(
+            F.lit("site-"),
+            F.pmod("doc_id", F.lit(97)).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+    )
+    robots = _synth_politeness_robots(urls)
+    meta = robots_meta_df(robots, agent="trainbot")
+    out = _sched(urls, meta, default_delay=1.0)
+    return out.select(
+        "url", "host", F.col("slot").cast("bigint").alias("slot"),
+        "fetch_at_s",
+    )
+
+
+@q(
+    "sitemap_discovery",
+    # every robots-bearing host lists sitemap.xml; even num adds
+    # sitemap-news.xml; the duplicate trailing line must NOT produce a
+    # third row (first-wins dedup)
+    "WITH h AS (" + _POLITE_HOSTS_SQL + "), "
+    "k AS (SELECT host, num FROM h WHERE num = 0 OR num % 5 <> 0) "
+    "SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap FROM k "
+    "UNION ALL "
+    "SELECT host, 'https://' || host || '/sitemap-news.xml' FROM k "
+    "WHERE num % 2 = 0",
+)
+def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (the crawl-seeding pass):
+    parse the file-global ``Sitemap:`` lines with first-wins dedup —
+    cross-group per the sitemaps.org extension — and explode to one
+    (host, sitemap) row each. The robots table is per-host (tiny); the
+    whole query never touches the corpus beyond the distinct-host
+    projection."""
+    from pdf_parser_spark.functions.robots import robots_meta_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(
+        F.pmod("doc_id", F.lit(10)) < 4, F.lit("heavy.example.org")
+    ).otherwise(
+        F.concat(
+            F.lit("site-"),
+            F.pmod("doc_id", F.lit(97)).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    urls = docs.select(host.alias("host"))
+    robots = _synth_politeness_robots(urls)
+    meta = robots_meta_df(robots, agent="trainbot")
+    return meta.select(
+        "host", F.explode("sitemaps").alias("sitemap")
+    )
+
+
+@q(
+    "soft404_filter",
+    # the oracle RECOMPUTES the scorer contract (substring scans +
+    # length signal) over the same constructed page text — a true
+    # independent check, not an arithmetic shortcut
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
+    "'404 Error - Page Not Found. This page does not exist. ' || "
+    "CASE WHEN doc_id % 22 = 0 THEN substr(text, 1, 120) ELSE text END "
+    "ELSE text END AS page_text FROM documents), "
+    "s AS (SELECT doc_id, "
+    "(CASE WHEN length(page_text) < 300 THEN 1 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'page not found') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), '404 error') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'error 404') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'does not exist') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'no longer available') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'has been removed') THEN 2 ELSE 0 END "
+    " + CASE WHEN contains(lower(page_text), 'could not be found') THEN 2 ELSE 0 END"
+    ")::BIGINT AS score FROM p) "
+    "SELECT doc_id, score, "
+    "(CASE WHEN score >= 2 THEN 1 ELSE 0 END)::BIGINT AS flagged FROM s",
+)
+def soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (HTTP-200 error pages — the classic crawl
+    pollutant): every 11th document gets an injected error-page
+    preamble (every 22nd also truncated under the short-body
+    threshold), then :func:`filtering.soft404_score_expr` scores the
+    whole corpus — case-insensitive substring phrase hits (+2 each)
+    plus the short-body signal (+1) in pure map-side built-ins. The
+    oracle re-runs the same substring scans in SQL, so the phrase
+    inventory, the lowercasing, the threshold, and the length cutoff
+    are all pinned independently."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    page_text = F.when(
+        F.pmod("doc_id", F.lit(11)) == 0,
+        F.concat(
+            F.lit("404 Error - Page Not Found. This page does not exist. "),
+            F.when(
+                F.pmod("doc_id", F.lit(22)) == 0,
+                F.substring("text", 1, 120),
+            ).otherwise(F.col("text")),
+        ),
+    ).otherwise(F.col("text"))
+    pages = docs.select("doc_id", page_text.alias("page_text"))
+    return pages.select(
+        "doc_id",
+        filtering.soft404_score_expr("page_text")
+        .cast("bigint")
+        .alias("score"),
+        filtering.soft404_flag_expr("page_text", threshold=2)
+        .cast("bigint")
+        .alias("flagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (iterative merge learning)
 
@@ -4761,6 +4978,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
+    "crawl_schedule", "sitemap_discovery", "soft404_filter",
     "mp3_metadata", "ogg_metadata", "webm_metadata", "robots_gate",
     "dsir_select", "ccnet_buckets",
     "paragraph_dedup", "gopher_rules",

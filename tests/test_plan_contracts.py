@@ -568,3 +568,21 @@ def test_robots_gate_broadcasts_rules_no_cartesian(spark):
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_crawl_schedule_broadcast_meta_host_window(spark):
+    """Politeness metadata (one row per host) must broadcast against
+    the corpus, and the slot assignment must be a host-partitioned
+    window — never a rangepartitioning (global sort) exchange."""
+    plan = _plan(spark, "crawl_schedule")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_soft404_filter_map_only(spark):
+    """Phrase scoring is pure projection: any Exchange means the
+    scorer stopped being a map-side expression."""
+    plan = _plan(spark, "soft404_filter")
+    assert "Exchange" not in plan
