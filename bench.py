@@ -110,6 +110,7 @@ HEADLINE = [
     "crawl_schedule",
     "sitemap_discovery",
     "soft404_filter",
+    "wet_export",
     "dsir_select",
     "ccnet_buckets",
     "paragraph_dedup",

@@ -4486,6 +4486,58 @@ def soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "wet_export",
+    # third, fully independent reconstruction of the WET conversion
+    # record (sources/wet.py builds it in Python for the file sink and
+    # as a JVM Column for the manifest; the oracle rebuilds it in SQL):
+    # header order, CRLF discipline, md5(url)-derived record id, and
+    # UTF-8-octet Content-Length are all pinned byte-for-byte via the
+    # record digest
+    "WITH c AS (SELECT chr(13) || chr(10) AS cl), "
+    f"r AS (SELECT {URL_SQL} AS url, "
+    "strftime(TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id) SECOND, "
+    "'%Y-%m-%dT%H:%M:%SZ') AS stamp, text FROM documents), "
+    "b AS (SELECT url, "
+    "'WARC/1.0' || cl || 'WARC-Type: conversion' || cl || "
+    "'WARC-Target-URI: ' || url || cl || "
+    "'WARC-Date: ' || stamp || cl || "
+    "'WARC-Record-ID: <urn:uuid:' || "
+    "substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4) || '-' || "
+    "substr(md5(url), 13, 4) || '-' || substr(md5(url), 17, 4) || '-' || "
+    "substr(md5(url), 21, 12) || '>' || cl || "
+    "'Content-Type: text/plain' || cl || "
+    "'Content-Length: ' || octet_length(encode(text)) || cl || cl || "
+    "text || cl || cl AS rec FROM r, c) "
+    "SELECT url, octet_length(encode(rec))::BIGINT AS record_len, "
+    "md5(rec) AS record_md5 FROM b",
+)
+def wet_export_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export manifest (sources/wet.py): every document's
+    Common-Crawl conversion record built as a pure JVM string
+    expression — map-only, no Python — yielding the (url, byte length,
+    digest) audit rows an export job commits next to its
+    ``.warc.wet.gz`` files. Deterministic by construction: record id
+    is md5(url) as a UUID, WARC-Date derives from doc_id."""
+    from pdf_parser_spark.sources.wet import wet_export
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = wet_export(
+        docs.select(
+            F.expr(URL_SQL).alias("url"),
+            F.date_format(
+                F.expr(
+                    "timestamp'2026-01-01 00:00:00' + "
+                    "make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("stamp"),
+            "text",
+        )
+    )
+    return manifest
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (iterative merge learning)
 
@@ -4978,7 +5030,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r4 checked the remaining 50 — see CORRECTNESS_r04.json).
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
-    "crawl_schedule", "sitemap_discovery", "soft404_filter",
+    "crawl_schedule", "sitemap_discovery", "soft404_filter", "wet_export",
     "mp3_metadata", "ogg_metadata", "webm_metadata", "robots_gate",
     "dsir_select", "ccnet_buckets",
     "paragraph_dedup", "gopher_rules",

@@ -586,3 +586,11 @@ def test_soft404_filter_map_only(spark):
     scorer stopped being a map-side expression."""
     plan = _plan(spark, "soft404_filter")
     assert "Exchange" not in plan
+
+
+def test_wet_export_map_only(spark):
+    """The export manifest is JVM string concatenation over the scan:
+    no Exchange, no Python stage."""
+    plan = _plan(spark, "wet_export")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -169,3 +169,65 @@ def test_warc_gzip_member_bomb_is_error_row():
     assert time.perf_counter() - t0 < 10.0
     assert rows == [(None, None, None,
                      "gzip member inflates past 268435456 bytes")]
+
+
+# ------------------------------------------- WET export (sources/wet.py)
+
+
+def test_wet_record_python_vs_jvm_identity(spark):
+    """The Python writer and the JVM Column must build byte-identical
+    records — including UTF-8 Content-Length octets vs char counts."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources.wet import wet_record, wet_record_expr
+
+    rows = [
+        ("https://a.example.com/x", datetime(2026, 1, 1, 0, 0, 17), "plain"),
+        ("https://b.example.com/y", datetime(2026, 3, 5, 12, 30, 0),
+         "café – naïve 文字"),  # multibyte: octet len != char len
+        ("https://c.example.com/z", datetime(2026, 1, 1), ""),
+    ]
+    df = spark.createDataFrame(
+        [(u, t.strftime("%Y-%m-%dT%H:%M:%SZ"), x) for u, t, x in rows],
+        "url STRING, stamp STRING, text STRING",
+    )
+    got = {
+        r["url"]: r["rec"]
+        for r in df.select(
+            "url", wet_record_expr("url", "stamp", "text").alias("rec")
+        ).collect()
+    }
+    for u, t, x in rows:
+        assert got[u].encode("utf-8") == wet_record(u, t, x), u
+
+
+def test_wet_dir_roundtrip(spark, tmp_path):
+    from datetime import datetime
+
+    from pdf_parser_spark.sources.wet import (
+        read_wet,
+        wet_record,
+        write_wet_dir,
+    )
+
+    rows = [
+        (f"https://h{i % 3}.example.com/d{i}",
+         datetime(2026, 2, 1, i, 0, 0), f"text body {i} café")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "url STRING, warc_ts TIMESTAMP, text STRING"
+    ).repartition(3)
+    n = write_wet_dir(df, str(tmp_path))
+    assert n == 8
+    back = read_wet(str(tmp_path))
+    assert len(back) == 8
+    by_url = {u: (s, x) for u, s, x in back}
+    for u, t, x in rows:
+        stamp, text = by_url[u]
+        assert stamp == t.strftime("%Y-%m-%dT%H:%M:%SZ")
+        assert text == x
+        # and the on-disk member equals the canonical record writer
+        assert wet_record(u, t, x).decode("utf-8").count(text) >= 1
