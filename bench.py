@@ -111,6 +111,7 @@ HEADLINE = [
     "sitemap_discovery",
     "soft404_filter",
     "wet_export",
+    "html_metadata",
     "dsir_select",
     "ccnet_buckets",
     "paragraph_dedup",

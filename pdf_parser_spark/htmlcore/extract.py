@@ -231,3 +231,86 @@ def extract_html(html_text: str) -> str:
         and b.link_density <= MAX_LINK_DENSITY
     ]
     return "\n".join(b.text for b in kept)
+
+
+# -------------------------------------------------------------------------
+# WAT-style page metadata (the Common Crawl metadata-record surface):
+# head fields + link inventory, extracted with linear find/slice scans —
+# no backtracking-prone regexes, same hostile-input posture as the
+# tokenizer above.
+
+_HREF_RE = re.compile(r"""href=["']?(https?://[^"'\s>]+)""", re.I)
+_A_TAG_RE = re.compile(r"<a[\s>]", re.I)
+_LANG_RE = re.compile(r"""\blang\s*=\s*["']?([A-Za-z0-9-]+)""", re.I)
+_CHARSET_RE = re.compile(r"""charset\s*=\s*["']?([A-Za-z0-9_-]+)""", re.I)
+
+
+def _find_ci(haystack: str, needle: str, start: int = 0) -> int:
+    return haystack.lower().find(needle, start)
+
+
+def html_metadata(html_text: str) -> dict:
+    """Head metadata + link inventory of a page:
+
+    - ``title``: first ``<title>`` body, entity-unescaped and
+      whitespace-normalized (None when absent/unterminated),
+    - ``lang``: the ``lang`` attribute of the first ``<html>`` tag,
+    - ``charset``: the first ``<meta charset=…>`` / http-equiv
+      ``charset=`` value, lowercased,
+    - ``n_anchors``: count of ``<a>`` start tags,
+    - ``outlinks``: absolute http(s) hrefs in document order
+      (deduplicated, first occurrence wins).
+
+    Every scan is a bounded find/slice or an alternation-free regex
+    over the raw text — linear on hostile input."""
+    low = html_text.lower()
+    # title: find-based (no DOTALL regex — unterminated titles would
+    # scan quadratically under backtracking)
+    title = None
+    i = low.find("<title")
+    if i != -1:
+        gt = html_text.find(">", i)
+        if gt != -1:
+            j = low.find("</title", gt)
+            if j != -1:
+                raw = html_text[gt + 1 : j]
+                if "&" in raw:
+                    try:
+                        raw = _html.unescape(raw)
+                    except ValueError:
+                        pass
+                title = normalize_ws(raw).strip() or None
+    # lang: attribute of the first <html ...> tag only
+    lang = None
+    i = low.find("<html")
+    if i != -1:
+        gt = html_text.find(">", i)
+        tag = html_text[i : gt if gt != -1 else i + 512]
+        m = _LANG_RE.search(tag)
+        if m:
+            lang = m.group(1)
+    # charset: first <meta ...charset=...> tag
+    charset = None
+    i = low.find("<meta")
+    while i != -1:
+        gt = html_text.find(">", i)
+        tag = html_text[i : gt if gt != -1 else i + 512]
+        m = _CHARSET_RE.search(tag)
+        if m:
+            charset = m.group(1).lower()
+            break
+        i = low.find("<meta", i + 5)
+    seen: set[str] = set()
+    outlinks: list[str] = []
+    for m in _HREF_RE.finditer(html_text):
+        u = m.group(1)
+        if u not in seen:
+            seen.add(u)
+            outlinks.append(u)
+    return {
+        "title": title,
+        "lang": lang,
+        "charset": charset,
+        "n_anchors": len(_A_TAG_RE.findall(html_text)),
+        "outlinks": outlinks,
+    }

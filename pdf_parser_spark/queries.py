@@ -4487,6 +4487,84 @@ def soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "html_metadata",
+    # generator contract (htmlcore/gen.py + corpus.wrap_lines): the
+    # page body is the WRAPPED text (12-token lines), title = first
+    # wrapped line truncated to 60 chars then entity-escaped
+    # ('Untitled' when empty), lang = the corpus lang column, charset
+    # utf-8, 12 anchor tags per page, 3 absolute partner outlinks
+    # with target id doc_id*31+k on the target's own host
+    "SELECT "
+    f"{URL_SQL} AS url, "
+    f"CASE WHEN coalesce(({CHUNKS_SQL})[1], '') = '' THEN 'Untitled' "
+    "ELSE nullif(trim(regexp_replace("
+    f"substr(({CHUNKS_SQL})[1], 1, 60), "
+    "'[ \\t\\r\\f\\v]+', ' ', 'g')), '') END AS title, "
+    "lang, 'utf-8' AS charset, 12::BIGINT AS n_anchors, "
+    "3::BIGINT AS n_outlinks, "
+    "'https://' || CASE WHEN (doc_id * 31 + 1) % 10 < 4 "
+    "THEN 'heavy.example.org' "
+    "ELSE 'site-' || ((doc_id * 31 + 1) % 97) || '.example.com' END "
+    "|| '/doc/' || (doc_id * 31 + 1) AS outlink_1 "
+    "FROM documents WHERE doc_id % 2 = 1",
+)
+def html_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style page metadata (the Common Crawl metadata-record
+    surface, completing the WARC-in / WET-out / WAT-alongside trio):
+    head fields (title entity-unescaped + ws-normalized, html lang,
+    meta charset) and the link inventory (anchor count, absolute
+    outlinks) extracted from the RAW page bytes by
+    :func:`htmlcore.extract.html_metadata` — linear find/slice scans,
+    Arrow-batched executor-side. The oracle reconstructs every field
+    from the generator contract, so title truncation-then-escape
+    order, charset case-folding, and the outlink dedup/order are all
+    pinned."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from pdf_parser_spark.htmlcore.extract import html_metadata
+
+    webdocs = synthesize_webdocs(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                m = html_metadata(bytes(payload).decode("utf-8", "replace"))
+                rows.append(
+                    {
+                        "url": u,
+                        "title": m["title"],
+                        "lang": m["lang"],
+                        "charset": m["charset"],
+                        "n_anchors": m["n_anchors"],
+                        "n_outlinks": len(m["outlinks"]),
+                        "outlink_1": m["outlinks"][0]
+                        if m["outlinks"]
+                        else None,
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "title", "lang", "charset",
+                    "n_anchors", "n_outlinks", "outlink_1",
+                ],
+            )
+
+    return webdocs.select("url", "html").mapInPandas(
+        run,
+        schema=(
+            "url STRING, title STRING, lang STRING, charset STRING, "
+            "n_anchors BIGINT, n_outlinks BIGINT, outlink_1 STRING"
+        ),
+    )
+
+
+@q(
     "wet_export",
     # third, fully independent reconstruction of the WET conversion
     # record (sources/wet.py builds it in Python for the file sink and
@@ -5031,6 +5109,7 @@ def upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_WINDOW = [
     # --- new in round 5 ---
     "crawl_schedule", "sitemap_discovery", "soft404_filter", "wet_export",
+    "html_metadata",
     "mp3_metadata", "ogg_metadata", "webm_metadata", "robots_gate",
     "dsir_select", "ccnet_buckets",
     "paragraph_dedup", "gopher_rules",

@@ -143,3 +143,32 @@ def test_unterminated_comment_swallows_to_eof():
         "</p><!-- cut " + "x" * 80 + "</body></html>"
     )
     assert "keep" in out and "xxx" not in out
+
+
+def test_html_metadata_fields_and_hostile_inputs():
+    from pdf_parser_spark.htmlcore.extract import html_metadata
+    from pdf_parser_spark.htmlcore.gen import text_to_html
+
+    page = text_to_html("First Line & more\nbody text here", lang="de", doc_id=7)
+    m = html_metadata(page)
+    assert m["title"] == "First Line & more"   # entity round-trip
+    assert m["lang"] == "de"
+    assert m["charset"] == "utf-8"
+    assert m["n_anchors"] == 12
+    # partner links: doc_id*31+k targets, document order, deduped
+    assert m["outlinks"] == [
+        "https://site-24.example.com/doc/218",
+        "https://site-25.example.com/doc/219",
+        "https://heavy.example.org/doc/220",
+    ]
+    # hostile shapes: unterminated title, tag-runs, empties — all
+    # linear and total
+    assert html_metadata("<title>never closed ...")["title"] is None
+    assert html_metadata("<" * 100000)["n_anchors"] == 0
+    assert html_metadata("")["outlinks"] == []
+    dup = '<a href="https://x.com/a"></a><a href="https://x.com/a"></a>'
+    assert html_metadata(dup)["outlinks"] == ["https://x.com/a"]
+    # title whitespace normalization + charset case-folding
+    weird = "<html LANG='fr'><head><meta CHARSET='UTF-8'><title> a \t b </title></head>"
+    m2 = html_metadata(weird)
+    assert m2["title"] == "a b" and m2["lang"] == "fr" and m2["charset"] == "utf-8"
