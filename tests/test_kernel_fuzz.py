@@ -86,3 +86,23 @@ def test_fuzz_extract_html_total_function():
         out = extract_html(_mutate(base, rng).decode("utf-8", "replace"))
         assert isinstance(out, str)
     assert time.perf_counter() - t0 < 30.0
+
+
+def test_fuzz_html_metadata_total_function():
+    """html_metadata must return a well-formed dict for ANY mutated
+    page — same totality contract as extract_html — and stay linear
+    (the title/lang/charset scans are find/slice-based)."""
+    from pdf_parser_spark.htmlcore.extract import html_metadata
+
+    base = text_to_html(
+        "Title here\nA paragraph with <odd> chars & entities\nmore",
+        lang="en", doc_id=3,
+    ).encode()
+    rng = random.Random(11)
+    t0 = time.perf_counter()
+    for _ in range(600):
+        m = html_metadata(_mutate(base, rng).decode("utf-8", "replace"))
+        assert isinstance(m["n_anchors"], int)
+        assert isinstance(m["outlinks"], list)
+        assert m["title"] is None or isinstance(m["title"], str)
+    assert time.perf_counter() - t0 < 30.0
